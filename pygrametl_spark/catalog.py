@@ -1,0 +1,110 @@
+"""Table catalog: name -> path + role metadata.
+
+The reference implicitly "registers" every table object in
+``pygrametl._alltables`` (reference ``pygrametl/__init__.py:442-448``) and
+assumes the RDBMS holds the schema. Here the catalog is explicit: each
+table is a Parquet dataset with a name; dimensional *role* metadata (key,
+lookupatts, keyrefs, measures, SCD attributes) lives on the operator
+objects in :mod:`pygrametl_spark.operators`.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+def _nanos_columns(path: str) -> list[str]:
+    """Columns stored as TIMESTAMP(NANOS) in the Parquet footer (which
+    Spark's vectorized reader rejects). Footer-only read — cheap."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        if os.path.isdir(path):
+            files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            if not files:
+                return []
+            path = os.path.join(path, files[0])
+        schema = pq.read_schema(path)
+        return [f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"]
+    except Exception:  # noqa: BLE001
+        return []
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that tolerates nanosecond timestamps.
+
+    With ``spark.sql.legacy.parquet.nanosAsLong`` the NANOS column scans
+    as epoch-nanos long; we convert to a microsecond timestamp (same
+    truncation DuckDB applies), keeping the scan fully native/columnar —
+    no driver-side detour, so it holds at any scale.
+    """
+    nanos = _nanos_columns(path)
+    if nanos:
+        try:  # runtime SQL conf — works on sessions we did not build
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # noqa: BLE001
+            pass
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    for c in nanos:
+        if dict(df.dtypes).get(c) == "bigint":
+            # integer division: epoch-nanos exceed double precision
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class Catalog:
+    """Maps table names to Parquet paths and hands out DataFrames.
+
+    ``register_views=True`` additionally registers each table as a temp
+    view so the SQL surface (``spark.sql``) sees the same names the
+    DuckDB oracle does.
+    """
+
+    spark: SparkSession
+    base_dir: str
+    _cache: dict = field(default_factory=dict)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.base_dir, f"{name}.parquet")
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = read_parquet(self.spark, self.path(name))
+        return self._cache[name]
+
+    def register_views(self, names=TPCH_TABLES) -> None:
+        for name in names:
+            if os.path.exists(self.path(name)):
+                self.table(name).createOrReplaceTempView(name)
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TPCH_TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+
+def load_catalog(spark: SparkSession, sf_dir: str, *, views: bool = False) -> Catalog:
+    cat = Catalog(spark, sf_dir)
+    if views:
+        cat.register_views()
+    return cat

@@ -1,0 +1,94 @@
+"""Aggregation facade (reference ``pygrametl/aggregators.py`` parity).
+
+The reference implements incremental hash-aggregators (Sum/Count/
+CountDistinct/Max/Min/Avg, ``aggregators.py:68-128``) that a driver feeds
+row by row. In Spark every one of them is a built-in hash aggregate with
+map-side partial aggregation — we only provide the facade so user code
+reads the same, plus ``finish``-style defaulting via ``coalesce``.
+
+Crosstab (reference ``CrossTabbingSource``, ``datasources.py:609-665``)
+maps to ``groupBy().pivot().agg()`` — pivot values should be supplied
+when known: that skips the extra distinct-collection job Spark otherwise
+runs, which matters when the pivot column is scanned from 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["Sum", "Count", "CountDistinct", "Max", "Min", "Avg", "crosstab"]
+
+
+class _Aggregator:
+    """Facade matching the reference's Aggregator protocol
+    (``aggregators.py:49-65``): ``process`` accumulates, ``finish``
+    finalizes with a default for empty groups. Batch restatement: the
+    instance is a Column factory usable inside ``groupBy().agg()``."""
+
+    _fn = None
+
+    def __init__(self, column, default=None):
+        self._column = column
+        self._default = default
+
+    def column(self, alias: str | None = None) -> Column:
+        c = type(self)._fn(self._column)
+        if self._default is not None:
+            c = F.coalesce(c, F.lit(self._default))
+        return c.alias(alias) if alias else c
+
+
+class Sum(_Aggregator):
+    _fn = staticmethod(F.sum)
+
+
+class Count(_Aggregator):
+    _fn = staticmethod(F.count)
+
+
+class CountDistinct(_Aggregator):
+    # Exact distinct (the reference keeps a per-group set,
+    # aggregators.py:93-104). At 100 TB prefer approx_count_distinct.
+    _fn = staticmethod(F.countDistinct)
+
+
+class Max(_Aggregator):
+    _fn = staticmethod(F.max)
+
+
+class Min(_Aggregator):
+    _fn = staticmethod(F.min)
+
+
+class Avg(_Aggregator):
+    _fn = staticmethod(F.avg)
+
+
+def crosstab(
+    df: DataFrame,
+    rowvaluesatt: str,
+    colvaluesatt: str,
+    values: str,
+    aggregator: Column | None = None,
+    *,
+    colvalues: list | None = None,
+    nonevalue=0,
+    sortrows: bool = False,
+) -> DataFrame:
+    """Pivot/crosstab (ref ``CrossTabbingSource`` datasources.py:609-665).
+
+    rows = distinct values of ``rowvaluesatt``; columns = distinct values
+    of ``colvaluesatt`` (pass ``colvalues`` to avoid the distinct-scan
+    job); cells = aggregate of ``values`` (default Sum); empty cells get
+    ``nonevalue``; ``sortrows`` mirrors the reference's sorted() output.
+    """
+    agg = aggregator if aggregator is not None else F.sum(values)
+    g = df.groupBy(rowvaluesatt)
+    p = g.pivot(colvaluesatt, colvalues) if colvalues else g.pivot(colvaluesatt)
+    out = p.agg(agg)
+    if nonevalue is not None:
+        out = out.fillna(nonevalue)
+    if sortrows:
+        out = out.orderBy(rowvaluesatt)
+    return out

@@ -1,0 +1,76 @@
+"""Deterministic dense surrogate-key assignment.
+
+The reference assigns surrogate keys as ``max(key)+1`` kept in a Python
+counter (``pygrametl/tables.py:234-243, 460-462``) — serial by
+construction. We must produce the *same dense, contiguous, deterministic*
+numbering from a parallel engine (the DuckDB oracle recomputes it), so:
+
+- keys are ``offset + row_number`` over a caller-supplied canonical
+  ordering (the business key), never ``monotonically_increasing_id`` —
+  that is partition-layout-dependent and non-contiguous.
+- small inputs (the common case: *new* members per batch) use one global
+  window — a single-partition sort of only the new members.
+- large inputs (initial dimension loads) use a two-phase plan that keeps
+  the sort distributed: range-repartition by the ordering columns, sort
+  within partitions, then add per-partition cumulative offsets computed
+  from a tiny partition-size collect. This is the standard scalable
+  "dense rank without a global sort bottleneck" pattern and holds at
+  1000 executors: the only driver-side data is one count per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["assign_dense_keys", "max_key"]
+
+# Above this many rows, route to the distributed two-phase plan.
+_WINDOW_THRESHOLD = 1_000_000
+
+
+def max_key(df: DataFrame, key: str, default: int = 0) -> int:
+    """Current max surrogate key (ref ``SELECT MAX(key)`` tables.py:237-239)."""
+    row = df.agg(F.max(F.col(key)).alias("m")).first()
+    return default if row is None or row["m"] is None else int(row["m"])
+
+
+def assign_dense_keys(
+    df: DataFrame,
+    ordercols: list[str],
+    key: str,
+    offset: int = 0,
+    *,
+    approx_count: int | None = None,
+) -> DataFrame:
+    """Add ``key`` = offset + 1,2,3,... densely over ``ordercols`` order.
+
+    ``ordercols`` must uniquely order the rows (for dimension loads the
+    business key does) — otherwise numbering of ties is undefined.
+    """
+    n = approx_count if approx_count is not None else df.count()
+    if n <= _WINDOW_THRESHOLD:
+        w = Window.orderBy(*[F.col(c) for c in ordercols])
+        return df.withColumn(key, (F.row_number().over(w) + F.lit(offset)).cast("long"))
+    return _assign_dense_keys_distributed(df, ordercols, key, offset)
+
+
+def _assign_dense_keys_distributed(df: DataFrame, ordercols, key, offset) -> DataFrame:
+    nparts = max(df.rdd.getNumPartitions(), 32)
+    parted = (
+        df.repartitionByRange(nparts, *ordercols)
+        .sortWithinPartitions(*ordercols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    parted = parted.localCheckpoint(eager=True)  # pin partitioning for both passes
+    sizes = {r["_pid"]: r["c"] for r in parted.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
+    cum, running = {}, offset
+    for pid in sorted(sizes):
+        cum[pid] = running
+        running += sizes[pid]
+    mapping = F.create_map(*[F.lit(x) for kv in cum.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in ordercols])
+    return (
+        parted.withColumn(key, (F.row_number().over(w) + mapping[F.col("_pid")]).cast("long"))
+        .drop("_pid")
+    )

@@ -1,0 +1,756 @@
+"""Query registry: one entry per implemented operator (SURVEY.md §2).
+
+Each query is ``(spark, sf_dir) -> DataFrame`` exercising one engine
+operator over the driver's TPC-H-ish tables, paired with an ANSI-SQL
+oracle (DuckDB) computing the same relation. Conventions for
+hash-stable parity:
+
+- every computed column is aliased identically on both sides;
+- money/ratio aggregates are ``ROUND``-ed (sum order differs between
+  engines at the last ulp);
+- timestamps are emitted as formatted strings (microsecond precision)
+  so engine-native representations never enter the hash;
+- int-like computed columns are cast to BIGINT on both sides;
+- all orderings used for keys/versions have a total tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pygrametl_spark.catalog import load_catalog
+from pygrametl_spark.functions.aggregators import Avg, Count, CountDistinct, Max, Min, Sum, crosstab
+from pygrametl_spark.functions.helpers import datespan, getfloat, project, toupper
+from pygrametl_spark.operators.dimension import Dimension
+from pygrametl_spark.operators.facttable import AccumulatingSnapshotFactTable, FactTable
+from pygrametl_spark.operators.scd import (
+    SlowlyChangingDimension,
+    TypeOneSlowlyChangingDimension,
+    scd2_from_history,
+)
+from pygrametl_spark.operators.snowflake import SnowflakedDimension
+from pygrametl_spark.plans.keys import assign_dense_keys
+from pygrametl_spark.sources.sources import (
+    FilteringSource,
+    HashJoiningSource,
+    MappingSource,
+    MergeJoiningSource,
+    SQLTransformingSource,
+    UnionSource,
+)
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _fmt_ts(c) -> F.Column:
+    return F.date_format(c, TS_FMT_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1 pricing summary (aggregator facade; SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_catalog(spark, sf_dir).lineitem
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(Sum("l_quantity").column(), 2).alias("sum_qty"),
+            F.round(Sum("l_extendedprice").column(), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(Avg("l_quantity").column(), 4).alias("avg_qty"),
+            F.round(Avg("l_extendedprice").column(), 4).alias("avg_price"),
+            F.round(Avg("l_discount").column(), 6).alias("avg_disc"),
+            Count("l_orderkey").column("count_order"),
+            CountDistinct("l_orderkey").column("n_orders"),
+            F.round(Min("l_extendedprice").column(), 2).alias("min_price"),
+            F.round(Max("l_extendedprice").column(), 2).alias("max_price"),
+        )
+    )
+
+
+ORACLE_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(l_orderkey) AS count_order,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       ROUND(MAX(l_extendedprice), 2) AS max_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / scalar transforms (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+def q_project_rename(spark, sf_dir):
+    cust = load_catalog(spark, sf_dir).customer
+    return project(cust, ["name", "segment"], renaming={"name": "c_name", "segment": "c_mktsegment"})
+
+
+ORACLE_PROJECT = "SELECT c_name AS name, c_mktsegment AS segment FROM customer"
+
+
+def q_filtering_source(spark, sf_dir):
+    orders = load_catalog(spark, sf_dir).orders
+    return FilteringSource(
+        orders, (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000)
+    ).select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"))
+
+
+ORACLE_FILTER = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
+FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+"""
+
+
+def q_mapping_source(spark, sf_dir):
+    cust = load_catalog(spark, sf_dir).customer
+    mapped = MappingSource(
+        cust,
+        {
+            "c_name": toupper,
+            "c_acctbal": lambda c: F.floor(c * 100).cast("long"),
+        },
+    )
+    return mapped.select(
+        "c_custkey", F.col("c_name").alias("name"), F.col("c_acctbal").alias("acctbal_cents")
+    )
+
+
+ORACLE_MAPPING = """
+SELECT c_custkey, UPPER(c_name) AS name, CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM customer
+"""
+
+
+def q_valuemapping_step(spark, sf_dir):
+    orders = load_catalog(spark, sf_dir).orders
+    mapping = F.when(F.col("o_orderstatus") == "O", "Open").when(
+        F.col("o_orderstatus") == "F", "Finished"
+    ).when(F.col("o_orderstatus") == "P", "Pending").otherwise("Unknown")
+    return orders.select("o_orderkey", mapping.alias("status_name"))
+
+
+ORACLE_VALUEMAPPING = """
+SELECT o_orderkey,
+       CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Finished'
+            WHEN 'P' THEN 'Pending' ELSE 'Unknown' END AS status_name
+FROM orders
+"""
+
+
+def q_conditional_step(spark, sf_dir):
+    """ConditionalStep (ref steps.py:390-422): route rows to two branches."""
+    orders = load_catalog(spark, sf_dir).orders
+    pred = F.col("o_totalprice") > 200000
+    big = orders.filter(pred).withColumn("branch", F.lit("big"))
+    small = orders.filter(~pred).withColumn("branch", F.lit("small"))
+    return UnionSource(big, small).select("o_orderkey", "branch")
+
+
+ORACLE_CONDITIONAL = """
+SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS branch
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+def q_hash_joining_source(spark, sf_dir):
+    cat = load_catalog(spark, sf_dir)
+    joined = HashJoiningSource(cat.lineitem, "l_partkey", cat.part, "p_partkey")
+    return joined.select(
+        "l_orderkey", "l_linenumber", F.col("p_name").alias("part_name"),
+        F.col("p_brand").alias("brand"), F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
+ORACLE_HASH_JOIN = """
+SELECT l_orderkey, l_linenumber, p_name AS part_name, p_brand AS brand,
+       ROUND(l_extendedprice, 2) AS price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q_merge_joining_source(spark, sf_dir):
+    cat = load_catalog(spark, sf_dir)
+    joined = MergeJoiningSource(cat.orders, "o_custkey", cat.customer, "c_custkey")
+    return joined.select("o_orderkey", F.col("c_name").alias("customer"),
+                         F.round("o_totalprice", 2).alias("totalprice"))
+
+
+ORACLE_MERGE_JOIN = """
+SELECT o_orderkey, c_name AS customer, ROUND(o_totalprice, 2) AS totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_dim_lookup(spark, sf_dir):
+    part = load_catalog(spark, sf_dir).part
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    dim = Dimension(
+        "pname_dim", "id", ["name"], defaultidvalue=-1,
+        df=assign_dense_keys(names, ["name"], "id", 0),
+    )
+    known = part.filter("p_size < 10").select(F.col("p_name").alias("name")).distinct()
+    unknown = part.filter("p_size > 45").select(
+        F.concat(F.col("p_name"), F.lit("_zz")).alias("name")
+    ).distinct()
+    probe = UnionSource(known, unknown)
+    return dim.lookup(probe, broadcast=True)
+
+
+ORACLE_DIM_LOOKUP = """
+WITH dim AS (
+  SELECT CAST(row_number() OVER (ORDER BY name) AS BIGINT) AS id, name
+  FROM (SELECT DISTINCT p_name AS name FROM part)
+), probe AS (
+  SELECT DISTINCT p_name AS name FROM part WHERE p_size < 10
+  UNION
+  SELECT DISTINCT p_name || '_zz' AS name FROM part WHERE p_size > 45
+)
+SELECT probe.name, COALESCE(dim.id, -1) AS id
+FROM probe LEFT JOIN dim ON probe.name = dim.name
+"""
+
+
+def q_dim_getbyvals(spark, sf_dir):
+    part = load_catalog(spark, sf_dir).part
+    dim = Dimension(
+        "part_dim", "p_partkey", ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+        lookupatts=["p_name"], df=part,
+    )
+    return dim.getbyvals({"p_brand": "Brand#13", "p_type": "MEDIUM"}).select(
+        "p_partkey", "p_name", "p_size"
+    )
+
+
+ORACLE_GETBYVALS = """
+SELECT p_partkey, p_name, p_size FROM part
+WHERE p_brand = 'Brand#13' AND p_type = 'MEDIUM'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ensure / key assignment (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+def q_dim_ensure(spark, sf_dir):
+    part = load_catalog(spark, sf_dir).part
+    seed = part.filter("p_size <= 2").select(F.col("p_brand").alias("brand")).distinct()
+    dim = Dimension("brand_dim", "id", ["brand"], df=assign_dense_keys(seed, ["brand"], "id", 0))
+    dim.ensure(part, namemapping={"brand": "p_brand"})
+    return dim.df
+
+
+ORACLE_DIM_ENSURE = """
+WITH seed AS (SELECT DISTINCT p_brand AS brand FROM part WHERE p_size <= 2),
+seeded AS (SELECT CAST(row_number() OVER (ORDER BY brand) AS BIGINT) AS id, brand FROM seed),
+newm AS (
+  SELECT DISTINCT p_brand AS brand FROM part
+  WHERE p_brand NOT IN (SELECT brand FROM seeded)
+)
+SELECT id, brand FROM seeded
+UNION ALL
+SELECT (SELECT COUNT(*) FROM seeded) + CAST(row_number() OVER (ORDER BY brand) AS BIGINT) AS id,
+       brand
+FROM newm
+"""
+
+
+def q_dim_update(spark, sf_dir):
+    cust = load_catalog(spark, sf_dir).customer
+    dim = Dimension(
+        "customer_dim", "c_custkey", ["c_name", "c_acctbal", "c_mktsegment"],
+        lookupatts=["c_name"], df=cust,
+    )
+    updates = cust.filter("c_acctbal > 9000").select(
+        "c_custkey", F.lit("PREMIUM").alias("c_mktsegment")
+    )
+    dim.update(updates)
+    return dim.df
+
+
+ORACLE_DIM_UPDATE = """
+SELECT c_custkey, c_name, c_acctbal,
+       CASE WHEN c_acctbal > 9000 THEN 'PREMIUM' ELSE c_mktsegment END AS c_mktsegment
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD type 1 / type 2 / as-of (SURVEY §2.5, §2.7)
+# ---------------------------------------------------------------------------
+
+def q_scd_typeone(spark, sf_dir):
+    cat = load_catalog(spark, sf_dir)
+    cust, orders = cat.customer, cat.orders
+    dim = TypeOneSlowlyChangingDimension(
+        "cust_t1", "c_custkey", ["c_name", "c_acctbal", "c_mktsegment"],
+        ["c_name"], type1atts=["c_acctbal"], df=cust,
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        orders.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+        .select("o_custkey", "o_totalprice")
+    )
+    batch = latest.join(
+        cust.select("c_custkey", "c_name"), latest.o_custkey == F.col("c_custkey")
+    ).select("c_name", F.col("o_totalprice").alias("c_acctbal"))
+    dim.scdensure(batch)
+    return dim.df
+
+
+ORACLE_SCD_TYPEONE = """
+WITH latest AS (
+  SELECT o_custkey, o_totalprice FROM (
+    SELECT o_custkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders) t WHERE rn = 1
+)
+SELECT c_custkey, c_name, COALESCE(l.o_totalprice, c_acctbal) AS c_acctbal, c_mktsegment
+FROM customer c LEFT JOIN latest l ON c.c_custkey = l.o_custkey
+"""
+
+
+_SCD2_DUCK_DIM = """
+WITH changes AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), kept AS (
+  SELECT user_id, event_type, ts, event_id FROM changes
+  WHERE prev IS NULL OR prev <> event_type
+), v AS (
+  SELECT user_id, event_type, ts AS fromdate,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS todate,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+  FROM kept
+), dim AS (
+  SELECT CAST(row_number() OVER (ORDER BY user_id, version) AS BIGINT) AS id, *
+  FROM v
+)
+"""
+
+
+def q_scd2_build(spark, sf_dir):
+    """Replay the full event history through SCD2 semantics in one job."""
+    events = load_catalog(spark, sf_dir).events
+    dim = scd2_from_history(
+        events, ["user_id"], ["event_type"], "ts", key="id", tiebreak=["event_id"]
+    )
+    return dim.select(
+        "id", "user_id", "event_type", "version",
+        _fmt_ts("fromdate").alias("fromdate"), _fmt_ts("todate").alias("todate"),
+    )
+
+
+ORACLE_SCD2_BUILD = _SCD2_DUCK_DIM + """
+SELECT id, user_id, event_type, version,
+       strftime(fromdate, '{f}') AS fromdate,
+       strftime(todate, '{f}') AS todate
+FROM dim
+""".format(f=TS_FMT_DUCK)
+
+
+def q_scd_lookupasof(spark, sf_dir):
+    """As-of join: for each purchase event, the SCD2 version valid at its ts."""
+    events = load_catalog(spark, sf_dir).events
+    dim_df = scd2_from_history(
+        events, ["user_id"], ["event_type"], "ts", key="id", tiebreak=["event_id"]
+    )
+    scd = SlowlyChangingDimension(
+        "user_scd", "id", ["user_id", "event_type", "version", "fromdate", "todate"],
+        ["user_id"], versionatt="version", fromatt="fromdate", toatt="todate", df=dim_df,
+    )
+    from pygrametl_spark.catalog import read_parquet
+
+    probe = (
+        read_parquet(spark, f"{sf_dir}/events.parquet")
+        .filter("event_type = 'purchase'")
+        .select("event_id", "user_id", "ts")
+    )
+    return scd.lookupasof(probe, "ts").select("event_id", "id")
+
+
+ORACLE_SCD_ASOF = _SCD2_DUCK_DIM + """
+SELECT e.event_id, d.id
+FROM events e JOIN dim d
+  ON e.user_id = d.user_id AND d.fromdate <= e.ts
+ AND (d.todate IS NULL OR e.ts < d.todate)
+WHERE e.event_type = 'purchase'
+"""
+
+
+def q_scd_closecurrent(spark, sf_dir):
+    """closecurrent: stamp the open version's todate (ref tables.py:1530-1553)."""
+    events = load_catalog(spark, sf_dir).events
+    dim_df = scd2_from_history(
+        events, ["user_id"], ["event_type"], "ts", key="id", tiebreak=["event_id"]
+    )
+    scd = SlowlyChangingDimension(
+        "user_scd", "id", ["user_id", "event_type", "version", "fromdate", "todate"],
+        ["user_id"], versionatt="version", fromatt="fromdate", toatt="todate", df=dim_df,
+    )
+    import datetime
+
+    scd.closecurrent(None, datetime.datetime(2030, 1, 1))
+    return scd.df.select("id", "user_id", "version", _fmt_ts("todate").alias("todate"))
+
+
+ORACLE_SCD_CLOSE = _SCD2_DUCK_DIM + """
+SELECT id, user_id, version,
+       strftime(COALESCE(todate, TIMESTAMP '2030-01-01 00:00:00'), '{f}') AS todate
+FROM dim
+""".format(f=TS_FMT_DUCK)
+
+
+# ---------------------------------------------------------------------------
+# Snowflaked dimension (SURVEY §2.4/§2.5)
+# ---------------------------------------------------------------------------
+
+def _snowflake(spark, sf_dir):
+    cat = load_catalog(spark, sf_dir)
+    region_dim = Dimension("region", "r_regionkey", ["r_name"], df=cat.region)
+    nation_dim = Dimension(
+        "nation", "n_nationkey", ["n_name", "r_regionkey"], lookupatts=["n_name"],
+        df=cat.nation.withColumnRenamed("n_regionkey", "r_regionkey"),
+    )
+    cust_dim = Dimension(
+        "customer", "c_custkey", ["c_name", "n_nationkey", "c_acctbal", "c_mktsegment"],
+        lookupatts=["c_name"],
+        df=cat.customer.withColumnRenamed("c_nationkey", "n_nationkey"),
+    )
+    return cat, SnowflakedDimension([(cust_dim, nation_dim), (nation_dim, region_dim)])
+
+
+def q_snowflake_lookuprow(spark, sf_dir):
+    cat, snow = _snowflake(spark, sf_dir)
+    probe = cat.customer.filter("c_acctbal > 5000").select("c_name")
+    out = snow.lookuprow(probe)
+    return out.select(
+        F.col("c_custkey"), F.col("c_name").alias("name"),
+        F.col("n_name").alias("nation"), F.col("r_name").alias("region"),
+    )
+
+
+ORACLE_SNOWFLAKE_LOOKUP = """
+SELECT c_custkey, c_name AS name, n_name AS nation, r_name AS region
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_acctbal > 5000
+"""
+
+
+def q_snowflake_ensure(spark, sf_dir):
+    cat, snow = _snowflake(spark, sf_dir)
+    batch = (
+        cat.supplier.join(cat.nation, cat.supplier.s_nationkey == cat.nation.n_nationkey)
+        .join(cat.region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("s_name").alias("c_name"), F.col("s_acctbal").alias("c_acctbal"),
+            "n_name", "r_name",
+        )
+    )
+    snow.ensure(batch)
+    return snow.root.df.select("c_custkey", "c_name", "n_nationkey", "c_acctbal")
+
+
+ORACLE_SNOWFLAKE_ENSURE = """
+WITH batch AS (
+  SELECT s_name AS c_name, s_acctbal AS c_acctbal, n_nationkey
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+), newm AS (
+  SELECT c_name, c_acctbal, n_nationkey FROM batch
+  WHERE c_name NOT IN (SELECT c_name FROM customer)
+), mx AS (SELECT MAX(c_custkey) AS m FROM customer)
+SELECT c_custkey, c_name, c_nationkey AS n_nationkey, c_acctbal FROM customer
+UNION ALL
+SELECT (SELECT m FROM mx) + CAST(row_number() OVER (ORDER BY c_name) AS BIGINT),
+       c_name, n_nationkey, c_acctbal
+FROM newm
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fact tables (SURVEY §2.2/§2.5)
+# ---------------------------------------------------------------------------
+
+def q_fact_ensure(spark, sf_dir):
+    orders = load_catalog(spark, sf_dir).orders
+    seed = orders.filter("o_orderdate < TIMESTAMP '1997-01-01 00:00:00'")
+    fact = FactTable("orders_fact", ["o_orderkey", "o_custkey"], ["o_totalprice"], df=seed)
+    fact.ensure(orders)
+    return fact.df.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+ORACLE_FACT_ENSURE = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice FROM orders
+"""
+
+
+def q_fact_lookup(spark, sf_dir):
+    orders = load_catalog(spark, sf_dir).orders
+    fact = FactTable("orders_fact", ["o_orderkey", "o_custkey"], ["o_totalprice"], df=orders)
+    probe = orders.filter("o_orderstatus = 'P'").select("o_orderkey", "o_custkey")
+    return fact.lookup(probe).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+ORACLE_FACT_LOOKUP = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+def q_accumulating_snapshot(spark, sf_dir):
+    """Milestone-arrival merge over the events stream (ref tables.py:2359-2505)."""
+    ev = load_catalog(spark, sf_dir).events
+
+    def expander(df):
+        have_both = F.col("click_ts").isNotNull() & F.col("purchase_ts").isNotNull()
+        lag = (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).cast("long")
+        return df.withColumn("click_to_purchase_s", F.when(have_both, lag))
+
+    base = (
+        ev.select("user_id").distinct()
+        .withColumn("view_ts", F.lit(None).cast("timestamp"))
+        .withColumn("click_ts", F.lit(None).cast("timestamp"))
+        .withColumn("purchase_ts", F.lit(None).cast("timestamp"))
+        .withColumn("click_to_purchase_s", F.lit(None).cast("long"))
+    )
+    fact = AccumulatingSnapshotFactTable(
+        "user_snapshot", ["user_id"], ["view_ts", "click_ts", "purchase_ts"],
+        ["click_to_purchase_s"], factexpander=expander, df=base,
+    )
+    for et, colname in [("view", "view_ts"), ("click", "click_ts"), ("purchase", "purchase_ts")]:
+        batch = ev.filter(F.col("event_type") == et).groupBy("user_id").agg(
+            F.min("ts").alias(colname)
+        )
+        fact.ensure(batch)
+    return fact.df.select(
+        "user_id", _fmt_ts("view_ts").alias("view_ts"), _fmt_ts("click_ts").alias("click_ts"),
+        _fmt_ts("purchase_ts").alias("purchase_ts"), "click_to_purchase_s",
+    )
+
+
+ORACLE_ACC_SNAPSHOT = """
+WITH agg AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS view_ts,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS click_ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       strftime(view_ts, '{f}') AS view_ts,
+       strftime(click_ts, '{f}') AS click_ts,
+       strftime(purchase_ts, '{f}') AS purchase_ts,
+       CAST(CASE WHEN click_ts IS NOT NULL AND purchase_ts IS NOT NULL
+            THEN epoch(date_trunc('second', purchase_ts)) - epoch(date_trunc('second', click_ts))
+            END AS BIGINT) AS click_to_purchase_s
+FROM agg
+""".format(f=TS_FMT_DUCK)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / pivot / windows / set ops (SURVEY §2.6-§2.8)
+# ---------------------------------------------------------------------------
+
+def q_crosstab(spark, sf_dir):
+    orders = load_catalog(spark, sf_dir).orders
+    return crosstab(
+        orders, "o_orderpriority", "o_orderstatus", "o_totalprice",
+        aggregator=F.round(F.sum("o_totalprice"), 2),
+        colvalues=["O", "F", "P"], nonevalue=0.0, sortrows=False,
+    )
+
+
+ORACLE_CROSSTAB = """
+SELECT o_orderpriority,
+       COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2), 0.0) AS "O",
+       COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2), 0.0) AS "F",
+       COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2), 0.0) AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_datespan(spark, sf_dir):  # noqa: ARG001
+    return datespan(spark, "1995-01-01", "1995-12-31")
+
+
+ORACLE_DATESPAN = """
+SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS dateid,
+       strftime(d, '%Y-%m-%d') AS date,
+       strftime(d, '%B') AS monthname,
+       strftime(d, '%A') AS weekday,
+       CAST(year(d) AS INT) AS year,
+       CAST(month(d) AS INT) AS month,
+       CAST(day(d) AS INT) AS day
+FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-12-31', INTERVAL 1 DAY))::DATE AS d) t
+"""
+
+
+def q_newest_version(spark, sf_dir):
+    """Newest-version-per-member window (ref tables.py:1181-1202)."""
+    orders = load_catalog(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+        .select("o_custkey", "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+    )
+
+
+ORACLE_NEWEST = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders) t
+WHERE rn = 1
+"""
+
+
+def q_topk(spark, sf_dir):
+    orders = load_catalog(spark, sf_dir).orders
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10).select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+ORACLE_TOPK = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_union_source(spark, sf_dir):
+    cat = load_catalog(spark, sf_dir)
+    c = cat.customer.select(
+        F.col("c_name").alias("name"), F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = cat.supplier.select(F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal"))
+    return UnionSource(c, s)
+
+
+ORACLE_UNION = """
+SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS segment FROM customer
+UNION ALL BY NAME
+SELECT s_name AS name, s_acctbal AS acctbal FROM supplier
+"""
+
+
+_Q5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_sql_transforming(spark, sf_dir):
+    """SQLTransformingSource: the engine's first-class SQL surface
+    (ref datasources.py:451-606)."""
+    cat = load_catalog(spark, sf_dir, views=True)
+    return SQLTransformingSource(cat.lineitem, "lineitem", _Q5_SQL)
+
+
+ORACLE_Q5 = _Q5_SQL
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "project_rename": q_project_rename,
+    "filtering_source": q_filtering_source,
+    "mapping_source": q_mapping_source,
+    "valuemapping_step": q_valuemapping_step,
+    "conditional_step": q_conditional_step,
+    "hash_joining_source": q_hash_joining_source,
+    "merge_joining_source": q_merge_joining_source,
+    "dim_lookup": q_dim_lookup,
+    "dim_getbyvals": q_dim_getbyvals,
+    "dim_ensure": q_dim_ensure,
+    "dim_update": q_dim_update,
+    "scd_typeone": q_scd_typeone,
+    "scd2_build": q_scd2_build,
+    "scd_lookupasof": q_scd_lookupasof,
+    "scd_closecurrent": q_scd_closecurrent,
+    "snowflake_lookuprow": q_snowflake_lookuprow,
+    "snowflake_ensure": q_snowflake_ensure,
+    "fact_ensure": q_fact_ensure,
+    "fact_lookup": q_fact_lookup,
+    "accumulating_snapshot": q_accumulating_snapshot,
+    "crosstab": q_crosstab,
+    "datespan": q_datespan,
+    "newest_version": q_newest_version,
+    "topk": q_topk,
+    "union_source": q_union_source,
+    "sql_transforming": q_sql_transforming,
+}
+
+ORACLES = {
+    "q01_pricing_summary": ORACLE_Q01,
+    "project_rename": ORACLE_PROJECT,
+    "filtering_source": ORACLE_FILTER,
+    "mapping_source": ORACLE_MAPPING,
+    "valuemapping_step": ORACLE_VALUEMAPPING,
+    "conditional_step": ORACLE_CONDITIONAL,
+    "hash_joining_source": ORACLE_HASH_JOIN,
+    "merge_joining_source": ORACLE_MERGE_JOIN,
+    "dim_lookup": ORACLE_DIM_LOOKUP,
+    "dim_getbyvals": ORACLE_GETBYVALS,
+    "dim_ensure": ORACLE_DIM_ENSURE,
+    "dim_update": ORACLE_DIM_UPDATE,
+    "scd_typeone": ORACLE_SCD_TYPEONE,
+    "scd2_build": ORACLE_SCD2_BUILD,
+    "scd_lookupasof": ORACLE_SCD_ASOF,
+    "scd_closecurrent": ORACLE_SCD_CLOSE,
+    "snowflake_lookuprow": ORACLE_SNOWFLAKE_LOOKUP,
+    "snowflake_ensure": ORACLE_SNOWFLAKE_ENSURE,
+    "fact_ensure": ORACLE_FACT_ENSURE,
+    "fact_lookup": ORACLE_FACT_LOOKUP,
+    "accumulating_snapshot": ORACLE_ACC_SNAPSHOT,
+    "crosstab": ORACLE_CROSSTAB,
+    "datespan": ORACLE_DATESPAN,
+    "newest_version": ORACLE_NEWEST,
+    "topk": ORACLE_TOPK,
+    "union_source": ORACLE_UNION,
+    "sql_transforming": ORACLE_Q5,
+}

@@ -1,0 +1,66 @@
+"""SparkSession factory tuned for the engine.
+
+The reference (pygrametl) funnels all execution through a single
+``ConnectionWrapper`` (reference ``pygrametl/__init__.py:654-729``); our
+single entry point is one tuned :class:`SparkSession`.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]``; the same settings are
+what we would ship on a multi-executor cluster (AQE on, sane shuffle
+partitioning, Arrow for the Pandas-UDF slow path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "DEFAULT_SHUFFLE_PARTITIONS"]
+
+# On local[N] a shuffle into hundreds of partitions is pure overhead; on a
+# real cluster this would be sized to ~2-3x total cores (or left to AQE
+# coalescing, which we enable).
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "pygrametl_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Return (create if needed) the engine's SparkSession.
+
+    Settings rationale (all public Spark knobs):
+
+    - ``spark.sql.adaptive.enabled`` — AQE re-plans at runtime: coalesces
+      tiny shuffle partitions, converts sort-merge joins to broadcast when
+      the built side turns out small, splits skewed partitions. This is
+      the 100 TB safety net for skewed keys.
+    - ``spark.sql.shuffle.partitions`` — starting parallelism before AQE
+      coalescing; matched to cores locally.
+    - Arrow enabled — every Pandas-UDF / ``toPandas`` boundary is
+      Arrow-batched instead of pickled row-by-row.
+    - Session timezone pinned to UTC so timestamp semantics are stable and
+      match the DuckDB oracle.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata stores TIMESTAMP(NANOS) which the Parquet reader
+        # rejects; read as long and convert in the catalog (see catalog.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,88 @@
+"""Dimension operator tests on the reference's `book` fixture
+(FIXTURES.md §1; ref tests/tables/test_Dimension.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pygrametl_spark.operators.dimension import Dimension
+from tests.conftest import assert_df_set_equal
+
+
+@pytest.fixture()
+def book_dim(spark):
+    df = spark.createDataFrame(
+        [(1, "Unknown", "Unknown"), (2, "Nineteen Eighty-Four", "Novel"), (3, "Calvin and Hobbes", "Comic")],
+        ["id", "title", "genre"],
+    )
+    return Dimension("book", "id", ["title", "genre"], lookupatts=["title"],
+                     defaultidvalue=1, df=df)
+
+
+def test_lookup_hit_and_default(spark, book_dim):
+    batch = spark.createDataFrame([("Calvin and Hobbes",), ("Missing Book",)], ["title"])
+    out = book_dim.lookup(batch)
+    assert_df_set_equal(out.select("title", "id"),
+                        [("Calvin and Hobbes", 3), ("Missing Book", 1)])
+
+
+def test_lookup_namemapping(spark, book_dim):
+    batch = spark.createDataFrame([("Calvin and Hobbes",)], ["name"])
+    out = book_dim.lookup(batch, namemapping={"title": "name"})
+    assert out.select("id").first()["id"] == 3
+
+
+def test_ensure_inserts_new_with_dense_keys(spark, book_dim):
+    batch = spark.createDataFrame(
+        [("Calvin and Hobbes", "Comic"), ("Metro 2033", "Novel"), ("Alpha", "Poem")],
+        ["title", "genre"],
+    )
+    out = book_dim.ensure(batch)
+    # new members keyed max+1 onwards in lookupatts order: Alpha=4, Metro 2033=5
+    assert_df_set_equal(out.select("title", "id"),
+                        [("Calvin and Hobbes", 3), ("Metro 2033", 5), ("Alpha", 4)])
+    assert book_dim.df.count() == 5
+
+
+def test_ensure_is_idempotent(spark, book_dim):
+    batch = spark.createDataFrame([("Metro 2033", "Novel")], ["title", "genre"])
+    book_dim.ensure(batch)
+    book_dim.ensure(batch)
+    assert book_dim.df.filter("title = 'Metro 2033'").count() == 1
+
+
+def test_ensure_rowexpander(spark):
+    df = spark.createDataFrame([(1, "a", "x")], ["id", "title", "genre"])
+    dim = Dimension(
+        "book", "id", ["title", "genre"], lookupatts=["title"],
+        rowexpander=lambda d: d.withColumn("genre", F.coalesce("genre", F.lit("Unknown"))),
+        df=df,
+    )
+    batch = spark.createDataFrame([("b", None)], "title string, genre string")
+    dim.ensure(batch)
+    assert_df_set_equal(dim.df, [(1, "a", "x"), (2, "b", "Unknown")])
+
+
+def test_getbykey_missing_is_null_row(spark, book_dim):
+    out = book_dim.getbykey([3, 99])
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[3]["title"] == "Calvin and Hobbes"
+    assert rows[99]["title"] is None
+
+
+def test_getbyvals(spark, book_dim):
+    out = book_dim.getbyvals({"genre": "Novel"})
+    assert [r["title"] for r in out.collect()] == ["Nineteen Eighty-Four"]
+
+
+def test_update_overwrites_including_null(spark, book_dim):
+    updates = spark.createDataFrame([(3, None)], "id int, genre string")
+    book_dim.update(updates)
+    row = book_dim.df.filter("id = 3").first()
+    assert row["genre"] is None
+    assert row["title"] == "Calvin and Hobbes"
+
+
+def test_insert_with_explicit_keys(spark, book_dim):
+    rows = spark.createDataFrame([(10, "New", "Essay")], ["id", "title", "genre"])
+    book_dim.insert(rows)
+    assert book_dim.df.filter("id = 10").count() == 1

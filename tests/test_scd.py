@@ -1,0 +1,158 @@
+"""SCD tests on the reference's `customers` fixture (FIXTURES.md §2;
+ref tests/tables/test_Dimension.py:1023-1052)."""
+
+import datetime
+
+import pytest
+
+from pygrametl_spark.operators.scd import (
+    SlowlyChangingDimension,
+    TypeOneSlowlyChangingDimension,
+    scd2_from_history,
+)
+from tests.conftest import assert_df_set_equal
+
+D = datetime.datetime
+
+
+@pytest.fixture()
+def scd(spark):
+    # Ann has a closed version (Aalborg) and a current one (Copenhagen).
+    df = spark.createDataFrame(
+        [
+            (1, "Ann", 20, "Aalborg", D(2020, 1, 1), D(2021, 6, 1), 1),
+            (2, "Ann", 20, "Copenhagen", D(2021, 6, 1), None, 2),
+            (3, "Bob", 31, "Odense", D(2020, 5, 1), None, 1),
+        ],
+        "id long, name string, age int, city string, fromdate timestamp, todate timestamp, version long",
+    )
+    return SlowlyChangingDimension(
+        "customers", "id", ["name", "age", "city", "fromdate", "todate", "version"],
+        ["name"], versionatt="version", fromatt="fromdate", toatt="todate",
+        srcdateatt="changedate", type1atts=["age"], df=df,
+    )
+
+
+def test_lookup_returns_newest_version(spark, scd):
+    batch = spark.createDataFrame([("Ann",)], ["name"])
+    assert scd.lookup(batch).first()["id"] == 2
+
+
+def test_scdensure_new_member(spark, scd):
+    batch = spark.createDataFrame(
+        [("Cat", 25, "Aarhus", D(2022, 1, 1))], ["name", "age", "city", "changedate"]
+    )
+    scd.scdensure(batch)
+    row = scd.df.filter("name = 'Cat'").first()
+    assert row["version"] == 1 and row["todate"] is None
+    assert row["fromdate"] == D(2022, 1, 1)
+    assert row["id"] == 4  # max+1
+
+
+def test_scdensure_changed_member_versions(spark, scd):
+    batch = spark.createDataFrame(
+        [("Bob", 31, "Esbjerg", D(2022, 3, 1))], ["name", "age", "city", "changedate"]
+    )
+    scd.scdensure(batch)
+    rows = {r["version"]: r for r in scd.df.filter("name = 'Bob'").collect()}
+    assert len(rows) == 2
+    assert rows[1]["todate"] == D(2022, 3, 1)  # closed
+    assert rows[2]["city"] == "Esbjerg" and rows[2]["todate"] is None
+    assert rows[2]["id"] == 4
+
+
+def test_scdensure_unchanged_member_noop(spark, scd):
+    batch = spark.createDataFrame(
+        [("Bob", 31, "Odense", D(2022, 3, 1))], ["name", "age", "city", "changedate"]
+    )
+    scd.scdensure(batch)
+    assert scd.df.filter("name = 'Bob'").count() == 1
+
+
+def test_scdensure_type1_att_updates_all_versions(spark, scd):
+    batch = spark.createDataFrame(
+        [("Ann", 21, "Copenhagen", D(2022, 1, 1))], ["name", "age", "city", "changedate"]
+    )
+    scd.scdensure(batch)
+    ann = scd.df.filter("name = 'Ann'")
+    assert ann.count() == 2  # city unchanged -> no new version
+    assert {r["age"] for r in ann.collect()} == {21}  # type1 applied everywhere
+
+
+def test_scdensure_multiple_changes_in_one_batch(spark, scd):
+    batch = spark.createDataFrame(
+        [
+            ("Bob", 31, "Esbjerg", D(2022, 3, 1)),
+            ("Bob", 31, "Herning", D(2022, 5, 1)),
+        ],
+        ["name", "age", "city", "changedate"],
+    )
+    scd.scdensure(batch)
+    rows = {r["version"]: r for r in scd.df.filter("name = 'Bob'").collect()}
+    assert len(rows) == 3
+    assert rows[2]["city"] == "Esbjerg" and rows[2]["todate"] == D(2022, 5, 1)
+    assert rows[3]["city"] == "Herning" and rows[3]["todate"] is None
+
+
+def test_closecurrent(spark, scd):
+    members = spark.createDataFrame([("Ann",)], ["name"])
+    scd.closecurrent(members, D(2023, 1, 1))
+    rows = {r["version"]: r["todate"] for r in scd.df.filter("name = 'Ann'").collect()}
+    assert rows[2] == D(2023, 1, 1)
+    assert rows[1] == D(2021, 6, 1)  # closed version untouched
+    assert scd.df.filter("name = 'Bob'").first()["todate"] is None
+
+
+def test_lookupasof(spark, scd):
+    probe = spark.createDataFrame(
+        [("Ann", D(2020, 6, 1)), ("Ann", D(2022, 1, 1)), ("Bob", D(2019, 1, 1))],
+        ["name", "when"],
+    )
+    out = scd.lookupasof(probe, "when")
+    got = {(r["name"], r["when"]): r["id"] for r in out.collect()}
+    assert got[("Ann", D(2020, 6, 1))] == 1   # old version
+    assert got[("Ann", D(2022, 1, 1))] == 2   # current version
+    assert got[("Bob", D(2019, 1, 1))] is None  # before first version
+
+
+def test_lookupasof_bounds(spark, scd):
+    # at the exact boundary the *new* version wins (fromincl=True, toincl=False)
+    probe = spark.createDataFrame([("Ann", D(2021, 6, 1))], ["name", "when"])
+    assert scd.lookupasof(probe, "when").first()["id"] == 2
+    # toincl=True keeps the newest matching version (the reference scans to
+    # the last version whose interval contains `when`)
+    out = scd.lookupasof(probe, "when", toincl=True)
+    assert out.first()["id"] == 2
+
+
+def test_typeone_scdensure(spark):
+    df = spark.createDataFrame(
+        [(1, "Ann", 20, "X"), (2, "Bob", 30, "Y")], ["id", "name", "age", "grp"]
+    )
+    dim = TypeOneSlowlyChangingDimension(
+        "t1", "id", ["name", "age", "grp"], ["name"], type1atts=["age"], df=df
+    )
+    batch = spark.createDataFrame([("Ann", 21), ("Cat", 40)], ["name", "age"])
+    dim.scdensure(batch)
+    assert_df_set_equal(
+        dim.df, [(1, "Ann", 21, "X"), (2, "Bob", 30, "Y"), (3, "Cat", 40, None)]
+    )
+
+
+def test_scd2_from_history(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "u1", "a", D(2024, 1, 1)),
+            (2, "u1", "a", D(2024, 1, 2)),  # duplicate state -> suppressed
+            (3, "u1", "b", D(2024, 1, 3)),
+            (4, "u2", "a", D(2024, 1, 1)),
+        ],
+        ["event_id", "user", "state", "ts"],
+    )
+    dim = scd2_from_history(ev, ["user"], ["state"], "ts", tiebreak=["event_id"])
+    rows = sorted([tuple(r) for r in dim.collect()])
+    assert rows == [
+        ("u1", "a", 1, D(2024, 1, 1), D(2024, 1, 3), 1),
+        ("u1", "b", 2, D(2024, 1, 3), None, 2),
+        ("u2", "a", 1, D(2024, 1, 1), None, 3),
+    ]
