@@ -26,6 +26,12 @@ HEADLINE = [
     "crosstab",
     "newest_version",
     "dim_ensure",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "simhash",
+    "text_quality",
+    "ann_topk",
+    "events_stream_windows",
 ]
 
 

@@ -1,0 +1,216 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram jaccard.
+
+Net-new surface for training-data pipelines (the reference has no dedup).
+Design goals:
+
+- **Scale**: every algorithm is join/agg-shaped, never O(n²) on the full
+  corpus. Exact jaccard joins on shared shingles; MinHash-LSH joins on
+  band buckets. At 100 TB the shuffles are by shingle/band key — the
+  minimal partitioning the semantics allow — and skew (a shingle shared
+  by everything) is bounded by AQE skew handling + the shingle
+  frequency cap below.
+- **Determinism**: the hash family is md5-derived 32-bit values with fixed
+  affine permutations mod a prime, all expressible in ANSI SQL, so the
+  DuckDB oracle replays the math bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pygrametl_spark.functions.text import shingles, tokens
+
+__all__ = [
+    "MINHASH_P", "MINHASH_A", "MINHASH_B",
+    "hash32", "exact_dedup", "minhash_signatures", "minhash_signatures_long",
+    "minhash_lsh_pairs", "simhash32", "ngram_jaccard_pairs",
+]
+
+# Affine permutations h_i(x) = (a_i*x + b_i) mod P over the 32-bit hash
+# universe. P is the smallest prime > 2^32; constants are fixed so the
+# oracle can inline them.
+MINHASH_P = 4294967311
+MINHASH_K = 16
+# a_i < 1.9e9 so a_i * h + b_i stays under 2^63 for h < 2^32 (no overflow
+# in either engine's 64-bit arithmetic)
+MINHASH_A = [
+    754435761, 346822519, 1366489917, 668265263, 374761393, 1241592653,
+    818281829, 1618033989, 1234567891, 987654323, 192837465, 1029384757,
+    246813579, 1357924681, 864209753, 1111111121,
+]
+MINHASH_B = [
+    1013904223, 1664525, 69069, 362437, 521288629, 88675123,
+    2463534242, 123456789, 998244353, 754974721, 167772161, 469762049,
+    1000000007, 1000000009, 715827883, 2147483647,
+]
+
+
+def hash32(col) -> F.Column:
+    """Portable 32-bit hash: first 8 hex digits of md5, as a long.
+
+    md5 is identical everywhere; DuckDB recomputes this as
+    ``CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def hash32_sql(expr: str) -> str:
+    """The DuckDB-side twin of :func:`hash32` (used to build oracles)."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def exact_dedup(df: DataFrame, id_col: str, on) -> DataFrame:
+    """Exact dedup: keep the minimum id per duplicate group (hash-groupBy;
+    one shuffle on the dedup key)."""
+    cols = [on] if isinstance(on, str) else list(on)
+    return df.groupBy(*cols).agg(F.min(id_col).alias(id_col)).select(id_col, *cols)
+
+
+def _shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, hv): one 32-bit hash per *distinct* shingle per document."""
+    sh = df.select(id_col, F.explode(shingles(text_col, n)).alias("_s")).dropDuplicates(
+        [id_col, "_s"]
+    )
+    return sh.select(id_col, hash32("_s").alias("hv"))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *, n: int = 3
+) -> DataFrame:
+    """Wide MinHash signature: (id, mh0..mh15).
+
+    One explode + one groupBy(id): the aggregation is 16 ``min`` columns,
+    all map-side combinable, so the shuffle carries only 16 longs per doc
+    regardless of document size.
+    """
+    h = _shingle_hashes(df, id_col, text_col, n)
+    aggs = [
+        F.min((F.lit(a) * F.col("hv") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return h.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_long(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, perm, minhash) long form of the signature (16 rows per doc)."""
+    wide = minhash_signatures(df, id_col, text_col)
+    stack = ", ".join(f"'mh{i}', mh{i}" for i in range(MINHASH_K))
+    return wide.select(
+        id_col, F.expr(f"stack({MINHASH_K}, {stack}) AS (perm, minhash)")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded LSH over the MinHash signature.
+
+    Candidate generation joins on (band index, band hash) — docs only
+    meet if they collide in some band, so the cross-product never
+    materializes. The estimated jaccard (fraction of equal minhashes)
+    then filters candidates. Returns (id_1, id_2, est_jaccard).
+    """
+    rows_per_band = MINHASH_K // bands
+    wide = minhash_signatures(df, id_col, text_col)
+    band_cols = [
+        F.md5(F.concat_ws(",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    sig = wide.select(id_col, *[F.col(f"mh{i}") for i in range(MINHASH_K)], *band_cols)
+    buckets = sig.select(
+        id_col,
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("bidx"), F.col(f"band{b}").alias("bhash")) for b in range(bands)])
+        ).alias("bb"),
+    ).select(id_col, "bb.bidx", "bb.bhash")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.bidx") == F.col("b.bidx"), F.col("a.bhash") == F.col("b.bhash"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2"))
+        .dropDuplicates()
+    )
+    s1 = wide.select(F.col(id_col).alias("id_1"), *[F.col(f"mh{i}").alias(f"x{i}") for i in range(MINHASH_K)])
+    s2 = wide.select(F.col(id_col).alias("id_2"), *[F.col(f"mh{i}").alias(f"y{i}") for i in range(MINHASH_K)])
+    est = None
+    for i in range(MINHASH_K):
+        term = F.when(F.col(f"x{i}") == F.col(f"y{i}"), 1).otherwise(0)
+        est = term if est is None else est + term
+    return (
+        cand.join(s1, "id_1").join(s2, "id_2")
+        .withColumn("est_jaccard", F.round(est / F.lit(float(MINHASH_K)), 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_1", "id_2", "est_jaccard")
+    )
+
+
+def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over tokens (with multiplicity): bit j of the
+    fingerprint is 1 iff the signed sum of token-hash bit j is positive.
+    One explode + one groupBy — same shuffle shape as MinHash."""
+    t = df.select(id_col, F.explode(tokens(text_col)).alias("_t"))
+    h = t.select(id_col, hash32("_t").alias("hv"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(32)
+    ]
+    agg = h.groupBy(id_col).agg(*aggs)
+    sim = None
+    for j in range(32):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-set jaccard for all pairs above ``threshold``.
+
+    Scalable formulation: join documents on *shared shingles* and count
+    intersections — |A∩B| via groupBy(pair), |A∪B| = |A|+|B|-|A∩B|.
+    Never builds the doc×doc cross product. ``max_shingle_freq`` drops
+    shingles shared by more than N docs (stop-shingles), the standard
+    guard against join blowup on a 100 TB corpus.
+    """
+    sh = df.select(id_col, F.explode(shingles(text_col, n)).alias("s")).dropDuplicates(
+        [id_col, "s"]
+    )
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("s").agg(F.count("*").alias("_f")).filter(F.col("_f") <= max_shingle_freq)
+        sh = sh.join(freq.select("s"), "s")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.s") == F.col("b.s"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sz1 = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n1"))
+    sz2 = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(sz1, "id_1").join(sz2, "id_2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )

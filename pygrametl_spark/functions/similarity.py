@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+Net-new surface for training-data pipelines. Two tiers:
+
+- **Brute-force cosine** (baseline, oracle-checked): the dot product is
+  one ``zip_with``/``aggregate`` expression — JVM-side, codegen'd,
+  sequential left-to-right accumulation so DuckDB can reproduce the
+  exact double result.
+- **LSH-bucketed** (the scale path): random-hyperplane sign buckets cut
+  the candidate set from O(n²) to per-bucket joins. Hyperplanes are
+  derived deterministically from md5 so runs are reproducible across
+  engines and cluster sizes.
+
+At 100 TB the brute-force path is only for small probe sets against a
+broadcast candidate pool; the LSH path shuffles by bucket key only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["dot_expr", "norm_expr", "cosine_expr", "cosine_topk", "cosine_neardup_pairs", "lsh_bucket"]
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Sequential double-precision dot product of two array<float> columns.
+
+    Left-to-right ``aggregate`` accumulation => bit-identical to a SQL
+    engine summing in index order (the oracle's list_sum/list_transform).
+    """
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: str) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, rank, neighbor_id, cosine). Ranking ties are
+    broken on (rounded cosine DESC, neighbor id ASC) so results are
+    total-ordered and reproducible. The probe side is broadcast — the
+    corpus is scanned once, never shuffled.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    pairs = pairs.withColumn("cosine", F.round(cosine_expr("_qv", "_cv"), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """All pairs with cosine >= threshold (embedding near-dup detection).
+
+    Exact quadratic baseline for modest pools; for web-scale use
+    :func:`lsh_bucket` to restrict pairs to colliding buckets first.
+    """
+    a = df.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("_vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_1") < F.col("id_2"))
+    return (
+        pairs.withColumn("cosine", F.round(cosine_expr("_va", "_vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_1", "id_2", "cosine")
+    )
+
+
+def lsh_bucket(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    out: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (sign bits of projections).
+
+    Hyperplane components are deterministic pseudo-randoms in [-1, 1)
+    derived from md5(plane,index) — no RNG state, so every engine,
+    executor, and rerun agrees. Vectors in the same bucket are
+    candidate neighbors; expected bucket count 2**n_planes.
+    """
+    bits = []
+    for p in range(n_planes):
+        terms = None
+        for i in range(dim):
+            w = _plane_weight(p, i)
+            t = F.element_at(F.col(vec_col), i + 1).cast("double") * F.lit(w)
+            terms = t if terms is None else terms + t
+        bits.append(F.when(terms >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
+    bucket = None
+    for b in bits:
+        bucket = b if bucket is None else bucket + b
+    return df.withColumn(out, bucket.cast("int"))
+
+
+def _plane_weight(plane: int, index: int) -> float:
+    """Deterministic pseudo-random in [-1, 1): md5-derived, engine-free."""
+    import hashlib
+
+    h = hashlib.md5(f"plane{plane}:{index}".encode()).hexdigest()[:8]
+    return int(h, 16) / float(2 ** 31) - 1.0

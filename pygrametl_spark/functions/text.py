@@ -1,0 +1,113 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+Net-new surface beyond the reference (which has no text analytics):
+token counting, quality scoring, language-ID heuristics, document
+fingerprinting, and shingling. Everything is built from JVM-side
+``pyspark.sql.functions`` (regexp/md5/array lambdas) so the hot path
+stays inside whole-stage codegen — no Python per row. All primitives
+are deliberately *portable* (md5, regexp, arithmetic) so a DuckDB
+oracle can recompute them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens", "shingles", "token_stats", "quality_score", "lang_id",
+    "fingerprint", "STOPWORDS", "LANG_MARKERS",
+]
+
+# Tiny deterministic marker lists (the heuristic, not a model).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "und", "nicht"),
+    "es": ("el", "los", "que", "por"),
+    "fr": ("le", "les", "est", "pas"),
+}
+
+
+def tokens(text: str | Column = "text") -> Column:
+    """Whitespace tokenization: ``split(trim(text), '\\s+')``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def shingles(text: str | Column = "text", n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (input to MinHash/jaccard).
+
+    ``transform(sequence(...))`` keeps shingling a single distributed
+    expression — a 100 TB corpus shingles inside the scan stage with no
+    shuffle and no Python.
+    """
+    toks = tokens(text)
+    cnt = F.size(toks) - (n - 1)
+    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def token_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """Adds n_tokens / n_punct / alpha_len columns."""
+    toks = tokens(text)
+    return (
+        df.withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn(
+            "n_punct", F.length(F.regexp_replace(F.col(text), r"[^.,!?;:]", "")).cast("long")
+        )
+        .withColumn(
+            "alpha_len", F.length(F.regexp_replace(F.col(text), r"\s", "")).cast("long")
+        )
+    )
+
+
+def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
+    """Deterministic heuristic quality features + combined score.
+
+    stopword_ratio = stopword tokens / tokens; avg_token_len =
+    non-space chars / tokens; score mixes both with a length prior.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
+    avg_len = F.when(
+        n > 0, F.length(F.regexp_replace(F.col(text), r"\s", "")) / n
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("n_tokens", n.cast("long"))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("avg_token_len", F.round(avg_len, 6))
+        .withColumn(
+            "quality_score",
+            F.round(stop_ratio * 0.5 + F.least(n, F.lit(200)) / 400.0, 6),
+        )
+    )
+
+
+def lang_id(df: DataFrame, text: str = "text", out: str = "lang_pred") -> DataFrame:
+    """N-gram/marker-word language heuristic: CJK chars -> zh, else the
+    language whose marker words occur most (ties broken en>de>es>fr),
+    else 'und'. A heuristic by design — the oracle replays the same rule."""
+    toks = tokens(text)
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    best = F.greatest(*scores.values())
+    pred = F.when(F.col(text).rlike(r"[一-鿿]"), F.lit("zh"))
+    for lang in ("en", "de", "es", "fr"):  # priority order on ties
+        pred = pred.when((best > 0) & (scores[lang] == best), F.lit(lang))
+    pred = pred.otherwise(F.lit("und"))
+    return df.withColumn(out, pred)
+
+
+def fingerprint(df: DataFrame, text: str = "text", out: str = "fp") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (lowercase,
+    whitespace collapsed). Byte-identical across engines."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text))), r"\s+", " ")
+    return df.withColumn(out, F.md5(norm))

@@ -695,6 +695,8 @@ ORACLE_Q5 = _Q5_SQL
 # Registry
 # ---------------------------------------------------------------------------
 
+from pygrametl_spark.queries_data import DATA_ORACLES, DATA_QUERIES  # noqa: E402
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "project_rename": q_project_rename,
@@ -723,6 +725,7 @@ QUERIES = {
     "topk": q_topk,
     "union_source": q_union_source,
     "sql_transforming": q_sql_transforming,
+    **DATA_QUERIES,
 }
 
 ORACLES = {
@@ -753,4 +756,5 @@ ORACLES = {
     "topk": ORACLE_TOPK,
     "union_source": ORACLE_UNION,
     "sql_transforming": ORACLE_Q5,
+    **DATA_ORACLES,
 }

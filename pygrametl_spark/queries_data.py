@@ -1,0 +1,381 @@
+"""Query registry part 2: training-data pipeline operators.
+
+Dedup (exact / MinHash+LSH / SimHash / n-gram jaccard / embedding
+cosine), similarity search (brute-force top-k, LSH buckets), text
+analysis (quality, lang-id, token counts, fingerprints), multimodal
+decode plumbing, and streaming ingest. Oracle SQL is *generated from
+the same constants* as the Spark expressions (hash permutations, LSH
+hyperplanes, marker lists) so both engines replay identical math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pygrametl_spark.catalog import load_catalog
+from pygrametl_spark.functions import dedup as dd
+from pygrametl_spark.functions import multimodal as mm
+from pygrametl_spark.functions import similarity as sim
+from pygrametl_spark.functions import text as tx
+from pygrametl_spark.streaming.events import stream_windowed_event_counts
+
+# ---------------------------------------------------------------------------
+# Shared oracle fragments (generated from the same constants as Spark side)
+# ---------------------------------------------------------------------------
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+_SHINGLE_CTE = rf"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh0 AS (
+  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) _
+),
+sh AS (SELECT DISTINCT doc_id, s FROM sh0)
+"""
+
+
+def _minhash_sig_cte() -> str:
+    mins = ", ".join(
+        f"MIN(({a} * hv + {b}) % {dd.MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(zip(dd.MINHASH_A, dd.MINHASH_B))
+    )
+    return (
+        _SHINGLE_CTE
+        + f""",
+h AS (SELECT doc_id, {dd.hash32_sql('s')} AS hv FROM sh),
+sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id)
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_quality(spark, sf_dir):
+    docs = load_catalog(spark, sf_dir).documents
+    return tx.quality_score(docs).select(
+        "doc_id", "n_tokens", "stopword_ratio", "avg_token_len", "quality_score"
+    )
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in tx.STOPWORDS)
+ORACLE_TEXT_QUALITY = rf"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks,
+         length(regexp_replace(text, '\s', '', 'g')) AS alpha_len
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       ROUND(CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE / len(toks)
+             ELSE 0.0 END, 6) AS stopword_ratio,
+       ROUND(CASE WHEN len(toks) > 0 THEN alpha_len::DOUBLE / len(toks) ELSE 0.0 END, 6)
+         AS avg_token_len,
+       ROUND((CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE / len(toks)
+              ELSE 0.0 END) * 0.5 + least(len(toks), 200) / 400.0, 6) AS quality_score
+FROM t
+"""
+
+
+def q_token_count(spark, sf_dir):
+    docs = load_catalog(spark, sf_dir).documents
+    return (
+        docs.withColumn("_n", F.size(tx.tokens()).cast("long"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+            F.round(F.avg("_n"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+ORACLE_TOKEN_COUNT = rf"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+       ROUND(AVG(len({_TOKS})), 4) AS avg_tokens
+FROM documents GROUP BY source
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    docs = load_catalog(spark, sf_dir).documents
+    return tx.lang_id(docs).select("doc_id", "lang_pred")
+
+
+def _lang_oracle() -> str:
+    score_cols = ", ".join(
+        f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in ms)}))) AS s_{lang}"
+        for lang, ms in tx.LANG_MARKERS.items()
+    )
+    best = "greatest(s_en, s_de, s_es, s_fr)"
+    cases = " ".join(
+        f"WHEN {best} > 0 AND s_{lang} = {best} THEN '{lang}'" for lang in ("en", "de", "es", "fr")
+    )
+    return rf"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, text, {score_cols} FROM t)
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' {cases} ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+ORACLE_LANG_ID = _lang_oracle()
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = load_catalog(spark, sf_dir).documents
+    return tx.fingerprint(docs).select("doc_id", "fp")
+
+
+ORACLE_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = load_catalog(spark, sf_dir).documents
+    return dd.exact_dedup(docs, "doc_id", "text").select("doc_id")
+
+
+ORACLE_DEDUP_EXACT = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_minhash_signatures(spark, sf_dir):
+    docs = load_catalog(spark, sf_dir).documents
+    return dd.minhash_signatures_long(docs)
+
+
+_UNPIVOT_COLS = ", ".join(f"mh{i}" for i in range(dd.MINHASH_K))
+ORACLE_MINHASH = _minhash_sig_cte() + f"""
+SELECT doc_id, perm, minhash
+FROM sig UNPIVOT (minhash FOR perm IN ({_UNPIVOT_COLS}))
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = load_catalog(spark, sf_dir).documents
+    return dd.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def _lsh_oracle() -> str:
+    bands = 4
+    rows = dd.MINHASH_K // bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS bidx, md5(concat_ws(',', "
+        + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+        + ")) AS bhash FROM sig"
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END)" for i in range(dd.MINHASH_K)
+    )
+    return _minhash_sig_cte() + f""",
+band AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM band a JOIN band b ON a.bidx = b.bidx AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+)
+SELECT c.id_1, c.id_2, ROUND(({eq_sum}) / {float(dd.MINHASH_K)}, 4) AS est_jaccard
+FROM cand c
+JOIN sig s1 ON s1.doc_id = c.id_1
+JOIN sig s2 ON s2.doc_id = c.id_2
+WHERE ROUND(({eq_sum}) / {float(dd.MINHASH_K)}, 4) >= 0.5
+"""
+
+
+ORACLE_MINHASH_LSH = _lsh_oracle()
+
+
+def q_simhash(spark, sf_dir):
+    docs = load_catalog(spark, sf_dir).documents
+    return dd.simhash32(docs)
+
+
+def _simhash_oracle() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(32)
+    )
+    bits = " + ".join(f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(32))
+    return rf"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+h AS (SELECT doc_id, {dd.hash32_sql('t')} AS hv FROM tok),
+s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM s
+"""
+
+
+ORACLE_SIMHASH = _simhash_oracle()
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = load_catalog(spark, sf_dir).documents
+    return dd.ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+ORACLE_NGRAM_JACCARD = _SHINGLE_CTE + """,
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2,
+       ROUND(inter::DOUBLE / (z1.n_sh + z2.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes z1 ON z1.doc_id = id_1
+JOIN sizes z2 ON z2.doc_id = id_2
+WHERE ROUND(inter::DOUBLE / (z1.n_sh + z2.n_sh - inter), 6) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = f"sqrt({_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT.format(a=b, b=b)})"
+    return f"ROUND({dot} / ({na} * {nb}), 6)"
+
+
+def q_embedding_neardup(spark, sf_dir):
+    emb = load_catalog(spark, sf_dir).embeddings
+    return sim.cosine_neardup_pairs(emb, threshold=0.45)
+
+
+ORACLE_EMB_NEARDUP = f"""
+SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+       {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.45
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = load_catalog(spark, sf_dir).embeddings
+    queries = emb.filter("vec_id < 5")
+    out = sim.cosine_topk(emb, queries, k=5)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine")
+
+
+ORACLE_ANN_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+p AS (
+  SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cosine
+  FROM c, q WHERE neighbor_id <> query_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM p
+)
+SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    emb = load_catalog(spark, sf_dir).embeddings
+    return sim.lsh_bucket(emb).select("vec_id", "bucket")
+
+
+def _lsh_bucket_oracle() -> str:
+    projs = []
+    for p in range(8):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {sim._plane_weight(p, i)!r}" for i in range(64)
+        )
+        projs.append(f"(CASE WHEN ({terms}) >= 0 THEN {2 ** p} ELSE 0 END)")
+    total = " + ".join(projs)
+    return f"SELECT vec_id, CAST({total} AS INT) AS bucket FROM embeddings"
+
+
+ORACLE_ANN_LSH_BUCKETS = _lsh_bucket_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing + streaming
+# ---------------------------------------------------------------------------
+
+def q_multimodal_decode(spark, sf_dir):
+    docs = load_catalog(spark, sf_dir).documents
+    payloads = mm.to_binary_payload(docs, "text")
+    return mm.decode_image_meta(payloads)
+
+
+ORACLE_MULTIMODAL = """
+WITH h AS (
+  SELECT doc_id, text, CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(16 + (hv % 256) AS BIGINT) AS width,
+       CAST(16 + ((hv // 256) % 256) AS BIGINT) AS height,
+       CASE hv % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+FROM h
+"""
+
+
+def q_events_stream_windows(spark, sf_dir):
+    return stream_windowed_event_counts(spark, sf_dir)
+
+
+ORACLE_EVENTS_STREAM = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+DATA_QUERIES = {
+    "text_quality": q_text_quality,
+    "token_count": q_token_count,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash": q_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_topk": q_ann_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "multimodal_decode": q_multimodal_decode,
+    "events_stream_windows": q_events_stream_windows,
+}
+
+DATA_ORACLES = {
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "token_count": ORACLE_TOKEN_COUNT,
+    "lang_id": ORACLE_LANG_ID,
+    "doc_fingerprint": ORACLE_FINGERPRINT,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "minhash_signatures": ORACLE_MINHASH,
+    "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+    "simhash": ORACLE_SIMHASH,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "embedding_neardup": ORACLE_EMB_NEARDUP,
+    "ann_topk": ORACLE_ANN_TOPK,
+    "ann_lsh_buckets": ORACLE_ANN_LSH_BUCKETS,
+    "multimodal_decode": ORACLE_MULTIMODAL,
+    "events_stream_windows": ORACLE_EVENTS_STREAM,
+}

@@ -1,0 +1,143 @@
+"""Training-data operator tests: dedup, similarity, text, multimodal."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pygrametl_spark.functions import dedup as dd
+from pygrametl_spark.functions import multimodal as mm
+from pygrametl_spark.functions import similarity as sim
+from pygrametl_spark.functions import text as tx
+from tests.conftest import assert_df_set_equal
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "completely different words here entirely unrelated tokens"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], ["text"])
+    out = df.select(tx.shingles("text", 3).alias("s")).first()["s"]
+    assert out == ["a b c", "b c d"]
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([("a b",)], ["text"])
+    assert df.select(tx.shingles("text", 3).alias("s")).first()["s"] == []
+
+
+def test_exact_dedup(spark, docs):
+    kept = dd.exact_dedup(docs, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 3]
+
+
+def test_minhash_near_dups_score_high(spark, docs):
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    got = {(r["id_1"], r["id_2"]): r["est_jaccard"] for r in pairs}
+    assert got[(1, 4)] == 1.0  # exact dup -> identical signature
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    got = {(r["id_1"], r["id_2"]): r["jaccard"] for r in pairs}
+    assert got[(1, 4)] == 1.0
+    assert 0.2 < got[(1, 2)] < 1.0
+    assert (1, 3) not in got
+
+
+def test_simhash_identical_docs_equal(spark, docs):
+    out = {r["doc_id"]: r["simhash"] for r in dd.simhash32(docs).collect()}
+    assert out[1] == out[4]
+    assert out[1] != out[3]
+    assert 0 <= out[1] < 2 ** 32
+
+
+def test_cosine_topk(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim.cosine_topk(emb, emb.filter("vec_id = 0"), k=2).collect()
+    ranked = sorted([(r["rank"], r["neighbor_id"]) for r in out])
+    assert ranked == [(1, 3), (2, 1)]  # 3 is closest to 0, then 1
+
+
+def test_cosine_matches_numpy(spark):
+    import numpy as np
+
+    a, b = [0.3, -0.2, 0.9], [0.1, 0.4, 0.5]
+    emb = spark.createDataFrame([(0, a), (1, b)], "vec_id long, embedding array<float>")
+    got = sim.cosine_neardup_pairs(emb, threshold=-1.0).first()["cosine"]
+    af, bf = np.array(a, dtype=np.float32).astype(float), np.array(b, dtype=np.float32).astype(float)
+    want = float(af @ bf / (np.sqrt(af @ af) * np.sqrt(bf @ bf)))
+    assert math.isclose(got, round(want, 6), abs_tol=1e-6)
+
+
+def test_lsh_bucket_deterministic(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) - 3.0] * 64) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    b1 = {r["vec_id"]: r["bucket"] for r in sim.lsh_bucket(emb).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in sim.lsh_bucket(emb).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 256 for v in b1.values())
+
+
+def test_quality_and_langid(spark, docs):
+    q = tx.quality_score(docs).filter("doc_id = 1").first()
+    assert q["n_tokens"] == 9
+    assert q["stopword_ratio"] == round(2 / 9, 6)  # 'the' twice
+    lang = tx.lang_id(docs).filter("doc_id = 1").first()["lang_pred"]
+    assert lang == "en"
+    zh = spark.createDataFrame([(9, "你好 世界")], ["doc_id", "text"])
+    assert tx.lang_id(zh).first()["lang_pred"] == "zh"
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")], ["doc_id", "text"]
+    )
+    fps = {r["doc_id"]: r["fp"] for r in tx.fingerprint(df).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_multimodal_decode_deterministic(spark, docs):
+    payloads = mm.to_binary_payload(docs, "text")
+    out = {r["doc_id"]: r for r in mm.decode_image_meta(payloads).collect()}
+    assert out[1]["byte_len"] == len(docs.filter("doc_id=1").first()["text"].encode())
+    assert out[1]["width"] == out[4]["width"]  # same payload -> same fake meta
+    assert out[1]["format"] in mm.FAKE_FORMATS
+    assert 16 <= out[1]["width"] < 272
+
+
+def test_multimodal_real_decode_is_stubbed(spark, docs):
+    payloads = mm.to_binary_payload(docs, "text")
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_meta(payloads, real_decode=True)
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    from pygrametl_spark.catalog import read_parquet
+    from pygrametl_spark.streaming.events import (
+        stream_windowed_event_counts,
+        windowed_event_counts_batch,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = stream_windowed_event_counts(spark, sf_dir)
+    want = windowed_event_counts_batch(read_parquet(spark, f"{sf_dir}/events.parquet"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
