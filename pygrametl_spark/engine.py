@@ -1,0 +1,90 @@
+"""Engine facade: table registry + FK-ordered finalization (endload).
+
+Reference parity: every pygrametl table registers itself in
+``pygrametl._alltables`` and ``ConnectionWrapper.commit`` runs
+``endload()`` to flush them (reference ``pygrametl/__init__.py:442-448,
+971-974``); bulk tables declare ``dependson`` so referenced dimensions
+flush before referencing facts (``tables.py:2560-2563, 2651-2652``).
+
+Spark restatement: "flush" is a Parquet write; the Engine topologically
+orders the writes over the declared dependencies, so referential
+integrity of the persisted warehouse holds without any row-level
+machinery. Writes are the only actions — everything before is one lazy
+plan per table.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+__all__ = ["Engine"]
+
+
+@dataclass
+class _Registration:
+    table: object  # Dimension | FactTable
+    path: str
+    dependson: list = field(default_factory=list)
+    partition_cols: list = field(default_factory=list)
+
+
+class Engine:
+    """One engine = one SparkSession + one warehouse directory."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        self._tables: dict[str, _Registration] = {}
+
+    def register(self, table, *, dependson=(), path: str | None = None,
+                 partition_cols=()) -> object:
+        """Register a Dimension/FactTable for endload. ``dependson`` names
+        tables that must persist first (FK targets)."""
+        name = table.name
+        self._tables[name] = _Registration(
+            table=table,
+            path=path or os.path.join(self.warehouse_dir, name),
+            dependson=[d.name if hasattr(d, "name") else d for d in dependson],
+            partition_cols=list(partition_cols),
+        )
+        return table
+
+    def _order(self) -> list[str]:
+        """Topological order over dependson (referenced before referencing);
+        ties resolve in registration order for determinism."""
+        seen: dict[str, int] = {}
+        order: list[str] = []
+
+        def visit(name: str, stack: tuple = ()):
+            if name in stack:
+                raise ValueError(f"dependson cycle involving {name}")
+            if seen.get(name):
+                return
+            for dep in self._tables[name].dependson:
+                if dep in self._tables:
+                    visit(dep, (*stack, name))
+            seen[name] = 1
+            order.append(name)
+
+        for name in self._tables:
+            visit(name)
+        return order
+
+    def endload(self, mode: str = "overwrite") -> list[str]:
+        """Persist every registered table, FK dependencies first
+        (the reference's global endload + dependson ordering)."""
+        written = []
+        for name in self._order():
+            reg = self._tables[name]
+            w = reg.table.df.write.mode(mode)
+            if reg.partition_cols:
+                w = w.partitionBy(*reg.partition_cols)
+            w.parquet(reg.path)
+            written.append(name)
+        return written
+
+    def table(self, name: str):
+        return self._tables[name].table

@@ -64,6 +64,9 @@ class Dimension:
     :param rowexpander: ``DataFrame -> DataFrame`` applied to new members
         before insert (ref rowexpander :157-165) — column expressions, not
         per-row Python.
+    :param idfinder: custom key-assignment strategy (ref idfinder
+        :150-154): ``f(new_members_df, current_max_key) -> df_with_key``.
+        Default is deterministic max+1-dense over the business key.
     :param df: initial contents (columns ``[key] + attributes``).
     """
 
@@ -76,6 +79,7 @@ class Dimension:
         *,
         defaultidvalue=None,
         rowexpander: Callable[[DataFrame], Callable] | None = None,
+        idfinder: Callable[[DataFrame, int], DataFrame] | None = None,
         df: DataFrame | None = None,
     ):
         self.name = name
@@ -84,6 +88,13 @@ class Dimension:
         self.lookupatts = list(lookupatts) if lookupatts else list(attributes)
         self.defaultidvalue = defaultidvalue
         self.rowexpander = rowexpander
+        self.idfinder = idfinder
+        # Pin mutated state so iterative ensure/update chains don't replay
+        # the whole mutation lineage on every action (and the plan doesn't
+        # grow unboundedly across batches). Lazy localCheckpoint: computed
+        # once at first use. The reference's analogue is that its tables
+        # ARE materialized state in the RDBMS after every operation.
+        self.materialize_updates = True
         self.all = [key, *self.attributes]
         self._df: DataFrame | None = df.select(*self.all) if df is not None else None
 
@@ -174,8 +185,8 @@ class Dimension:
             keyed = b.select(*self.all)
         else:
             offset = max_key(self.df, self.key) if self._df is not None else 0
-            keyed = assign_dense_keys(self._dedup_new(b), self.lookupatts, self.key, offset).select(*self.all)
-        self._df = keyed if self._df is None else self.df.unionByName(keyed)
+            keyed = self._assign_keys(self._dedup_new(b), offset).select(*self.all)
+        self._set_state(keyed if self._df is None else self.df.unionByName(keyed))
         return keyed
 
     def ensure(self, batch: DataFrame, namemapping=None, *, broadcast: bool = False) -> DataFrame:
@@ -195,9 +206,17 @@ class Dimension:
         if self.rowexpander is not None:
             new = self.rowexpander(new)
         offset = max_key(self.df, self.key)
-        keyed = assign_dense_keys(new, self.lookupatts, self.key, offset).select(*self.all)
-        self._df = self.df.unionByName(keyed)
+        keyed = self._assign_keys(new, offset).select(*self.all)
+        self._set_state(self.df.unionByName(keyed))
         return self.lookup(b, broadcast=broadcast)
+
+    def _assign_keys(self, new_members: DataFrame, offset: int) -> DataFrame:
+        if self.idfinder is not None:
+            return self.idfinder(new_members, offset)
+        return assign_dense_keys(new_members, self.lookupatts, self.key, offset)
+
+    def _set_state(self, df: DataFrame) -> None:
+        self._df = df.localCheckpoint(eager=False) if self.materialize_updates else df
 
     def update(self, updates: DataFrame, namemapping=None) -> None:
         """Overwrite provided attribute columns per key (ref tables.py:335-366).
@@ -216,7 +235,7 @@ class Dimension:
             out = out.withColumn(
                 a, F.when(F.col("_matched").isNotNull(), F.col(f"_new_{a}")).otherwise(F.col(a))
             )
-        self._df = out.select(*self.all)
+        self._set_state(out.select(*self.all))
 
     # -- persistence ------------------------------------------------------
     def write(self, path: str, mode: str = "overwrite") -> None:

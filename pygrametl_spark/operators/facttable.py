@@ -52,11 +52,18 @@ class FactTable:
         self._df = df.select(*self.all)
         return self
 
+    # Pin mutated state (see Dimension._set_state): iterative ensure
+    # chains otherwise replay the full merge lineage on every action.
+    materialize_updates = True
+
+    def _set_state(self, df: DataFrame) -> None:
+        self._df = df.localCheckpoint(eager=False) if self.materialize_updates else df
+
     def insert(self, rows: DataFrame, namemapping=None) -> None:
         """Append keyrefs+measures (ref insert tables.py:2184-2197). Extra
         source columns are projected away, mirroring ``pygrametl.project``."""
         b = apply_namemapping(rows, namemapping).select(*self.all)
-        self._df = b if self._df is None else self.df.unionByName(b)
+        self._set_state(b if self._df is None else self.df.unionByName(b))
 
     def lookup(self, keys: DataFrame, namemapping=None) -> DataFrame:
         """Composite-key point join: keyrefs -> measures (ref tables.py:2214-2230)."""
@@ -82,7 +89,7 @@ class FactTable:
                     f"ensure: {n_bad} row(s) match keyrefs of {self.name} with different measures"
                 )
         new = b.join(self.df.select(*self.keyrefs), on=self.keyrefs, how="left_anti")
-        self._df = self.df.unionByName(new.dropDuplicates(self.keyrefs))
+        self._set_state(self.df.unionByName(new.dropDuplicates(self.keyrefs)))
 
     def write(self, path: str, mode: str = "append", partition_cols: list[str] | None = None) -> None:
         w = self.df.write.mode(mode)
@@ -151,7 +158,7 @@ class AccumulatingSnapshotFactTable(FactTable):
         if self.factexpander is not None:
             # updated rows only, as the reference runs the expander on UPDATE
             merged = self.factexpander(merged)
-        self._df = merged.select(*self.all)
+        self._set_state(merged.select(*self.all))
 
     @staticmethod
     def _merge_col(c: str, ignore_none: bool):

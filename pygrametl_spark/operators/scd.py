@@ -70,7 +70,7 @@ class TypeOneSlowlyChangingDimension(Dimension):
             dim = dim.withColumn(
                 a, F.when(F.col("_hit").isNotNull(), F.col(f"_n_{a}")).otherwise(F.col(a))
             )
-        self._df = dim.select(*self.all)
+        self._set_state(dim.select(*self.all))
         return keyed
 
 
@@ -287,7 +287,7 @@ class SlowlyChangingDimension(Dimension):
                 cond = F.col("_hit").isNotNull() & (F.col("_rn2") == 1)
             for a in t1_present:
                 result = result.withColumn(a, F.when(cond, F.col(f"_n_{a}")).otherwise(F.col(a)))
-        self._df = result.select(*self.all)
+        self._set_state(result.select(*self.all))
 
     def closecurrent(self, members: DataFrame | None, end) -> None:
         """Set ``toatt`` of the newest version to ``end`` iff it is still
@@ -312,7 +312,7 @@ class SlowlyChangingDimension(Dimension):
                 F.col(self.toatt)
             ),
         )
-        self._df = dim.select(*self.all)
+        self._set_state(dim.select(*self.all))
 
     # -- temporal lookup --------------------------------------------------
     def lookupasof(

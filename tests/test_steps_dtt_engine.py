@@ -1,0 +1,155 @@
+"""Steps pipeline, Drawn Table Testing, and Engine endload tests."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pygrametl_spark import dtt
+from pygrametl_spark.engine import Engine
+from pygrametl_spark.operators.dimension import Dimension
+from pygrametl_spark.operators.facttable import FactTable
+from pygrametl_spark.steps import (
+    AggregatingStep,
+    ConditionalStep,
+    MappingStep,
+    RenamingFromToStep,
+    SourceStep,
+    Step,
+    ValueMappingStep,
+    connectsteps,
+)
+from tests.conftest import assert_df_set_equal
+
+
+def test_step_chain(spark):
+    df = spark.createDataFrame([("dk", 1), ("se", 2)], ["country", "n"])
+    chain = connectsteps(
+        MappingStep({"country": F.upper}),
+        ValueMappingStep("name", "country", {"DK": "Denmark", "SE": "Sweden"}, "Other"),
+        RenamingFromToStep({"n": "cnt"}),
+    )
+    out = chain(df)
+    assert_df_set_equal(
+        out.select("country", "name", "cnt"), [("DK", "Denmark", 1), ("SE", "Sweden", 2)]
+    )
+
+
+def test_conditional_step_branches(spark):
+    df = spark.createDataFrame([(1,), (10,)], ["x"])
+    tag = lambda v: Step(lambda d: d.withColumn("branch", F.lit(v)))  # noqa: E731
+    out = ConditionalStep(F.col("x") > 5, tag("big"), tag("small"))(df)
+    assert_df_set_equal(out, [(1, "small"), (10, "big")])
+
+
+def test_conditional_step_drops_without_false_branch(spark):
+    df = spark.createDataFrame([(1,), (10,)], ["x"])
+    out = ConditionalStep(F.col("x") > 5, None)(df)
+    assert_df_set_equal(out, [(10,)])
+
+
+def test_source_and_aggregating_step(spark):
+    src = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], ["k", "v"])
+    chain = connectsteps(
+        SourceStep(src), AggregatingStep(["k"], [F.sum("v").alias("s")])
+    )
+    out = chain(spark.range(0))
+    assert_df_set_equal(out, [("a", 3), ("b", 3)])
+
+
+def test_dtt_parse_and_assert_equal(spark):
+    t = dtt.Table(
+        "book",
+        """
+        | id:int (pk) | title:text | price:double |
+        | ----------- | ---------- | ------------ |
+        | 1           | Unknown    | NULL         |
+        | 2           | Dune       | 9.5          |
+        """,
+    )
+    df = t.df(spark)
+    assert df.count() == 2
+    t.assertEqual(df)  # self-equality
+    t.assertSubset(df)
+
+
+def test_dtt_plus_rows_and_mismatch(spark):
+    t = dtt.Table("x", "| id:int | v:text |\n| 1 | a |")
+    t2 = t + "| 2 | b |"
+    df2 = t2.df(spark)
+    t2.assertEqual(df2)
+    with pytest.raises(AssertionError, match="expected 2 rows"):
+        t2.assertEqual(t.df(spark))
+
+
+def test_dtt_variables(spark):
+    actual = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None)], "id int, v string, w string"
+    )
+    exp = dtt.Table(
+        "x",
+        """
+        | id:int | v:text | w:text |
+        | 1      | $1     | $_!    |
+        | 2      | $2     | $_     |
+        """,
+    )
+    exp.assertEqual(actual)
+    # $name must bind consistently: same variable for two different values fails
+    bad = dtt.Table(
+        "x",
+        """
+        | id:int | v:text | w:text |
+        | 1      | $1     | $_     |
+        | 2      | $1     | $_     |
+        """,
+    )
+    with pytest.raises(AssertionError):
+        bad.assertEqual(actual)
+
+
+def test_dtt_disjoint(spark):
+    actual = spark.createDataFrame([(1, "a")], "id int, v string")
+    dtt.Table("x", "| id:int | v:text |\n| 9 | z |").assertDisjoint(actual)
+    with pytest.raises(AssertionError):
+        dtt.Table("x", "| id:int | v:text |\n| 1 | a |").assertDisjoint(actual)
+
+
+def test_engine_endload_fk_order(spark, tmp_path):
+    dim = Dimension(
+        "dim", "id", ["name"],
+        df=spark.createDataFrame([(1, "a")], "id long, name string"),
+    )
+    fact = FactTable(
+        "fact", ["id"], ["m"], df=spark.createDataFrame([(1, 10)], "id long, m long")
+    )
+    eng = Engine(spark, str(tmp_path))
+    eng.register(fact, dependson=[dim])
+    eng.register(dim)
+    written = eng.endload()
+    assert written == ["dim", "fact"]  # referenced before referencing
+    assert os.path.exists(str(tmp_path / "dim")) and os.path.exists(str(tmp_path / "fact"))
+    assert spark.read.parquet(str(tmp_path / "fact")).count() == 1
+
+
+def test_engine_cycle_detection(spark, tmp_path):
+    a = Dimension("a", "id", ["x"], df=spark.createDataFrame([(1, "v")], "id long, x string"))
+    b = Dimension("b", "id", ["x"], df=spark.createDataFrame([(1, "v")], "id long, x string"))
+    eng = Engine(spark, str(tmp_path))
+    eng.register(a, dependson=["b"])
+    eng.register(b, dependson=["a"])
+    with pytest.raises(ValueError, match="cycle"):
+        eng.endload()
+
+
+def test_custom_idfinder(spark):
+    dim = Dimension(
+        "d", "id", ["name"],
+        idfinder=lambda df, offset: df.withColumn(
+            "id", F.lit(offset) + F.length("name").cast("long")
+        ),
+        df=spark.createDataFrame([(100, "a")], "id long, name string"),
+    )
+    batch = spark.createDataFrame([("xyz",)], ["name"])
+    dim.ensure(batch)
+    assert dim.df.filter("name = 'xyz'").first()["id"] == 103
