@@ -118,6 +118,9 @@ def minhash_lsh_pairs(
     then filters candidates. Returns (id_1, id_2, est_jaccard).
     """
     rows_per_band = MINHASH_K // bands
+    # the signature relation feeds band bucketing and both sides of the
+    # estimate join; Spark's ReusedExchange dedupes the shared shingle
+    # explode+agg, so no explicit persist (measured slower with one)
     wide = minhash_signatures(df, id_col, text_col)
     band_cols = [
         F.md5(F.concat_ws(",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
