@@ -157,6 +157,29 @@ def renametofrom(df: DataFrame, renaming: Mapping[str, str]) -> DataFrame:
 rename = renamefromto
 
 
+def getdbfriendlystr(value, nullvalue: str = "None") -> Column:
+    """Value -> string for delimited load files: booleans to 0/1, NULL to
+    ``nullvalue`` (ref getdbfriendlystr __init__.py:190-239)."""
+    c = _col(value)
+    s = F.when(c.cast("string").isin("true", "false"), (c.cast("boolean").cast("int")).cast("string")).otherwise(
+        c.cast("string")
+    )
+    return F.coalesce(s, F.lit(nullvalue))
+
+
+def getsqlfriendlystr(value, nullvalue: str = "NULL") -> Column:
+    """Value -> quoted SQL literal: single quotes doubled, NULL unquoted
+    (ref getsqlfriendlystr __init__.py:242-262)."""
+    c = _col(value)
+    quoted = F.concat(F.lit("'"), F.regexp_replace(c.cast("string"), "'", "''"), F.lit("'"))
+    return F.coalesce(quoted, F.lit(nullvalue))
+
+
+def getstrornullvalue(value, nullvalue: str = "None") -> Column:
+    """Plain str() with a NULL substitute (ref __init__.py:265-274)."""
+    return F.coalesce(_col(value).cast("string"), F.lit(nullvalue))
+
+
 def toupper(value) -> Column:
     return F.upper(_col(value))
 

@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 
 from pygrametl_spark.operators.dimension import apply_namemapping
 
-__all__ = ["FactTable", "BatchFactTable", "BulkFactTable", "AccumulatingSnapshotFactTable"]
+__all__ = [
+    "FactTable", "BatchFactTable", "BulkFactTable",
+    "AccumulatingSnapshotFactTable", "SubprocessFactTable",
+]
 
 
 class FactTable:
@@ -168,3 +171,59 @@ class AccumulatingSnapshotFactTable(FactTable):
             # incoming NULL means "not yet known" -> keep stored value
             return F.when(F.col("_in").isNotNull(), F.coalesce(inc, old)).otherwise(old)
         return F.when(F.col("_in").isNotNull(), inc).otherwise(old)
+
+
+class SubprocessFactTable:
+    """Pipe delimited fact rows to a child process's stdin
+    (ref tables.py:3222-3319: executable consumes fieldsep/rowsep rows,
+    with optional init/end commands).
+
+    Spark restatement: ``foreachPartition`` spawns one consumer process
+    per partition on the executors — the load parallelizes with the data
+    instead of funnelling through one driver-side pipe. The executable
+    must therefore be safe to run concurrently (per-process temp files,
+    appends to a queue, etc.).
+    """
+
+    def __init__(
+        self,
+        keyrefs: list[str],
+        measures: list[str],
+        executable: str,
+        *,
+        fieldsep: str = "\t",
+        rowsep: str = "\n",
+        nullsubst: str = "None",
+        initcommand: str | None = None,
+    ):
+        self.keyrefs = list(keyrefs)
+        self.measures = list(measures)
+        self.all = [*self.keyrefs, *self.measures]
+        self.executable = executable
+        self.fieldsep, self.rowsep, self.nullsubst = fieldsep, rowsep, nullsubst
+        self.initcommand = initcommand
+
+    def insert(self, rows: DataFrame, namemapping=None) -> None:
+        cols = self.all
+        exe, fs, rs, ns, init = (
+            self.executable, self.fieldsep, self.rowsep, self.nullsubst, self.initcommand,
+        )
+        b = apply_namemapping(rows, namemapping).select(*cols)
+
+        def feed(partition):
+            import subprocess
+
+            proc = subprocess.Popen(exe, shell=True, stdin=subprocess.PIPE)
+            try:
+                if init is not None:
+                    proc.stdin.write((init + rs).encode())
+                for row in partition:
+                    vals = [ns if row[c] is None else str(row[c]) for c in cols]
+                    proc.stdin.write((fs.join(vals) + rs).encode())
+            finally:
+                proc.stdin.close()
+                rc = proc.wait()
+                if rc != 0:
+                    raise RuntimeError(f"subprocess {exe!r} exited with {rc}")
+
+        b.foreachPartition(feed)

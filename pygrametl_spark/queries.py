@@ -696,6 +696,7 @@ ORACLE_Q5 = _Q5_SQL
 # ---------------------------------------------------------------------------
 
 from pygrametl_spark.queries_data import DATA_ORACLES, DATA_QUERIES  # noqa: E402
+from pygrametl_spark.queries_extra import EXTRA_ORACLES, EXTRA_QUERIES  # noqa: E402
 
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
@@ -726,6 +727,7 @@ QUERIES = {
     "union_source": q_union_source,
     "sql_transforming": q_sql_transforming,
     **DATA_QUERIES,
+    **EXTRA_QUERIES,
 }
 
 ORACLES = {
@@ -757,4 +759,5 @@ ORACLES = {
     "union_source": ORACLE_UNION,
     "sql_transforming": ORACLE_Q5,
     **DATA_ORACLES,
+    **EXTRA_ORACLES,
 }

@@ -1,0 +1,235 @@
+"""Query registry part 3: grouping sets, source formats, LSH near-dup,
+and the SCD2 incremental-merge equivalence query.
+
+``scd2_incremental_merge`` is the flagship semantics proof: seed the SCD
+from pre-cutoff history, push the post-cutoff events through the class's
+batch ``scdensure`` merge, and the result must equal rebuilding from the
+*full* history (same versions, validity intervals, and two-phase
+surrogate keys) — which is exactly what the oracle computes in SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pygrametl_spark.catalog import load_catalog, read_parquet
+from pygrametl_spark.functions import similarity as sim
+from pygrametl_spark.operators.scd import SlowlyChangingDimension, scd2_from_history
+from pygrametl_spark.queries import TS_FMT_DUCK, _fmt_ts
+from pygrametl_spark.sources.sources import PandasSource, TypedCSVSource
+
+# ---------------------------------------------------------------------------
+# Grouping sets (net-new surface the reference lacks; free in Spark)
+# ---------------------------------------------------------------------------
+
+def q_rollup_agg(spark, sf_dir):
+    orders = load_catalog(spark, sf_dir).orders
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "total", "n",
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       ROUND(SUM(o_totalprice), 2) AS total, COUNT(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_cube_agg(spark, sf_dir):
+    orders = load_catalog(spark, sf_dir).orders
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "total",
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Source formats through the correctness gate
+# ---------------------------------------------------------------------------
+
+def q_csv_source_roundtrip(spark, sf_dir):
+    """customer -> CSV file -> TypedCSVSource scan (ref CSVSource/
+    TypedCSVSource datasources.py:72-132) -> same relation."""
+    cust = load_catalog(spark, sf_dir).customer.select("c_custkey", "c_name", "c_mktsegment")
+    path = os.path.join(
+        tempfile.gettempdir(), f"pygrametl_csv_{abs(hash(sf_dir)) % 10**8}.csv"
+    )
+    cust.toPandas().to_csv(path, index=False)
+    return TypedCSVSource(spark, path, {"c_custkey": "long"})
+
+
+ORACLE_CSV = "SELECT c_custkey, c_name, c_mktsegment FROM customer"
+
+
+def q_pandas_source(spark, sf_dir):
+    """Arrow-path pandas ingestion (ref PandasSource datasources.py:220-233)."""
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    return PandasSource(spark, pdf)
+
+
+ORACLE_PANDAS = "SELECT * FROM region"
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed near-dup (the scale path, oracle-checked end to end)
+# ---------------------------------------------------------------------------
+
+def q_ann_lsh_neardup(spark, sf_dir):
+    emb = load_catalog(spark, sf_dir).embeddings
+    b = sim.lsh_bucket(emb)
+    a, c = b.alias("a"), b.alias("b")
+    pairs = a.join(
+        c,
+        on=[F.col("a.bucket") == F.col("b.bucket"), F.col("a.vec_id") < F.col("b.vec_id")],
+    )
+    cos = F.round(
+        F.expr(
+            "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        / (
+            F.sqrt(F.expr("aggregate(zip_with(a.embedding, a.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+            * F.sqrt(F.expr("aggregate(zip_with(b.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+        ),
+        6,
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.3)
+        .select(F.col("a.vec_id").alias("id_1"), F.col("b.vec_id").alias("id_2"), "cosine")
+    )
+
+
+def _lsh_neardup_oracle() -> str:
+    projs = []
+    for p in range(8):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {sim._plane_weight(p, i)!r}" for i in range(64)
+        )
+        projs.append(f"(CASE WHEN ({terms}) >= 0 THEN {2 ** p} ELSE 0 END)")
+    bucket = " + ".join(projs)
+    dot = (
+        "list_sum(list_transform(generate_series(1, len({a})), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    cos = (
+        f"ROUND({dot.format(a='a.embedding', b='b.embedding')} / "
+        f"(sqrt({dot.format(a='a.embedding', b='a.embedding')}) * "
+        f"sqrt({dot.format(a='b.embedding', b='b.embedding')})), 6)"
+    )
+    return f"""
+WITH bk AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings)
+SELECT a.vec_id AS id_1, b.vec_id AS id_2, {cos} AS cosine
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= 0.3
+"""
+
+
+ORACLE_LSH_NEARDUP = _lsh_neardup_oracle()
+
+
+# ---------------------------------------------------------------------------
+# SCD2 incremental merge == full-history rebuild
+# ---------------------------------------------------------------------------
+
+_CUT = "2024-01-15 00:00:00"
+
+
+def q_scd2_incremental_merge(spark, sf_dir):
+    events = load_catalog(spark, sf_dir).events
+    cut = F.lit(_CUT).cast("timestamp")
+    hist = scd2_from_history(
+        events.filter(F.col("ts") < cut), ["user_id"], ["event_type"], "ts",
+        key="id", tiebreak=["event_id"],
+    )
+    scd = SlowlyChangingDimension(
+        "user_scd", "id", ["user_id", "event_type", "version", "fromdate", "todate"],
+        ["user_id"], versionatt="version", fromatt="fromdate", toatt="todate",
+        srcdateatt="ts", df=hist,
+    )
+    batch = (
+        read_parquet(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("ts") >= cut)
+        .select("user_id", "event_type", "ts")
+    )
+    scd.scdensure(batch)
+    return scd.df.select(
+        "id", "user_id", "event_type", "version",
+        _fmt_ts("fromdate").alias("fromdate"), _fmt_ts("todate").alias("todate"),
+    )
+
+
+ORACLE_SCD2_INCREMENTAL = f"""
+WITH c AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), kept AS (
+  SELECT user_id, event_type, ts, event_id FROM c WHERE prev IS NULL OR prev <> event_type
+), v AS (
+  SELECT user_id, event_type, ts AS fromdate,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS todate,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+  FROM kept
+), p1 AS (
+  SELECT * FROM v WHERE fromdate < TIMESTAMP '{_CUT}'
+), p1k AS (
+  SELECT CAST(row_number() OVER (ORDER BY user_id, version) AS BIGINT) AS id, *
+  FROM p1
+), p2 AS (
+  SELECT * FROM v WHERE fromdate >= TIMESTAMP '{_CUT}'
+), p2k AS (
+  SELECT (SELECT COUNT(*) FROM p1) + CAST(row_number() OVER (ORDER BY user_id, version) AS BIGINT) AS id, *
+  FROM p2
+), allk AS (
+  SELECT * FROM p1k UNION ALL SELECT * FROM p2k
+)
+SELECT id, user_id, event_type, version,
+       strftime(fromdate, '{TS_FMT_DUCK}') AS fromdate,
+       strftime(todate, '{TS_FMT_DUCK}') AS todate
+FROM allk
+"""
+
+
+EXTRA_QUERIES = {
+    "rollup_agg": q_rollup_agg,
+    "cube_agg": q_cube_agg,
+    "csv_source_roundtrip": q_csv_source_roundtrip,
+    "pandas_source": q_pandas_source,
+    "ann_lsh_neardup": q_ann_lsh_neardup,
+    "scd2_incremental_merge": q_scd2_incremental_merge,
+}
+
+EXTRA_ORACLES = {
+    "rollup_agg": ORACLE_ROLLUP,
+    "cube_agg": ORACLE_CUBE,
+    "csv_source_roundtrip": ORACLE_CSV,
+    "pandas_source": ORACLE_PANDAS,
+    "ann_lsh_neardup": ORACLE_LSH_NEARDUP,
+    "scd2_incremental_merge": ORACLE_SCD2_INCREMENTAL,
+}

@@ -1,0 +1,107 @@
+"""SubprocessFactTable, snowflake scdensure, lookupasof att-variants,
+SQL-literal helpers."""
+
+import datetime
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pygrametl_spark.functions import helpers
+from pygrametl_spark.operators.dimension import Dimension
+from pygrametl_spark.operators.facttable import SubprocessFactTable
+from pygrametl_spark.operators.scd import SlowlyChangingDimension
+from pygrametl_spark.operators.snowflake import SnowflakedDimension
+
+D = datetime.datetime
+
+
+def test_subprocess_facttable(spark, tmp_path):
+    out_dir = tmp_path / "sink"
+    out_dir.mkdir()
+    fact = SubprocessFactTable(
+        ["k"], ["v"], executable=f"cat >> {out_dir}/part_$$.tsv",
+    )
+    rows = spark.createDataFrame([(1, 10), (2, None), (3, 30)], "k int, v int").repartition(2)
+    fact.insert(rows)
+    lines = []
+    for f in glob.glob(str(out_dir / "part_*.tsv")):
+        lines += open(f).read().splitlines()
+    assert sorted(lines) == ["1\t10", "2\tNone", "3\t30"]
+
+
+def test_subprocess_facttable_failure_raises(spark):
+    fact = SubprocessFactTable(["k"], [], executable="exit 3")
+    rows = spark.createDataFrame([(1,)], "k int").coalesce(1)
+    with pytest.raises(Exception, match="exited|3"):
+        fact.insert(rows)
+
+
+def test_snowflake_scdensure(spark):
+    region = Dimension(
+        "region", "rid", ["rname"],
+        df=spark.createDataFrame([(1, "west")], "rid long, rname string"),
+    )
+    scd_root = SlowlyChangingDimension(
+        "city", "cid", ["cname", "pop", "version", "fromd", "tod", "rid"],
+        ["cname"], versionatt="version", fromatt="fromd", toatt="tod", srcdateatt="chg",
+        df=spark.createDataFrame(
+            [(1, "springfield", 100, 1, D(2020, 1, 1), None, 1)],
+            "cid long, cname string, pop long, version long, fromd timestamp, tod timestamp, rid long",
+        ),
+    )
+    snow = SnowflakedDimension([(scd_root, region)])
+    batch = spark.createDataFrame(
+        [("springfield", 200, "east", D(2021, 1, 1))], "cname string, pop long, rname string, chg timestamp"
+    )
+    snow.scdensure(batch)
+    # region 'east' ensured with a new key; city got a second version
+    assert region.df.count() == 2
+    rows = {r["version"]: r for r in scd_root.df.filter("cname = 'springfield'").collect()}
+    assert rows[1]["tod"] == D(2021, 1, 1)
+    assert rows[2]["pop"] == 200 and rows[2]["tod"] is None
+    assert rows[2]["rid"] == region.df.filter("rname = 'east'").first()["rid"]
+
+
+def test_lookupasof_fromatt_only(spark):
+    scd = SlowlyChangingDimension(
+        "s", "id", ["k", "v", "fromd"], ["k"], fromatt="fromd",
+        df=spark.createDataFrame(
+            [(1, "a", "x", D(2020, 1, 1)), (2, "a", "y", D(2021, 1, 1))],
+            "id long, k string, v string, fromd timestamp",
+        ),
+    )
+    probe = spark.createDataFrame(
+        [("a", D(2020, 6, 1)), ("a", D(2022, 1, 1))], ["k", "when"]
+    )
+    got = {r["when"]: r["id"] for r in scd.lookupasof(probe, "when").collect()}
+    assert got[D(2020, 6, 1)] == 1  # last version starting at/before when
+    assert got[D(2022, 1, 1)] == 2
+
+
+def test_lookupasof_toatt_only(spark):
+    scd = SlowlyChangingDimension(
+        "s", "id", ["k", "v", "tod"], ["k"], toatt="tod",
+        df=spark.createDataFrame(
+            [(1, "a", "x", D(2021, 1, 1)), (2, "a", "y", None)],
+            "id long, k string, v string, tod timestamp",
+        ),
+    )
+    probe = spark.createDataFrame([("a", D(2020, 6, 1))], ["k", "when"])
+    out = scd.lookupasof(probe, "when").collect()
+    # both versions are valid (one ends after `when`, one is open);
+    # the newest matching version wins, as the reference's scan does
+    assert len(out) == 1
+
+
+def test_sql_literal_helpers(spark):
+    df = spark.createDataFrame([("o'brien", True, None)], "s string, b boolean, n string")
+    row = df.select(
+        helpers.getsqlfriendlystr("s").alias("s"),
+        helpers.getdbfriendlystr("b").alias("b"),
+        helpers.getstrornullvalue("n").alias("n"),
+    ).first()
+    assert row["s"] == "'o''brien'"
+    assert row["b"] == "1"
+    assert row["n"] == "None"
