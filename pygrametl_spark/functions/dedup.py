@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pygrametl_spark.functions.text import shingles, tokens
+from pygrametl_spark.functions.text import tokens, with_shingle_rows
 
 __all__ = [
     "MINHASH_P", "MINHASH_A", "MINHASH_B",
@@ -70,9 +70,7 @@ def exact_dedup(df: DataFrame, id_col: str, on) -> DataFrame:
 
 def _shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, hv): one 32-bit hash per *distinct* shingle per document."""
-    sh = df.select(id_col, F.explode(shingles(text_col, n)).alias("_s")).dropDuplicates(
-        [id_col, "_s"]
-    )
+    sh = with_shingle_rows(df, id_col, text_col, n).dropDuplicates([id_col, "_s"])
     return sh.select(id_col, hash32("_s").alias("hv"))
 
 
@@ -193,9 +191,7 @@ def ngram_jaccard_pairs(
     shingles shared by more than N docs (stop-shingles), the standard
     guard against join blowup on a 100 TB corpus.
     """
-    sh = df.select(id_col, F.explode(shingles(text_col, n)).alias("s")).dropDuplicates(
-        [id_col, "s"]
-    )
+    sh = with_shingle_rows(df, id_col, text_col, n, out="s").dropDuplicates([id_col, "s"])
     if max_shingle_freq is not None:
         freq = sh.groupBy("s").agg(F.count("*").alias("_f")).filter(F.col("_f") <= max_shingle_freq)
         sh = sh.join(freq.select("s"), "s")

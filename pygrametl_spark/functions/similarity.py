@@ -107,17 +107,32 @@ def lsh_bucket(
     executor, and rerun agrees. Vectors in the same bucket are
     candidate neighbors; expected bucket count 2**n_planes.
     """
-    bits = []
-    for p in range(n_planes):
-        terms = None
-        for i in range(dim):
-            w = _plane_weight(p, i)
-            t = F.element_at(F.col(vec_col), i + 1).cast("double") * F.lit(w)
-            terms = t if terms is None else terms + t
-        bits.append(F.when(terms >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
-    bucket = None
-    for b in bits:
-        bucket = b if bucket is None else bucket + b
+    planes = [[_plane_weight(p, i) for i in range(dim)] for p in range(n_planes)]
+    # One nested array *literal* + two folds: the plan carries a single
+    # constant instead of n_planes*dim unrolled arithmetic nodes (which
+    # blew codegen past the 1 MB task-binary mark and dominated driver
+    # time). Projection sums run left-to-right, matching the oracle's
+    # list_sum order bit-for-bit.
+    bucket = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda p: F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.element_at(F.lit(planes), p + F.lit(1)),
+                        lambda x, w: x.cast("double") * w,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0,
+                F.pow(F.lit(2.0), p.cast("double")).cast("int"),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
     return df.withColumn(out, bucket.cast("int"))
 
 

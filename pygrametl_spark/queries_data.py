@@ -298,14 +298,21 @@ def q_ann_lsh_buckets(spark, sf_dir):
 
 
 def _lsh_bucket_oracle() -> str:
-    projs = []
-    for p in range(8):
-        terms = " + ".join(
-            f"CAST(embedding[{i + 1}] AS DOUBLE) * {sim._plane_weight(p, i)!r}" for i in range(64)
-        )
-        projs.append(f"(CASE WHEN ({terms}) >= 0 THEN {2 ** p} ELSE 0 END)")
-    total = " + ".join(projs)
-    return f"SELECT vec_id, CAST({total} AS INT) AS bucket FROM embeddings"
+    planes = ", ".join(
+        "[" + ", ".join(repr(sim._plane_weight(p, i)) for i in range(64)) + "]"
+        for p in range(8)
+    )
+    proj = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> CAST(embedding[i] AS DOUBLE) * w[{p}][i]))"
+    )
+    total = " + ".join(
+        f"(CASE WHEN {proj.format(p=p + 1)} >= 0 THEN {2 ** p} ELSE 0 END)" for p in range(8)
+    )
+    return (
+        f"WITH pl AS (SELECT [{planes}] AS w) "
+        f"SELECT vec_id, CAST({total} AS INT) AS bucket FROM embeddings CROSS JOIN pl"
+    )
 
 
 ORACLE_ANN_LSH_BUCKETS = _lsh_bucket_oracle()

@@ -126,13 +126,17 @@ def q_ann_lsh_neardup(spark, sf_dir):
 
 
 def _lsh_neardup_oracle() -> str:
-    projs = []
-    for p in range(8):
-        terms = " + ".join(
-            f"CAST(embedding[{i + 1}] AS DOUBLE) * {sim._plane_weight(p, i)!r}" for i in range(64)
-        )
-        projs.append(f"(CASE WHEN ({terms}) >= 0 THEN {2 ** p} ELSE 0 END)")
-    bucket = " + ".join(projs)
+    planes = ", ".join(
+        "[" + ", ".join(repr(sim._plane_weight(p, i)) for i in range(64)) + "]"
+        for p in range(8)
+    )
+    proj = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> CAST(embedding[i] AS DOUBLE) * w[{p}][i]))"
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN {proj.format(p=p + 1)} >= 0 THEN {2 ** p} ELSE 0 END)" for p in range(8)
+    )
     dot = (
         "list_sum(list_transform(generate_series(1, len({a})), "
         "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
@@ -143,7 +147,8 @@ def _lsh_neardup_oracle() -> str:
         f"sqrt({dot.format(a='b.embedding', b='b.embedding')})), 6)"
     )
     return f"""
-WITH bk AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings)
+WITH pl AS (SELECT [{planes}] AS w),
+bk AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings CROSS JOIN pl)
 SELECT a.vec_id AS id_1, b.vec_id AS id_2, {cos} AS cosine
 FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {cos} >= 0.3
