@@ -697,6 +697,7 @@ ORACLE_Q5 = _Q5_SQL
 
 from pygrametl_spark.queries_data import DATA_ORACLES, DATA_QUERIES  # noqa: E402
 from pygrametl_spark.queries_extra import EXTRA_ORACLES, EXTRA_QUERIES  # noqa: E402
+from pygrametl_spark.queries_more import MORE_ORACLES, MORE_QUERIES  # noqa: E402
 
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
@@ -728,6 +729,7 @@ QUERIES = {
     "sql_transforming": q_sql_transforming,
     **DATA_QUERIES,
     **EXTRA_QUERIES,
+    **MORE_QUERIES,
 }
 
 ORACLES = {
@@ -760,4 +762,5 @@ ORACLES = {
     "sql_transforming": ORACLE_Q5,
     **DATA_ORACLES,
     **EXTRA_ORACLES,
+    **MORE_ORACLES,
 }

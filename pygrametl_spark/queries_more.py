@@ -1,0 +1,330 @@
+"""Query registry part 4: remaining SURVEY §2 surface as oracle-gated
+queries — getbykey, transforming/dynamic-foreach/round-robin sources,
+the aggregator facade incl. CountDistinct, scalar helpers, the bulk
+fact write path (write parquet, read back), a Step-class pipeline, and
+SnowflakedDimension.scdensure (SCD2 root + ensure on outer levels).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pygrametl_spark.catalog import load_catalog, read_parquet
+from pygrametl_spark.functions.aggregators import Avg, Count, CountDistinct, Max, Min
+from pygrametl_spark.functions.helpers import (
+    getbool,
+    getdbfriendlystr,
+    getint,
+    getsqlfriendlystr,
+    getstrippedstr,
+    toupper,
+)
+from pygrametl_spark.operators.dimension import Dimension
+from pygrametl_spark.operators.facttable import FactTable
+from pygrametl_spark.operators.scd import SlowlyChangingDimension, scd2_from_history
+from pygrametl_spark.operators.snowflake import SnowflakedDimension
+from pygrametl_spark.plans.keys import assign_dense_keys
+from pygrametl_spark.queries import TS_FMT_DUCK, _fmt_ts
+from pygrametl_spark.sources.sources import (
+    DynamicForEachSource,
+    RoundRobinSource,
+    TransformingSource,
+    TypedCSVSource,
+)
+from pygrametl_spark.steps import AggregatingStep, MappingStep, RenamingFromToStep, connectsteps
+
+
+# ---------------------------------------------------------------------------
+# Dimension.getbykey (ref tables.py:272-293)
+# ---------------------------------------------------------------------------
+
+def q_dim_getbykey(spark, sf_dir):
+    """Surrogate key -> full row; absent keys yield NULL attributes."""
+    part = load_catalog(spark, sf_dir).part
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    dim = Dimension(
+        "pname_dim", "id", ["name"], ["name"],
+        df=assign_dense_keys(names, ["name"], "id", 0),
+    )
+    return dim.getbykey(list(range(1, 21)) + [999999])
+
+
+ORACLE_GETBYKEY = """
+WITH dim AS (
+  SELECT CAST(row_number() OVER (ORDER BY name) AS BIGINT) AS id, name
+  FROM (SELECT DISTINCT p_name AS name FROM part)
+), k AS (
+  SELECT CAST(unnest(range(1, 21)) AS BIGINT) AS id UNION ALL SELECT 999999
+)
+SELECT k.id, dim.name FROM k LEFT JOIN dim ON k.id = dim.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# TransformingSource (ref datasources.py:430-448)
+# ---------------------------------------------------------------------------
+
+def q_transforming_source(spark, sf_dir):
+    sup = load_catalog(spark, sf_dir).supplier
+
+    def add_band(df):
+        return df.withColumn(
+            "band", F.when(F.col("s_acctbal") < 0, "neg").otherwise("pos")
+        )
+
+    def shape(df):
+        return df.select("s_suppkey", F.upper("s_name").alias("name"), "band")
+
+    return TransformingSource(sup, add_band, shape)
+
+
+ORACLE_TRANSFORMING = """
+SELECT s_suppkey, UPPER(s_name) AS name,
+       CASE WHEN s_acctbal < 0 THEN 'neg' ELSE 'pos' END AS band
+FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# DynamicForEachSource (ref datasources.py:741-781): one CSV per item
+# ---------------------------------------------------------------------------
+
+def q_dynamic_foreach_source(spark, sf_dir):
+    nation = load_catalog(spark, sf_dir).nation.select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    base = os.path.join(tempfile.gettempdir(), f"pygrametl_dfe_{abs(hash(sf_dir)) % 10**8}")
+    paths = [f"{base}_a.csv", f"{base}_b.csv"]
+    nation.filter("n_regionkey < 2").toPandas().to_csv(paths[0], index=False)
+    nation.filter("n_regionkey >= 2").toPandas().to_csv(paths[1], index=False)
+    return DynamicForEachSource(
+        paths,
+        lambda p: TypedCSVSource(spark, p, {"n_nationkey": "long", "n_regionkey": "long"}),
+    )
+
+
+ORACLE_DYNAMIC_FOREACH = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+# ---------------------------------------------------------------------------
+# RoundRobinSource (ref datasources.py:708-738): union semantics
+# ---------------------------------------------------------------------------
+
+def q_round_robin_source(spark, sf_dir):
+    sup = load_catalog(spark, sf_dir).supplier.select("s_suppkey", "s_name")
+    return RoundRobinSource(sup.filter("s_suppkey % 2 = 0"), sup.filter("s_suppkey % 2 = 1"))
+
+
+ORACLE_ROUND_ROBIN = "SELECT s_suppkey, s_name FROM supplier"
+
+
+# ---------------------------------------------------------------------------
+# Aggregator facade incl. exact CountDistinct (ref aggregators.py:68-128)
+# ---------------------------------------------------------------------------
+
+def q_countdistinct_agg(spark, sf_dir):
+    orders = load_catalog(spark, sf_dir).orders
+    return orders.groupBy("o_orderpriority").agg(
+        Count("o_orderkey").column("n"),
+        CountDistinct("o_custkey").column("ncust"),
+        Min("o_totalprice").column("minprice"),
+        Max("o_totalprice").column("maxprice"),
+        F.round(Avg("o_totalprice").column(), 2).alias("avgprice"),
+    )
+
+
+ORACLE_COUNTDISTINCT = """
+SELECT o_orderpriority, COUNT(o_orderkey) AS n, COUNT(DISTINCT o_custkey) AS ncust,
+       MIN(o_totalprice) AS minprice, MAX(o_totalprice) AS maxprice,
+       ROUND(AVG(o_totalprice), 2) AS avgprice
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar helpers (ref __init__.py:190-382)
+# ---------------------------------------------------------------------------
+
+def q_scalar_helpers(spark, sf_dir):
+    part = load_catalog(spark, sf_dir).part
+    base = part.select(
+        "p_partkey",
+        F.concat(F.lit("  "), F.col("p_name"), F.lit("  ")).alias("padded"),
+        (F.col("p_size") % 2 == 0).cast("string").alias("bstr"),
+        F.when(F.col("p_partkey") % 10 != 0, F.col("p_size").cast("string")).alias("sizestr"),
+    )
+    return base.select(
+        "p_partkey",
+        getstrippedstr("padded").alias("name"),
+        getint("sizestr", -1).alias("size"),
+        getbool("bstr").alias("even"),
+        getdbfriendlystr("sizestr").alias("dbstr"),
+        getsqlfriendlystr("sizestr").alias("sqlstr"),
+    )
+
+
+ORACLE_SCALAR_HELPERS = """
+WITH base AS (
+  SELECT p_partkey, '  ' || p_name || '  ' AS padded,
+         p_size % 2 = 0 AS even,
+         CASE WHEN p_partkey % 10 <> 0 THEN CAST(p_size AS VARCHAR) END AS sizestr
+  FROM part
+)
+SELECT p_partkey, TRIM(padded) AS name,
+       COALESCE(TRY_CAST(sizestr AS BIGINT), -1) AS size,
+       even,
+       COALESCE(sizestr, 'None') AS dbstr,
+       CASE WHEN sizestr IS NULL THEN 'NULL' ELSE '''' || sizestr || '''' END AS sqlstr
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bulk fact load path: write parquet, read back (ref BulkFactTable
+# tables.py:2686-2774 — parquet IS the bulk format, no temp-file protocol)
+# ---------------------------------------------------------------------------
+
+def q_bulk_fact_roundtrip(spark, sf_dir):
+    li = load_catalog(spark, sf_dir).lineitem
+    keyrefs = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    measures = ["l_quantity", "l_extendedprice"]
+    ft = FactTable("sales", keyrefs, measures)
+    ft.insert(li.select(*keyrefs, *measures))
+    path = os.path.join(tempfile.gettempdir(), f"pygrametl_bulk_{abs(hash(sf_dir)) % 10**8}")
+    ft.write(path, mode="overwrite")
+    return spark.read.parquet(path)
+
+
+ORACLE_BULK_FACT = """
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Step classes wired with connectsteps (ref steps.py:51-204, 464-560)
+# ---------------------------------------------------------------------------
+
+def q_steps_chain(spark, sf_dir):
+    orders = load_catalog(spark, sf_dir).orders
+    pipeline = connectsteps(
+        MappingStep({"o_orderpriority": toupper}),
+        RenamingFromToStep({"o_orderpriority": "priority"}),
+        AggregatingStep(
+            ["priority"],
+            [F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")],
+        ),
+    )
+    return pipeline(orders)
+
+
+ORACLE_STEPS_CHAIN = """
+SELECT UPPER(o_orderpriority) AS priority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY UPPER(o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# SnowflakedDimension.scdensure: SCD2 root referencing an ensured outer
+# level (ref tables.py:2105-2133)
+# ---------------------------------------------------------------------------
+
+_SNOW_CUT = "2024-01-15 00:00:00"
+
+
+def q_snowflake_scdensure(spark, sf_dir):
+    events = load_catalog(spark, sf_dir).events
+    cut = F.lit(_SNOW_CUT).cast("timestamp")
+    pre = events.filter(F.col("ts") < cut)
+
+    etypes = pre.select("event_type").distinct()
+    parent = Dimension(
+        "etype_dim", "etype_id", ["event_type"], ["event_type"],
+        df=assign_dense_keys(etypes, ["event_type"], "etype_id", 0),
+    )
+    # seed the root from pre-cutoff history, tracking the FK to the parent
+    seeded = parent.lookup(pre.select("user_id", "event_type", "ts", "event_id"), broadcast=True)
+    hist = scd2_from_history(
+        seeded.select("user_id", "etype_id", "ts", "event_id"),
+        ["user_id"], ["etype_id"], "ts", key="id", tiebreak=["event_id"],
+    )
+    root = SlowlyChangingDimension(
+        "user_scd", "id", ["user_id", "etype_id", "version", "fromdate", "todate"],
+        ["user_id"], versionatt="version", fromatt="fromdate", toatt="todate",
+        srcdateatt="ts", df=hist,
+    )
+    snow = SnowflakedDimension([(root, parent)])
+    batch = (
+        read_parquet(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("ts") >= cut)
+        .select("user_id", "event_type", "ts")
+    )
+    snow.scdensure(batch)
+    return root.df.select(
+        "id", "user_id", "etype_id", "version",
+        _fmt_ts("fromdate").alias("fromdate"), _fmt_ts("todate").alias("todate"),
+    )
+
+
+ORACLE_SNOWFLAKE_SCD = f"""
+WITH dim AS (
+  SELECT CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS etype_id, event_type
+  FROM (SELECT DISTINCT event_type FROM events WHERE ts < TIMESTAMP '{_SNOW_CUT}')
+), c AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), kept AS (
+  SELECT user_id, event_type, ts, event_id FROM c WHERE prev IS NULL OR prev <> event_type
+), v AS (
+  SELECT user_id, event_type, ts AS fromdate,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS todate,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+  FROM kept
+), p1 AS (
+  SELECT * FROM v WHERE fromdate < TIMESTAMP '{_SNOW_CUT}'
+), p1k AS (
+  SELECT CAST(row_number() OVER (ORDER BY user_id, version) AS BIGINT) AS id, *
+  FROM p1
+), p2 AS (
+  SELECT * FROM v WHERE fromdate >= TIMESTAMP '{_SNOW_CUT}'
+), p2k AS (
+  SELECT (SELECT COUNT(*) FROM p1) + CAST(row_number() OVER (ORDER BY user_id, version) AS BIGINT) AS id, *
+  FROM p2
+), allk AS (
+  SELECT * FROM p1k UNION ALL SELECT * FROM p2k
+)
+SELECT a.id, a.user_id, dim.etype_id, a.version,
+       strftime(a.fromdate, '{TS_FMT_DUCK}') AS fromdate,
+       strftime(a.todate, '{TS_FMT_DUCK}') AS todate
+FROM allk a JOIN dim ON a.event_type = dim.event_type
+"""
+
+
+MORE_QUERIES = {
+    "dim_getbykey": q_dim_getbykey,
+    "transforming_source": q_transforming_source,
+    "dynamic_foreach_source": q_dynamic_foreach_source,
+    "round_robin_source": q_round_robin_source,
+    "countdistinct_agg": q_countdistinct_agg,
+    "scalar_helpers": q_scalar_helpers,
+    "bulk_fact_roundtrip": q_bulk_fact_roundtrip,
+    "steps_chain": q_steps_chain,
+    "snowflake_scdensure": q_snowflake_scdensure,
+}
+
+MORE_ORACLES = {
+    "dim_getbykey": ORACLE_GETBYKEY,
+    "transforming_source": ORACLE_TRANSFORMING,
+    "dynamic_foreach_source": ORACLE_DYNAMIC_FOREACH,
+    "round_robin_source": ORACLE_ROUND_ROBIN,
+    "countdistinct_agg": ORACLE_COUNTDISTINCT,
+    "scalar_helpers": ORACLE_SCALAR_HELPERS,
+    "bulk_fact_roundtrip": ORACLE_BULK_FACT,
+    "steps_chain": ORACLE_STEPS_CHAIN,
+    "snowflake_scdensure": ORACLE_SNOWFLAKE_SCD,
+}
