@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pygrametl_spark.functions.text import tokens, with_shingle_rows
+from pygrametl_spark.functions.text import tokens, with_distinct_shingles
 
 __all__ = [
     "MINHASH_P", "MINHASH_A", "MINHASH_B",
@@ -69,9 +69,15 @@ def exact_dedup(df: DataFrame, id_col: str, on) -> DataFrame:
 
 
 def _shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, hv): one 32-bit hash per *distinct* shingle per document."""
-    sh = with_shingle_rows(df, id_col, text_col, n).dropDuplicates([id_col, "_s"])
-    return sh.select(id_col, hash32("_s").alias("hv"))
+    """(id, hv): one 32-bit hash per *distinct* shingle per document.
+
+    Per-doc dedup is in-row (``array_distinct``) so this whole relation is
+    produced inside the scan stage — no shuffle before the signature agg.
+    """
+    sh = with_distinct_shingles(df, id_col, text_col, n)
+    return sh.select(id_col, F.explode("_sharr").alias("_s")).select(
+        id_col, hash32("_s").alias("hv")
+    )
 
 
 def minhash_signatures(
@@ -116,9 +122,6 @@ def minhash_lsh_pairs(
     then filters candidates. Returns (id_1, id_2, est_jaccard).
     """
     rows_per_band = MINHASH_K // bands
-    # the signature relation feeds band bucketing and both sides of the
-    # estimate join; Spark's ReusedExchange dedupes the shared shingle
-    # explode+agg, so no explicit persist (measured slower with one)
     wide = minhash_signatures(df, id_col, text_col)
     band_cols = [
         F.md5(F.concat_ws(",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
@@ -127,30 +130,32 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     sig = wide.select(id_col, *[F.col(f"mh{i}") for i in range(MINHASH_K)], *band_cols)
+    # Carry the whole signature array through the band explode: the bucket
+    # self-join then yields est_jaccard directly, with no re-join against
+    # the signature relation (which would recompute the shingle pipeline
+    # per join side — AQE's broadcast conversion defeats ReusedExchange).
+    # The explicit repartition on the bucket key is the single shared
+    # exchange both join sides reuse, and pre-partitions the join.
+    # Extra shuffle width is bands x 16 longs per doc — fixed, small.
     buckets = sig.select(
         id_col,
+        F.array(*[F.col(f"mh{i}") for i in range(MINHASH_K)]).alias("sig"),
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("bidx"), F.col(f"band{b}").alias("bhash")) for b in range(bands)])
         ).alias("bb"),
-    ).select(id_col, "bb.bidx", "bb.bhash")
+    ).select(id_col, "sig", "bb.bidx", "bb.bhash").repartition("bidx", "bhash")
     a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
+    eq = F.size(F.filter(F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda v: v))
+    return (
         a.join(b, on=[F.col("a.bidx") == F.col("b.bidx"), F.col("a.bhash") == F.col("b.bhash"),
                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .select(F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2"))
-        .dropDuplicates()
-    )
-    s1 = wide.select(F.col(id_col).alias("id_1"), *[F.col(f"mh{i}").alias(f"x{i}") for i in range(MINHASH_K)])
-    s2 = wide.select(F.col(id_col).alias("id_2"), *[F.col(f"mh{i}").alias(f"y{i}") for i in range(MINHASH_K)])
-    est = None
-    for i in range(MINHASH_K):
-        term = F.when(F.col(f"x{i}") == F.col(f"y{i}"), 1).otherwise(0)
-        est = term if est is None else est + term
-    return (
-        cand.join(s1, "id_1").join(s2, "id_2")
-        .withColumn("est_jaccard", F.round(est / F.lit(float(MINHASH_K)), 4))
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+            F.round(eq / F.lit(float(MINHASH_K)), 4).alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_1", "id_2"])
         .filter(F.col("est_jaccard") >= threshold)
-        .select("id_1", "id_2", "est_jaccard")
     )
 
 
@@ -191,11 +196,19 @@ def ngram_jaccard_pairs(
     shingles shared by more than N docs (stop-shingles), the standard
     guard against join blowup on a 100 TB corpus.
     """
-    sh = with_shingle_rows(df, id_col, text_col, n, out="s").dropDuplicates([id_col, "s"])
+    arr = with_distinct_shingles(df, id_col, text_col, n)
+    # repartition by shingle: one exchange that (a) pre-partitions both
+    # sides of the self-join below and (b) is a ReusedExchange point, so
+    # the tokenize+shingle pipeline runs once, not once per join side
+    # (measured 2x faster than letting AQE broadcast one side)
+    sh = arr.select(id_col, F.explode("_sharr").alias("s")).repartition("s")
     if max_shingle_freq is not None:
         freq = sh.groupBy("s").agg(F.count("*").alias("_f")).filter(F.col("_f") <= max_shingle_freq)
         sh = sh.join(freq.select("s"), "s")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    else:
+        # set size straight from the array — no shuffle
+        sizes = arr.select(id_col, F.size("_sharr").cast("long").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, on=[F.col("a.s") == F.col("b.s"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])

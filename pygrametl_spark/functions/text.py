@@ -71,6 +71,20 @@ def with_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int, out: st
     )
 
 
+def with_distinct_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, _sharr) with the *distinct* shingle array per document.
+
+    Deduplication happens inside the row (``array_distinct``), entirely
+    within the scan stage — unlike ``dropDuplicates([id, shingle])`` on
+    exploded rows, which costs a full shuffle of every (doc, shingle)
+    pair. Per-doc set sizes are then ``size(_sharr)`` with zero shuffle.
+    """
+    return (
+        df.withColumn("_toks", tokens(text_col))
+        .select(id_col, F.array_distinct(shingles_of_tokens(F.col("_toks"), n)).alias("_sharr"))
+    )
+
+
 def token_stats(df: DataFrame, text: str = "text") -> DataFrame:
     """Adds n_tokens / n_punct / alpha_len columns."""
     toks = tokens(text)
