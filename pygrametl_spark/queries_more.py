@@ -30,6 +30,7 @@ from pygrametl_spark.plans.keys import assign_dense_keys
 from pygrametl_spark.queries import TS_FMT_DUCK, _fmt_ts
 from pygrametl_spark.sources.sources import (
     DynamicForEachSource,
+    PEP249Source,
     RoundRobinSource,
     TransformingSource,
     TypedCSVSource,
@@ -305,7 +306,33 @@ FROM allk a JOIN dim ON a.event_type = dim.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# PEP249Source: partitioned scan of an external DB-API database (ref
+# SQLSource datasources.py:135-217). DuckDB plays the external RDBMS;
+# four region predicates = four parallel cursors, each opened inside its
+# own executor task.
+# ---------------------------------------------------------------------------
+
+def q_pep249_source(spark, sf_dir):
+    import duckdb
+
+    query = (
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal "
+        f"FROM read_parquet('{sf_dir}/customer.parquet') WHERE $CONDITIONS"
+    )
+    return PEP249Source(
+        spark,
+        lambda: duckdb.connect(),  # noqa: PLW0108 — duckdb.connect itself won't cloudpickle
+        query,
+        partition_predicates=[f"c_custkey % 4 = {i}" for i in range(4)],
+    )
+
+
+ORACLE_PEP249 = "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer"
+
+
 MORE_QUERIES = {
+    "pep249_source": q_pep249_source,
     "dim_getbykey": q_dim_getbykey,
     "transforming_source": q_transforming_source,
     "dynamic_foreach_source": q_dynamic_foreach_source,
@@ -318,6 +345,7 @@ MORE_QUERIES = {
 }
 
 MORE_ORACLES = {
+    "pep249_source": ORACLE_PEP249,
     "dim_getbykey": ORACLE_GETBYKEY,
     "transforming_source": ORACLE_TRANSFORMING,
     "dynamic_foreach_source": ORACLE_DYNAMIC_FOREACH,

@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 from pygrametl_spark.functions.aggregators import crosstab
 
 __all__ = [
-    "CSVSource", "TypedCSVSource", "SQLSource", "PandasSource",
+    "CSVSource", "TypedCSVSource", "SQLSource", "PEP249Source",
+    "PandasSource",
     "ProcessSource", "DynamicForEachSource", "HashJoiningSource",
     "JoiningSource", "MergeJoiningSource", "FilteringSource",
     "MappingSource", "TransformingSource", "SQLTransformingSource",
@@ -70,6 +71,105 @@ def SQLSource(
     if names:
         out = out.toDF(*names)
     return out
+
+
+def PEP249Source(
+    spark: SparkSession,
+    connect: Callable[[], object],
+    query: str,
+    *,
+    names: Sequence[str] = (),
+    parameters=None,
+    fetchsize: int = 50_000,
+    partition_predicates: Sequence[str] | None = None,
+    schema=None,
+) -> DataFrame:
+    """Scan the result set of one SQL query on an external PEP 249
+    database (ref ``SQLSource`` datasources.py:135-217).
+
+    ``connect`` is a zero-arg factory returning a fresh DB-API
+    connection — a factory, not a connection, because connections don't
+    pickle and at scale each executor task must open its own. For the
+    partitioned path the factory itself must cloudpickle: a plain
+    ``lambda: drivermod.connect(...)`` works; passing a C-extension
+    function like ``duckdb.connect`` directly does not.
+
+    Two paths:
+
+    - **Driver read** (default): cursor ``fetchmany(fetchsize)`` batches
+      -> pandas -> Arrow -> DataFrame. Fine for dimension-sized scans.
+    - **Partitioned read** (``partition_predicates``): the Spark-native
+      scale path, same shape as JDBC's ``predicates`` option. Each
+      predicate (e.g. ``"id % 4 = 0"``) replaces ``$CONDITIONS`` in the
+      query (or is appended as ``WHERE``); one executor task per
+      predicate opens its own connection and streams its slice, so a
+      1000-partition read is 1000 parallel cursors — the driver never
+      sees the data. The result schema comes from ``schema`` or from a
+      driver-side probe of the first predicate with ``LIMIT 0``.
+
+    The reference's ``initsql``/``cursorarg`` knobs are connection-setup
+    concerns: run them inside your ``connect`` factory.
+    """
+    import pandas as pd
+
+    def run_query(cur, q, params):
+        cur.execute(q, params) if params is not None else cur.execute(q)
+
+    def to_pdf(cur, rows):
+        cols = list(names) if names else [d[0] for d in cur.description]
+        return pd.DataFrame.from_records(list(rows), columns=cols)
+
+    def bind(predicate: str) -> str:
+        if "$CONDITIONS" in query:
+            return query.replace("$CONDITIONS", predicate)
+        return f"SELECT * FROM ({query}) AS _q WHERE {predicate}"
+
+    if partition_predicates:
+        preds = list(partition_predicates)
+        if schema is None:
+            # cursor.description carries names but not portable types,
+            # so infer from one driver-side probe batch
+            con = connect()
+            try:
+                cur = con.cursor()
+                run_query(cur, bind(preds[0]), parameters)
+                probe = to_pdf(cur, cur.fetchmany(fetchsize))
+                schema = spark.createDataFrame(probe).schema
+            finally:
+                con.close()
+
+        def read_slice(iterator):
+            for pdf in iterator:
+                for pred in pdf["_pred"]:
+                    con = connect()
+                    try:
+                        cur = con.cursor()
+                        run_query(cur, bind(pred), parameters)
+                        while True:
+                            rows = cur.fetchmany(fetchsize)
+                            if not rows:
+                                break
+                            yield to_pdf(cur, rows)
+                    finally:
+                        con.close()
+
+        pred_df = spark.createDataFrame([(p,) for p in preds], ["_pred"]).repartition(len(preds), "_pred")
+        return pred_df.mapInPandas(read_slice, schema=schema)
+
+    con = connect()
+    try:
+        cur = con.cursor()
+        run_query(cur, query, parameters)
+        chunks = []
+        while True:
+            rows = cur.fetchmany(fetchsize)
+            if not rows:
+                break
+            chunks.append(to_pdf(cur, rows))
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else to_pdf(cur, [])
+        return spark.createDataFrame(pdf, schema=schema)
+    finally:
+        con.close()
 
 
 def PandasSource(spark: SparkSession, df) -> DataFrame:

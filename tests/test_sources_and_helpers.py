@@ -10,6 +10,7 @@ from pygrametl_spark.sources.sources import (
     CSVSource,
     DynamicForEachSource,
     HashJoiningSource,
+    PEP249Source,
     SQLSource,
     TypedCSVSource,
     UnionSource,
@@ -38,6 +39,41 @@ def test_sql_source_with_views_and_names(spark):
     df = spark.createDataFrame([(1, "a")], ["x", "y"])
     out = SQLSource(spark, "SELECT x, y FROM t WHERE x = 1", names=["id", "val"], views={"t": df})
     assert_df_set_equal(out, [(1, "a")], columns=["id", "val"])
+
+
+def test_pep249_source_driver_read(spark, tmp_path):
+    import sqlite3
+
+    db = str(tmp_path / "src.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (id INTEGER, name TEXT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(1, "a"), (2, "b"), (3, None)])
+    con.commit()
+    con.close()
+
+    out = PEP249Source(
+        spark, lambda: sqlite3.connect(db), "SELECT id, name FROM t", names=["key", "val"]
+    )
+    assert_df_set_equal(out, [(1, "a"), (2, "b"), (3, None)], columns=["key", "val"])
+
+
+def test_pep249_source_partitioned_read(spark, tmp_path):
+    import duckdb
+
+    pq = str(tmp_path / "t.parquet")
+    duckdb.connect().execute(
+        f"COPY (SELECT i AS id, 'n' || i AS name FROM range(100) r(i)) TO '{pq}'"
+    )
+    out = PEP249Source(
+        spark,
+        lambda: duckdb.connect(),
+        f"SELECT id, name FROM read_parquet('{pq}') WHERE $CONDITIONS",
+        partition_predicates=[f"id % 3 = {i}" for i in range(3)],
+    )
+    assert out.rdd.getNumPartitions() == 3
+    rows = out.collect()
+    assert len(rows) == 100
+    assert {r["id"] for r in rows} == set(range(100))
 
 
 def test_union_source_missing_columns(spark):
