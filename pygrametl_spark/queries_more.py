@@ -331,8 +331,46 @@ def q_pep249_source(spark, sf_dir):
 ORACLE_PEP249 = "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer"
 
 
+# ---------------------------------------------------------------------------
+# Stateful streaming sessionization (net-new; SURVEY §2.11) — per-user
+# session windows via applyInPandasWithState, state carried across two
+# micro-batches. Emits exactly the sessions closed by a later event, so
+# the batch twin is plain gaps-and-islands SQL.
+# ---------------------------------------------------------------------------
+
+def q_events_sessionize(spark, sf_dir):
+    from pygrametl_spark.streaming.events import stream_sessionize
+
+    return stream_sessionize(spark, sf_dir, gap_hours=6.0, n_files=2)
+
+
+ORACLE_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 6 HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), sess AS (
+  SELECT user_id, sid,
+         strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+         strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+         COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events, sum_value
+FROM (SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS maxsid FROM sess)
+WHERE sid < maxsid
+"""
+
+
 MORE_QUERIES = {
     "pep249_source": q_pep249_source,
+    "events_sessionize": q_events_sessionize,
     "dim_getbykey": q_dim_getbykey,
     "transforming_source": q_transforming_source,
     "dynamic_foreach_source": q_dynamic_foreach_source,
@@ -346,6 +384,7 @@ MORE_QUERIES = {
 
 MORE_ORACLES = {
     "pep249_source": ORACLE_PEP249,
+    "events_sessionize": ORACLE_SESSIONIZE,
     "dim_getbykey": ORACLE_GETBYKEY,
     "transforming_source": ORACLE_TRANSFORMING,
     "dynamic_foreach_source": ORACLE_DYNAMIC_FOREACH,

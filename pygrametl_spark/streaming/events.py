@@ -70,6 +70,131 @@ def stream_windowed_event_counts(
     )
 
 
+def stream_sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    gap_hours: float = 6.0,
+    n_files: int = 2,
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``.
+
+    Splits the event history into ``n_files`` files processed one per
+    micro-batch (``maxFilesPerTrigger=1``), so per-user open sessions
+    genuinely carry across batch boundaries in the state store — the
+    shape a live deployment has, where state is sharded by user across
+    executors and each micro-batch only shuffles its own events.
+
+    A session closes when a later event of the same user arrives more
+    than ``gap_hours`` after it; closed sessions are emitted in the
+    batch that closes them. The open tail session per user stays in
+    state (and is discarded at stream end), which keeps the emitted set
+    deterministic: exactly the sessions followed by another session —
+    the batch/SQL twin is plain gaps-and-islands.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001
+        pass
+    full = spark.read.parquet(path)
+    ts_is_long = dict(full.dtypes).get("ts") == "bigint"
+
+    # stage the history as n time-ordered files, one per micro-batch
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"pygrametl_spark_sess_{abs(hash((path, n_files))) % 10**8}",
+    )
+    if not os.path.isdir(stage) or len(os.listdir(stage)) != n_files:
+        ts_long = F.col("ts") if ts_is_long else F.unix_micros("ts")
+        bounds = full.select(
+            F.percentile_approx(ts_long, [i / n_files for i in range(1, n_files)], 10000).alias("b")
+        ).first()["b"]
+        os.makedirs(stage, exist_ok=True)
+        cuts = [None, *bounds, None]
+        for i in range(n_files):
+            sl = full
+            if cuts[i] is not None:
+                sl = sl.filter(ts_long >= cuts[i])
+            if cuts[i + 1] is not None:
+                sl = sl.filter(ts_long < cuts[i + 1])
+            sl.coalesce(1).write.mode("overwrite").parquet(f"{stage}/part{i}")
+        for i in range(n_files):  # mtime order = processing order
+            for f in os.listdir(f"{stage}/part{i}"):
+                os.utime(f"{stage}/part{i}/{f}", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    gap_us = int(gap_hours * 3_600_000_000)
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("session_start", StringType()),
+        StructField("session_end", StringType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+        StructField("sv", DoubleType()),
+    ])
+
+    def fmt(us: int) -> str:
+        # always 6-digit micros, matching DuckDB strftime '%f'
+        return pd.Timestamp(us, unit="us").strftime("%Y-%m-%d %H:%M:%S.%f")
+
+    def sessionize(key, pdfs, state: GroupState):
+        (user_id,) = key
+        evs = pd.concat(list(pdfs), ignore_index=True)
+        grouped = evs.groupby("ts_us")["value"].agg(["count", "sum"]).sort_index()
+        cur = state.get if state.exists else None
+        closed = []
+        for t, (cnt, sv) in grouped.iterrows():
+            if cur is None:
+                cur = (int(t), int(t), 0, 0.0)
+            elif t - cur[1] > gap_us:
+                closed.append(cur)
+                cur = (int(t), int(t), 0, 0.0)
+            cur = (cur[0], int(t), cur[2] + int(cnt), cur[3] + float(sv))
+        state.update(cur)
+        if closed:
+            yield pd.DataFrame({
+                "user_id": [int(user_id)] * len(closed),
+                "session_start": [fmt(c[0]) for c in closed],
+                "session_end": [fmt(c[1]) for c in closed],
+                "n_events": [c[2] for c in closed],
+                "sum_value": [round(c[3], 2) for c in closed],
+            })
+
+    files = spark.readStream.schema(full.schema).option("maxFilesPerTrigger", 1).parquet(f"{stage}/part*")
+    ev = files.withColumn(
+        "ts_us", F.expr("ts div 1000") if ts_is_long else F.unix_micros("ts")
+    )
+    sessions = (
+        ev.select("user_id", "ts_us", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    name = f"events_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def windowed_event_counts_batch(events: DataFrame, *, window: str = "1 hour") -> DataFrame:
     """The batch twin of the streaming aggregation (same plan shape)."""
     return (

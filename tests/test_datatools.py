@@ -141,3 +141,31 @@ def test_streaming_matches_batch(spark, tmp_path):
     got = stream_windowed_event_counts(spark, sf_dir)
     want = windowed_event_counts_batch(read_parquet(spark, f"{sf_dir}/events.parquet"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stateful_sessionize_carries_state_across_batches(spark, tmp_path):
+    import datetime as dt
+
+    from pygrametl_spark.streaming.events import stream_sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(hours=1), 1, "click", 2.0, "{}"),
+        # lands in the second file (past the median split) but within the
+        # gap -> must extend the open session held in state, not start a new one
+        (3, base + dt.timedelta(hours=2), 1, "click", 3.0, "{}"),
+        # > 6h later: closes the session above
+        (4, base + dt.timedelta(hours=20), 1, "click", 4.0, "{}"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    got = stream_sessionize(spark, sf_dir, gap_hours=6.0, n_files=2).collect()
+    assert len(got) == 1
+    (s,) = got
+    assert (s["user_id"], s["n_events"], s["sum_value"]) == (1, 3, 6.0)
+    assert s["session_start"].startswith("2024-01-01 00:00:00")
+    assert s["session_end"].startswith("2024-01-01 02:00:00")
