@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dot_expr", "norm_expr", "cosine_expr", "cosine_topk", "cosine_neardup_pairs", "lsh_bucket"]
+__all__ = [
+    "dot_expr", "norm_expr", "cosine_expr", "cosine_topk",
+    "cosine_neardup_pairs", "lsh_bucket", "ivf_assign", "ivf_topk",
+]
 
 
 def dot_expr(a: str, b: str) -> Column:
@@ -89,6 +92,85 @@ def cosine_neardup_pairs(
         pairs.withColumn("cosine", F.round(cosine_expr("_va", "_vb"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_1", "id_2", "cosine")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+) -> DataFrame:
+    """IVF coarse quantization: route each vector to its nearest centroid.
+
+    Centroids are the first ``n_clusters`` vectors by id — deterministic
+    seeding, which is what the oracle can replay; production IVF would
+    refine them with a few k-means rounds, changing only the centroid
+    relation here. The centroid table is broadcast, so assignment is one
+    scan of the corpus with no shuffle: at 100 TB this is the cheapest
+    possible routing pass. Returns (id, cluster, vec).
+    """
+    cent = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(n_clusters)
+        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cent"))
+    )
+    pairs = df.select(id_col, vec_col).crossJoin(F.broadcast(cent))
+    pairs = pairs.withColumn("_cos", F.round(cosine_expr(vec_col, "_cent"), 6))
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cid").asc())
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("_cid").alias("cluster"), vec_col)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    nprobe: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k via IVF: scan only the ``nprobe`` clusters whose
+    centroids are nearest each query, then exact cosine within them.
+
+    The scale story: the corpus is routed once (:func:`ivf_assign` —
+    in practice written out partitioned by ``cluster``), and each query
+    touches ``nprobe/n_clusters`` of the data with partition pruning
+    doing the skipping. Both the centroid table and the probe set are
+    broadcast; the corpus is never shuffled.
+    """
+    assign = ivf_assign(df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters)
+    cent = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(n_clusters)
+        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cent"))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    qc = q.crossJoin(F.broadcast(cent)).withColumn(
+        "_cos", F.round(cosine_expr("_qv", "_cent"), 6)
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qv", F.col("_cid").alias("cluster"))
+    )
+    cand = assign.join(F.broadcast(probes), "cluster").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    cand = cand.withColumn("cosine", F.round(cosine_expr("_qv", vec_col), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"),
+                F.col(id_col).alias("neighbor_id"), "cosine")
     )
 
 

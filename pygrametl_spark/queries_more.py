@@ -332,6 +332,61 @@ ORACLE_PEP249 = "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer"
 
 
 # ---------------------------------------------------------------------------
+# IVF approximate nearest neighbor (net-new): route vectors to broadcast
+# centroids, probe only the nprobe nearest clusters per query.
+# ---------------------------------------------------------------------------
+
+def q_ann_ivf_topk(spark, sf_dir):
+    from pygrametl_spark.functions import similarity as sim
+
+    emb = load_catalog(spark, sf_dir).embeddings
+    queries = emb.filter("vec_id < 5")
+    return sim.ivf_topk(emb, queries, n_clusters=8, nprobe=3, k=5)
+
+
+def _ivf_oracle() -> str:
+    from pygrametl_spark.queries_data import _cos_sql
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cent FROM embeddings ORDER BY vec_id LIMIT 8
+), assign_all AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_cos_sql('e.embedding', 'c.cent')} DESC, c.cid ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, embedding, cid AS cluster FROM assign_all WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+), qprobe_all AS (
+  SELECT q.query_id, q.qv, c.cid,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_cos_sql('q.qv', 'c.cent')} DESC, c.cid ASC
+         ) AS rn
+  FROM q CROSS JOIN cent c
+), probes AS (
+  SELECT query_id, qv, cid AS cluster FROM qprobe_all WHERE rn <= 3
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_cos_sql('p.qv', 'a.embedding')} AS cosine
+  FROM assign a JOIN probes p ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+         ) AS BIGINT) AS rank
+  FROM cand
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Stateful streaming sessionization (net-new; SURVEY §2.11) — per-user
 # session windows via applyInPandasWithState, state carried across two
 # micro-batches. Emits exactly the sessions closed by a later event, so
@@ -371,6 +426,7 @@ WHERE sid < maxsid
 MORE_QUERIES = {
     "pep249_source": q_pep249_source,
     "events_sessionize": q_events_sessionize,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "dim_getbykey": q_dim_getbykey,
     "transforming_source": q_transforming_source,
     "dynamic_foreach_source": q_dynamic_foreach_source,
@@ -385,6 +441,7 @@ MORE_QUERIES = {
 MORE_ORACLES = {
     "pep249_source": ORACLE_PEP249,
     "events_sessionize": ORACLE_SESSIONIZE,
+    "ann_ivf_topk": _ivf_oracle(),
     "dim_getbykey": ORACLE_GETBYKEY,
     "transforming_source": ORACLE_TRANSFORMING,
     "dynamic_foreach_source": ORACLE_DYNAMIC_FOREACH,
