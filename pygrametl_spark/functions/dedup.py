@@ -68,33 +68,38 @@ def exact_dedup(df: DataFrame, id_col: str, on) -> DataFrame:
     return df.groupBy(*cols).agg(F.min(id_col).alias(id_col)).select(id_col, *cols)
 
 
-def _shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, hv): one 32-bit hash per *distinct* shingle per document.
-
-    Per-doc dedup is in-row (``array_distinct``) so this whole relation is
-    produced inside the scan stage — no shuffle before the signature agg.
-    """
-    sh = with_distinct_shingles(df, id_col, text_col, n)
-    return sh.select(id_col, F.explode("_sharr").alias("_s")).select(
-        id_col, hash32("_s").alias("hv")
-    )
-
-
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *, n: int = 3
 ) -> DataFrame:
-    """Wide MinHash signature: (id, mh0..mh15).
+    """Wide MinHash signature: (id, mh0..mh15) — computed entirely in-row.
 
-    One explode + one groupBy(id): the aggregation is 16 ``min`` columns,
-    all map-side combinable, so the shuffle carries only 16 longs per doc
-    regardless of document size.
+    The shingle set is an in-row array, so each permutation's minimum is
+    ``array_min(transform(hashes, h -> (a*h+b) % P))`` over a
+    materialized per-row hash array: the whole signature is produced
+    inside the scan stage with ZERO shuffle (the explode + groupBy
+    formulation shuffled one row per doc and materialized one row per
+    shingle first). Docs with no shingles (shorter than n tokens) are
+    dropped, matching the explode-based semantics.
+
+    The md5 per shingle is evaluated once into ``_harr`` — embedding it
+    in the 16 permutation lambdas would re-run it 16x per shingle.
     """
-    h = _shingle_hashes(df, id_col, text_col, n)
-    aggs = [
-        F.min((F.lit(a) * F.col("hv") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+    sh = with_distinct_shingles(df, id_col, text_col, n).filter(F.size("_sharr") >= 1)
+    hashed = sh.withColumn(
+        "_harr",
+        F.transform(
+            "_sharr",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        ),
+    )
+    def _perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    mins = [
+        F.array_min(F.transform("_harr", _perm(a, b))).alias(f"mh{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    return h.groupBy(id_col).agg(*aggs)
+    return hashed.select(id_col, *mins)
 
 
 def minhash_signatures_long(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
