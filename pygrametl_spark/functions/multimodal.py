@@ -24,7 +24,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["to_binary_payload", "decode_image_meta", "FAKE_FORMATS"]
+__all__ = [
+    "to_binary_payload", "decode_image_meta", "resize_image",
+    "sample_frames", "extract_features", "FAKE_FORMATS",
+]
 
 FAKE_FORMATS = ["png", "jpeg", "webp"]
 
@@ -76,3 +79,155 @@ def decode_image_meta(
             )
 
     return df.select(id_col, payload_col).mapInPandas(decode, schema=schema)
+
+
+def _md5_h32(payloads) -> tuple[list[str], list[int]]:
+    import hashlib
+
+    hexes = [hashlib.md5(bytes(p)).hexdigest() for p in payloads]
+    return hexes, [int(h[:8], 16) for h in hexes]
+
+
+def resize_image(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    *,
+    target_w: int = 64,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Aspect-preserving resize to ``target_w`` wide.
+
+    Same plumbing as :func:`decode_image_meta` (Arrow-batched
+    ``mapInPandas``, one Python call per batch). The fake derives the
+    source dims from the payload md5 exactly as the decode does, then
+    scales with integer arithmetic (``out_h = src_h*target_w // src_w``)
+    so the oracle replays it; the "resized payload" is summarized as an
+    md5 checksum (a real pipeline would emit the binary itself).
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "media libraries are not available in this container; "
+            "the deterministic fake exercises the full Spark plumbing"
+        )
+
+    schema = f"{id_col} long, out_w long, out_h long, resized_md5 string"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            hexes, h32 = _md5_h32(pdf[payload_col])
+            src_w = [16 + (h % 256) for h in h32]
+            src_h = [16 + ((h // 256) % 256) for h in h32]
+            out_h = [h * target_w // w for w, h in zip(src_w, src_h)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "out_w": pd.Series([target_w] * len(h32), dtype="int64"),
+                    "out_h": pd.Series(out_h, dtype="int64"),
+                    "resized_md5": [
+                        hashlib.md5(f"{hx}x{target_w}x{oh}".encode()).hexdigest()
+                        for hx, oh in zip(hexes, out_h)
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    *,
+    n_frames: int = 4,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Evenly-spaced frame sampling from a "video" payload — the 1→N row
+    shape: each input row yields ``n_frames`` output rows, produced
+    inside the same Arrow batch (``mapInPandas`` may change cardinality,
+    which per-row UDFs cannot).
+
+    Fake: duration_ms = 1000 * (1 + md5_32 % 30); frame i's timestamp is
+    ``i * duration_ms // n_frames`` and its checksum is
+    ``md5(payload_md5 || '-' || i)`` — all replayable in SQL.
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "media libraries are not available in this container; "
+            "the deterministic fake exercises the full Spark plumbing"
+        )
+
+    schema = f"{id_col} long, frame_idx long, ts_ms long, frame_md5 string"
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            hexes, h32 = _md5_h32(pdf[payload_col])
+            ids, fidx, tsms, fmd5 = [], [], [], []
+            for did, hx, h in zip(pdf[id_col].astype("int64"), hexes, h32):
+                duration_ms = 1000 * (1 + h % 30)
+                for i in range(n_frames):
+                    ids.append(did)
+                    fidx.append(i)
+                    tsms.append(i * duration_ms // n_frames)
+                    fmd5.append(hashlib.md5(f"{hx}-{i}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int64"),
+                    "ts_ms": pd.Series(tsms, dtype="int64"),
+                    "frame_md5": fmd5,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(sample, schema=schema)
+
+
+# Affine constants for the fake feature extractor (arbitrary, fixed so
+# the oracle can inline them). Each a < 2^31 so a * md5_32 stays under
+# 2^63 in both engines' 64-bit arithmetic.
+_FEAT_A = [754435761, 2046822519, 1366489917, 668265263, 374761393, 1241592653, 818281829, 1618033989]
+_FEAT_P = 4294967311
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    *,
+    dim: int = 8,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Payload → fixed-dim feature vector (``array<double>``) — the
+    embedding-extraction shape: binary in, vector out, Arrow both ways.
+
+    Fake feature j is ``round(((md5_32 * A_j) % P) / P, 6)`` ∈ [0,1) —
+    a real extractor would run a model forward pass here per Arrow
+    batch. Output is a proper array column so downstream similarity
+    operators (:mod:`~pygrametl_spark.functions.similarity`) compose.
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "media libraries are not available in this container; "
+            "the deterministic fake exercises the full Spark plumbing"
+        )
+    if dim > len(_FEAT_A):
+        raise ValueError(f"dim must be <= {len(_FEAT_A)}")
+
+    schema = f"{id_col} long, features array<double>"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            _, h32 = _md5_h32(pdf[payload_col])
+            feats = [
+                [round(((h * _FEAT_A[j]) % _FEAT_P) / _FEAT_P, 6) for j in range(dim)]
+                for h in h32
+            ]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "features": feats}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, schema=schema)

@@ -342,6 +342,73 @@ FROM h
 """
 
 
+def q_multimodal_resize(spark, sf_dir):
+    docs = load_catalog(spark, sf_dir).documents
+    return mm.resize_image(mm.to_binary_payload(docs, "text"), target_w=64)
+
+
+ORACLE_MM_RESIZE = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS hv
+  FROM documents
+), d AS (
+  SELECT doc_id, hx, 16 + (hv % 256) AS w, 16 + ((hv // 256) % 256) AS ht FROM h
+)
+SELECT doc_id, CAST(64 AS BIGINT) AS out_w,
+       CAST((ht * 64) // w AS BIGINT) AS out_h,
+       md5(hx || 'x64x' || CAST((ht * 64) // w AS VARCHAR)) AS resized_md5
+FROM d
+"""
+
+
+def q_multimodal_frames(spark, sf_dir):
+    docs = load_catalog(spark, sf_dir).documents
+    return mm.sample_frames(mm.to_binary_payload(docs, "text"), n_frames=4)
+
+
+ORACLE_MM_FRAMES = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS hv
+  FROM documents
+), d AS (
+  SELECT doc_id, hx, 1000 * (1 + hv % 30) AS dur FROM h
+), f AS (
+  SELECT doc_id, hx, dur, unnest(generate_series(0, 3)) AS i FROM d
+)
+SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+       CAST((i * dur) // 4 AS BIGINT) AS ts_ms,
+       md5(hx || '-' || CAST(i AS VARCHAR)) AS frame_md5
+FROM f
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    docs = load_catalog(spark, sf_dir).documents
+    feats = mm.extract_features(mm.to_binary_payload(docs, "text"), dim=8)
+    # flatten for the oracle gate; the operator's API output is the array
+    return feats.select(
+        "doc_id", *[F.element_at("features", j + 1).alias(f"f{j}") for j in range(8)]
+    )
+
+
+def _mm_features_oracle() -> str:
+    from pygrametl_spark.functions.multimodal import _FEAT_A, _FEAT_P
+
+    cols = ", ".join(
+        f"ROUND(CAST((hv * {a}) % {_FEAT_P} AS DOUBLE) / {_FEAT_P}, 6) AS f{j}"
+        for j, a in enumerate(_FEAT_A)
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id, {cols} FROM h
+"""
+
+
 def q_events_stream_windows(spark, sf_dir):
     return stream_windowed_event_counts(spark, sf_dir)
 
@@ -367,6 +434,9 @@ DATA_QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_features": q_multimodal_features,
     "events_stream_windows": q_events_stream_windows,
 }
 
@@ -384,5 +454,8 @@ DATA_ORACLES = {
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_lsh_buckets": ORACLE_ANN_LSH_BUCKETS,
     "multimodal_decode": ORACLE_MULTIMODAL,
+    "multimodal_resize": ORACLE_MM_RESIZE,
+    "multimodal_frames": ORACLE_MM_FRAMES,
+    "multimodal_features": _mm_features_oracle(),
     "events_stream_windows": ORACLE_EVENTS_STREAM,
 }

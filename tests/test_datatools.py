@@ -130,6 +130,43 @@ def test_multimodal_real_decode_is_stubbed(spark, docs):
         mm.decode_image_meta(payloads, real_decode=True)
 
 
+def test_multimodal_resize_preserves_aspect(spark, docs):
+    payloads = mm.to_binary_payload(docs, "text")
+    meta = {r["doc_id"]: r for r in mm.decode_image_meta(payloads).collect()}
+    out = {r["doc_id"]: r for r in mm.resize_image(payloads, target_w=64).collect()}
+    for did, r in out.items():
+        assert r["out_w"] == 64
+        assert r["out_h"] == meta[did]["height"] * 64 // meta[did]["width"]
+        assert len(r["resized_md5"]) == 32
+    assert out[1]["resized_md5"] == out[4]["resized_md5"]  # same payload
+
+
+def test_multimodal_frame_sampling_is_one_to_n(spark, docs):
+    payloads = mm.to_binary_payload(docs, "text")
+    frames = mm.sample_frames(payloads, n_frames=4).collect()
+    assert len(frames) == docs.count() * 4
+    per_doc = [r for r in frames if r["doc_id"] == 1]
+    assert sorted(r["frame_idx"] for r in per_doc) == [0, 1, 2, 3]
+    assert per_doc[0]["ts_ms"] == 0  # first frame at t=0
+    assert len({r["frame_md5"] for r in per_doc}) == 4  # distinct frames
+
+
+def test_multimodal_features_compose_with_similarity(spark, docs):
+    from pygrametl_spark.functions import similarity as sim
+
+    payloads = mm.to_binary_payload(docs, "text")
+    feats = mm.extract_features(payloads, dim=8)
+    row = feats.filter("doc_id=1").first()
+    assert len(row["features"]) == 8
+    assert all(0.0 <= v < 1.0 for v in row["features"])
+    # array<double> output plugs straight into the similarity operators
+    vecs = feats.withColumnRenamed("doc_id", "vec_id").withColumnRenamed(
+        "features", "embedding"
+    )
+    top = sim.cosine_topk(vecs, vecs.filter("vec_id = 1"), k=2).collect()
+    assert [r["neighbor_id"] for r in top][0] == 4  # identical payload wins
+
+
 def test_streaming_matches_batch(spark, tmp_path):
     from pygrametl_spark.catalog import read_parquet
     from pygrametl_spark.streaming.events import (
