@@ -95,6 +95,32 @@ def cosine_neardup_pairs(
     )
 
 
+def _dot_cols(a: Column, b: Column) -> Column:
+    """Column-object variant of :func:`dot_expr` (usable inside HOF lambdas)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _centroids(df: DataFrame, id_col: str, vec_col: str, n_clusters: int) -> DataFrame:
+    """(_cid, _cent, _cnorm): the first ``n_clusters`` vectors by id —
+    deterministic seeding, which is what the oracle can replay;
+    production IVF would refine them with a few k-means rounds, changing
+    only this relation. Norms are precomputed so probe-time scoring
+    never recomputes them per row."""
+    return (
+        df.orderBy(F.col(id_col).asc())
+        .limit(n_clusters)
+        .select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).alias("_cent"),
+            F.sqrt(_dot_cols(F.col(vec_col), F.col(vec_col))).alias("_cnorm"),
+        )
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     *,
@@ -104,25 +130,36 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF coarse quantization: route each vector to its nearest centroid.
 
-    Centroids are the first ``n_clusters`` vectors by id — deterministic
-    seeding, which is what the oracle can replay; production IVF would
-    refine them with a few k-means rounds, changing only the centroid
-    relation here. The centroid table is broadcast, so assignment is one
-    scan of the corpus with no shuffle: at 100 TB this is the cheapest
-    possible routing pass. Returns (id, cluster, vec).
+    The centroid set is collapsed into ONE broadcast row holding an
+    array of (cid, cent, norm) structs; each corpus row picks its
+    cluster with an in-row ``array_max`` argmax over that array
+    (tie → lowest cid, matching the oracle's ordering). Assignment is
+    therefore a single scan of the corpus with ZERO shuffle — at 100 TB
+    this is the cheapest possible routing pass; the earlier formulation
+    (cross join + window over ``partitionBy(id)``) shuffled the whole
+    corpus just to take a per-row argmax. Returns (id, cluster, vec).
     """
-    cent = (
-        df.orderBy(F.col(id_col).asc())
-        .limit(n_clusters)
-        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cent"))
+    cent_arr = _centroids(df, id_col, vec_col, n_clusters).agg(
+        F.collect_list(F.struct("_cid", "_cent", "_cnorm")).alias("_cents")
     )
-    pairs = df.select(id_col, vec_col).crossJoin(F.broadcast(cent))
-    pairs = pairs.withColumn("_cos", F.round(cosine_expr(vec_col, "_cent"), 6))
-    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cid").asc())
-    return (
-        pairs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, F.col("_cid").alias("cluster"), vec_col)
+    base = df.select(
+        id_col, vec_col,
+        F.sqrt(_dot_cols(F.col(vec_col), F.col(vec_col))).alias("_vnorm"),
+    )
+    scored = base.crossJoin(F.broadcast(cent_arr))
+    best = F.array_max(
+        F.transform(
+            "_cents",
+            lambda c: F.struct(
+                F.round(
+                    _dot_cols(F.col(vec_col), c["_cent"]) / (F.col("_vnorm") * c["_cnorm"]), 6
+                ).alias("cos"),
+                (-c["_cid"]).alias("ncid"),
+            ),
+        )
+    )
+    return scored.select(
+        id_col, (-best["ncid"]).alias("cluster"), vec_col
     )
 
 
@@ -146,14 +183,15 @@ def ivf_topk(
     broadcast; the corpus is never shuffled.
     """
     assign = ivf_assign(df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters)
-    cent = (
-        df.orderBy(F.col(id_col).asc())
-        .limit(n_clusters)
-        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cent"))
-    )
+    cent = _centroids(df, id_col, vec_col, n_clusters)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     qc = q.crossJoin(F.broadcast(cent)).withColumn(
-        "_cos", F.round(cosine_expr("_qv", "_cent"), 6)
+        "_cos",
+        F.round(
+            _dot_cols(F.col("_qv"), F.col("_cent"))
+            / (F.sqrt(_dot_cols(F.col("_qv"), F.col("_qv"))) * F.col("_cnorm")),
+            6,
+        ),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
     probes = (
