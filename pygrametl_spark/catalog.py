@@ -108,3 +108,17 @@ def load_catalog(spark: SparkSession, sf_dir: str, *, views: bool = False) -> Ca
     if views:
         cat.register_views()
     return cat
+
+
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition an under-partitioned input before heavy
+    derived compute (shingling, hashing, per-row media work).
+
+    A small file is one scan split, so everything narrow downstream runs
+    on ONE core — this buys the cluster back for the price of shuffling
+    the (small) raw rows. On a 100 TB input the scan already has
+    thousands of splits and this is a no-op decision: only apply it when
+    the source is small relative to the compute it fans out into.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)

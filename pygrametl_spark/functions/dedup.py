@@ -118,13 +118,22 @@ def minhash_lsh_pairs(
     *,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded LSH over the MinHash signature.
 
-    Candidate generation joins on (band index, band hash) — docs only
-    meet if they collide in some band, so the cross-product never
-    materializes. The estimated jaccard (fraction of equal minhashes)
-    then filters candidates. Returns (id_1, id_2, est_jaccard).
+    Candidate generation groups documents by (band index, band hash) and
+    enumerates the i<j pairs *inside* each bucket with in-row array
+    expressions — docs only meet if they collide in some band, so the
+    corpus cross-product never materializes and the signature pipeline
+    runs exactly ONCE (a bucket self-join reads the relation twice:
+    measured as two full shingle+signature computations, plus Catalyst
+    broadcasting a corpus-sized bucket relation — both disqualifying at
+    100 TB). Total shuffles: one groupBy on the bucket key + one
+    pair-dedup; bucket state is bounded by bucket size, for which
+    ``max_bucket_size`` is the standard web-scale skew guard (a bucket
+    that big is a degenerate duplicate cluster; None keeps exact
+    semantics). Returns (id_1, id_2, est_jaccard).
     """
     rows_per_band = MINHASH_K // bands
     wide = minhash_signatures(df, id_col, text_col)
@@ -135,29 +144,43 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     sig = wide.select(id_col, *[F.col(f"mh{i}") for i in range(MINHASH_K)], *band_cols)
-    # Carry the whole signature array through the band explode: the bucket
-    # self-join then yields est_jaccard directly, with no re-join against
-    # the signature relation (which would recompute the shingle pipeline
-    # per join side — AQE's broadcast conversion defeats ReusedExchange).
-    # The explicit repartition on the bucket key is the single shared
-    # exchange both join sides reuse, and pre-partitions the join.
-    # Extra shuffle width is bands x 16 longs per doc — fixed, small.
     buckets = sig.select(
-        id_col,
+        F.col(id_col),
         F.array(*[F.col(f"mh{i}") for i in range(MINHASH_K)]).alias("sig"),
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("bidx"), F.col(f"band{b}").alias("bhash")) for b in range(bands)])
         ).alias("bb"),
-    ).select(id_col, "sig", "bb.bidx", "bb.bhash").repartition("bidx", "bhash")
-    a, b = buckets.alias("a"), buckets.alias("b")
-    eq = F.size(F.filter(F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda v: v))
+    ).select(id_col, "sig", "bb.bidx", "bb.bhash")
+    grouped = (
+        buckets.groupBy("bidx", "bhash")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ms") <= max_bucket_size)
+    # all i<j member pairs of the bucket, in-row
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ms") - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ms") - 1),
+                lambda j: F.struct(
+                    F.element_at(F.col("ms"), i + 1).alias("a"),
+                    F.element_at(F.col("ms"), j + 1).alias("b"),
+                ),
+            ),
+        )
+    )
+    pairs = grouped.select(F.explode(pair_arr).alias("p")).select(
+        F.least("p.a.id", "p.b.id").alias("id_1"),
+        F.greatest("p.a.id", "p.b.id").alias("id_2"),
+        F.col("p.a.sig").alias("sig_a"),
+        F.col("p.b.sig").alias("sig_b"),
+    )
+    eq = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
     return (
-        a.join(b, on=[F.col("a.bidx") == F.col("b.bidx"), F.col("a.bhash") == F.col("b.bhash"),
-                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .select(
-            F.col(f"a.{id_col}").alias("id_1"),
-            F.col(f"b.{id_col}").alias("id_2"),
-            F.round(eq / F.lit(float(MINHASH_K)), 4).alias("est_jaccard"),
+        pairs.select(
+            "id_1", "id_2", F.round(eq / F.lit(float(MINHASH_K)), 4).alias("est_jaccard")
         )
         .dropDuplicates(["id_1", "id_2"])
         .filter(F.col("est_jaccard") >= threshold)

@@ -19,15 +19,30 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def plan_stats(df: DataFrame) -> dict:
-    """Counts of plan features that matter at scale."""
+    """Counts of plan features that matter at scale.
+
+    Parses the detail headers of ``explain("formatted")`` — one
+    ``(N) OpName`` line per operator — so each operator is counted
+    exactly once (tree lines carry ``+-``/``:-`` prefixes and the name
+    appears again in the detail section).
+    """
+    import re
+
     s = formatted_plan(df)
+    ops = re.findall(r"^\(\d+\) ([A-Za-z]+)", s, flags=re.M)
+
+    def n(name: str) -> int:
+        return sum(1 for o in ops if o == name)
+
     return {
-        "exchanges": s.count("(Exchange") + sum(1 for line in s.splitlines() if line.strip().startswith("Exchange")),
-        "broadcast_joins": s.count("BroadcastHashJoin"),
-        "sortmerge_joins": s.count("SortMergeJoin"),
-        "shuffledhash_joins": s.count("ShuffledHashJoin"),
+        "exchanges": n("Exchange"),
+        "broadcast_exchanges": n("BroadcastExchange"),
+        "broadcast_joins": n("BroadcastHashJoin") + n("BroadcastNestedLoopJoin"),
+        "sortmerge_joins": n("SortMergeJoin"),
+        "shuffledhash_joins": n("ShuffledHashJoin"),
+        "scans": n("Scan"),
         "pushed_filters": sum(
             1 for line in s.splitlines() if "PushedFilters: [" in line and "PushedFilters: []" not in line
         ),
-        "codegen_stages": s.count("WholeStageCodegen"),
+        "codegen_ids": len(set(re.findall(r"\[codegen id : (\d+)\]", s))),
     }

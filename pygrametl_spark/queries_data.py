@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pygrametl_spark.catalog import load_catalog
+from pygrametl_spark.catalog import load_catalog, spread
 from pygrametl_spark.functions import dedup as dd
 from pygrametl_spark.functions import multimodal as mm
 from pygrametl_spark.functions import similarity as sim
@@ -153,7 +153,7 @@ ORACLE_DEDUP_EXACT = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
 def q_minhash_signatures(spark, sf_dir):
-    docs = load_catalog(spark, sf_dir).documents
+    docs = spread(load_catalog(spark, sf_dir).documents)
     return dd.minhash_signatures_long(docs)
 
 
@@ -165,7 +165,9 @@ FROM sig UNPIVOT (minhash FOR perm IN ({_UNPIVOT_COLS}))
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    docs = load_catalog(spark, sf_dir).documents
+    # spread: the single small parquet split would serialize the in-row
+    # signature compute; at real scale the scan has many splits already
+    docs = spread(load_catalog(spark, sf_dir).documents)
     return dd.minhash_lsh_pairs(docs, threshold=0.5)
 
 
@@ -199,6 +201,7 @@ ORACLE_MINHASH_LSH = _lsh_oracle()
 
 
 def q_simhash(spark, sf_dir):
+    # no spread: the explode+groupBy shape distributes at its own shuffle
     docs = load_catalog(spark, sf_dir).documents
     return dd.simhash32(docs)
 
@@ -220,6 +223,7 @@ ORACLE_SIMHASH = _simhash_oracle()
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    # no spread: repartition("s") right after the explode distributes
     docs = load_catalog(spark, sf_dir).documents
     return dd.ngram_jaccard_pairs(docs, threshold=0.2)
 
