@@ -145,6 +145,26 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_custom_udaf(spark, sf_dir):
+    """User-defined aggregator (ref: subclass Aggregator, aggregators.py:49-54)
+    as an Arrow-batched GROUPED_AGG pandas UDF — median of order totals."""
+    from pygrametl_spark.functions.aggregators import PandasAggregator
+
+    orders = load_catalog(spark, sf_dir).orders
+    med = PandasAggregator("o_totalprice", lambda s: s.median())
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(med.column(), 2).alias("median_price")
+    )
+
+
+# pandas .median() on even counts averages the two middle values ==
+# SQL's continuous (interpolated) median
+ORACLE_CUSTOM_UDAF = """
+SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # Scalar helpers (ref __init__.py:190-382)
 # ---------------------------------------------------------------------------
@@ -432,6 +452,7 @@ MORE_QUERIES = {
     "dynamic_foreach_source": q_dynamic_foreach_source,
     "round_robin_source": q_round_robin_source,
     "countdistinct_agg": q_countdistinct_agg,
+    "custom_udaf": q_custom_udaf,
     "scalar_helpers": q_scalar_helpers,
     "bulk_fact_roundtrip": q_bulk_fact_roundtrip,
     "steps_chain": q_steps_chain,
@@ -447,6 +468,7 @@ MORE_ORACLES = {
     "dynamic_foreach_source": ORACLE_DYNAMIC_FOREACH,
     "round_robin_source": ORACLE_ROUND_ROBIN,
     "countdistinct_agg": ORACLE_COUNTDISTINCT,
+    "custom_udaf": ORACLE_CUSTOM_UDAF,
     "scalar_helpers": ORACLE_SCALAR_HELPERS,
     "bulk_fact_roundtrip": ORACLE_BULK_FACT,
     "steps_chain": ORACLE_STEPS_CHAIN,

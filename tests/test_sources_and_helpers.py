@@ -108,6 +108,17 @@ def test_crosstab(spark):
     assert_df_set_equal(out, [("a", 1, 2), ("b", 3, 0)], columns=["r", "x", "y"])
 
 
+def test_pandas_aggregator_udaf(spark):
+    from pygrametl_spark.functions.aggregators import PandasAggregator
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", 10.0), ("b", 2.0), ("b", 4.0)], ["k", "v"]
+    )
+    med = PandasAggregator("v", lambda s: s.median())
+    out = {r["k"]: r["m"] for r in df.groupBy("k").agg(med.column("m")).collect()}
+    assert out == {"a": 3.0, "b": 3.0}  # even count -> interpolated middle
+
+
 def test_cast_helpers(spark):
     df = spark.createDataFrame([("12", "1.5", "true", " pad ")], ["i", "f", "b", "s"])
     out = df.select(
