@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "getint", "getfloat", "getstr", "getstrippedstr", "getbool",
-    "getdate", "gettimestamp", "ymdparser", "ymdhmsparser",
+    "getdate", "gettimestamp", "ymdparser", "ymdhmsparser", "today", "now",
     "getvalue", "getvalueor", "setdefaults",
     "project", "copy", "rename", "renamefromto", "renametofrom",
     "toupper", "tolower", "keepasis", "datespan",
@@ -87,6 +87,31 @@ def gettimestamp(value, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
 
 ymdparser = getdate
 ymdhmsparser = gettimestamp
+
+_FROZEN: dict = {}
+
+
+def today() -> Column:
+    """Frozen-at-first-call date literal (ref today/now __init__.py:451-472).
+
+    The reference memoizes the wall clock on first use so one ETL run
+    stamps every row identically; the batch analogue is capturing it
+    into a *literal* once — never ``current_date()`` evaluated at
+    executor whim mid-job."""
+    import datetime
+
+    if "today" not in _FROZEN:
+        _FROZEN["today"] = datetime.date.today()
+    return F.lit(_FROZEN["today"])
+
+
+def now() -> Column:
+    """Frozen-at-first-call timestamp literal (see :func:`today`)."""
+    import datetime
+
+    if "now" not in _FROZEN:
+        _FROZEN["now"] = datetime.datetime.now().replace(microsecond=0)
+    return F.lit(_FROZEN["now"])
 
 
 def getvalue(row: DataFrame | Mapping, name: str, mapping: Mapping[str, str] | None = None):

@@ -206,3 +206,61 @@ def test_stateful_sessionize_carries_state_across_batches(spark, tmp_path):
     assert (s["user_id"], s["n_events"], s["sum_value"]) == (1, 3, 6.0)
     assert s["session_start"].startswith("2024-01-01 00:00:00")
     assert s["session_end"].startswith("2024-01-01 02:00:00")
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg with a 1h watermark: once a window is
+    finalized (watermark passed its end and its state was evicted), a
+    later micro-batch's event for that window is DROPPED — the late-data
+    bound that keeps streaming state finite. (While the window is still
+    open, Spark accepts stragglers and merges them — that path is what
+    the 1h slack buys.)"""
+    import datetime as dt
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 3, 1)
+    schema = "ts timestamp, event_type string, value double"
+    stage = str(tmp_path / "stream")
+    batches = [
+        [(base + dt.timedelta(hours=1), "click", 1.0)],          # window [01:00,02:00)
+        [(base + dt.timedelta(hours=3, minutes=30), "click", 1.0)],  # raises max ts
+        [(base + dt.timedelta(hours=6), "click", 1.0)],          # batch runs at wm 02:30 -> evicts+emits window 1
+        [(base + dt.timedelta(hours=1, minutes=15), "click", 100.0)],  # late: window 1 already finalized
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{stage}/b{i}")
+        d = f"{stage}/b{i}"
+        for f in os.listdir(d):  # mtime order = processing order
+            os.utime(os.path.join(d, f), (1_700_000_000 + i, 1_700_000_000 + i))
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/b*")
+    )
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        so["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    out = {
+        r["w"]["start"].hour: (r["n"], r["sv"]) for r in spark.table(name).collect()
+    }
+    assert dropped == 1  # exactly the late 100.0 event
+    # the finalized 01:00 window holds only the on-time event, emitted once
+    assert out[1] == (1, 1.0)
+    assert out[3] == (1, 1.0)

@@ -108,6 +108,14 @@ def test_crosstab(spark):
     assert_df_set_equal(out, [("a", 1, 2), ("b", 3, 0)], columns=["r", "x", "y"])
 
 
+def test_today_now_frozen(spark):
+    df = spark.range(2)
+    a = df.select(helpers.today().alias("d"), helpers.now().alias("t")).collect()
+    b = df.select(helpers.today().alias("d"), helpers.now().alias("t")).collect()
+    assert a == b  # second call reuses the frozen instant
+    assert a[0]["d"] == a[1]["d"]
+
+
 def test_pandas_aggregator_udaf(spark):
     from pygrametl_spark.functions.aggregators import PandasAggregator
 
