@@ -1,0 +1,47 @@
+"""Skew-resistant join helpers.
+
+AQE's skew-join splitting (on by default in ``session.get_spark``)
+handles most hot keys by splitting oversized shuffle partitions. Salting
+is the explicit tool for the cases AQE cannot fix: a single join key so
+hot that *one key's* rows exceed an executor (AQE splits partitions, not
+keys), stream-static joins (no AQE), or when the non-skewed side is too
+big to broadcast. The reference has no analogue (its hash join is a
+single in-memory dict, ``pygrametl/datasources.py:296-332``) — this is
+net-new scale surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_join"]
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str | list[str],
+    *,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed`` has hot keys: scatter each skewed row
+    into one of ``salt`` sub-keys and replicate ``other`` across all of
+    them, so one hot key spreads over ``salt`` shuffle partitions.
+
+    The salt is ``pmod(hash(all columns), salt)`` of the skewed row —
+    deterministic (re-runs and retries land identically, no
+    ``rand()``-driven nondeterminism under task re-execution) while
+    spreading near-uniformly. Cost: ``other`` shuffles ``salt``x — use
+    when ``other`` is the smaller side yet above the broadcast
+    threshold. Result equals ``skewed.join(other, on, how)`` exactly:
+    each skewed row joins the single replica set bearing its salt.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salt_cols = [F.col(c) for c in skewed.columns]
+    s = skewed.withColumn("_salt", F.pmod(F.hash(*salt_cols), F.lit(salt)))
+    r = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return s.join(r, keys + ["_salt"], how).drop("_salt")

@@ -105,3 +105,27 @@ def test_sql_literal_helpers(spark):
     assert row["s"] == "'o''brien'"
     assert row["b"] == "1"
     assert row["n"] == "None"
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pygrametl_spark.plans.joins import salted_join
+
+    # key 1 is hot: 500 of 600 fact rows
+    facts = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(i % 20 + 2, i) for i in range(100)],
+        ["k", "v"],
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(30)], ["k", "name"])
+    got = salted_join(facts, dim, "k", salt=8)
+    want = facts.join(dim, "k")
+    assert got.count() == want.count() == 600
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_salted_join_left_preserves_unmatched(spark):
+    from pygrametl_spark.plans.joins import salted_join
+
+    facts = spark.createDataFrame([(1, 10), (99, 20)], ["k", "v"])
+    dim = spark.createDataFrame([(1, "one")], ["k", "name"])
+    rows = {r["k"]: r["name"] for r in salted_join(facts, dim, "k", salt=4, how="left").collect()}
+    assert rows == {1: "one", 99: None}
