@@ -29,6 +29,8 @@ class _Registration:
     path: str
     dependson: list = field(default_factory=list)
     partition_cols: list = field(default_factory=list)
+    bucket_cols: list = field(default_factory=list)
+    n_buckets: int = 0
 
 
 class Engine:
@@ -40,15 +42,26 @@ class Engine:
         self._tables: dict[str, _Registration] = {}
 
     def register(self, table, *, dependson=(), path: str | None = None,
-                 partition_cols=()) -> object:
+                 partition_cols=(), bucket_cols=(), n_buckets: int = 0) -> object:
         """Register a Dimension/FactTable for endload. ``dependson`` names
-        tables that must persist first (FK targets)."""
+        tables that must persist first (FK targets).
+
+        ``bucket_cols``/``n_buckets`` hash-bucket the persisted layout on
+        the join key (surrogate key on the dimension, the matching keyref
+        on facts): tables bucketed the same way join with NO exchange on
+        either side — for a warehouse whose facts are joined to the same
+        dimensions every load, the shuffle is paid once at write time
+        instead of per query. Bucketed tables persist via
+        ``saveAsTable`` (bucket metadata lives in the session catalog);
+        read them back with ``spark.table(name)``."""
         name = table.name
         self._tables[name] = _Registration(
             table=table,
             path=path or os.path.join(self.warehouse_dir, name),
             dependson=[d.name if hasattr(d, "name") else d for d in dependson],
             partition_cols=list(partition_cols),
+            bucket_cols=list(bucket_cols),
+            n_buckets=n_buckets,
         )
         return table
 
@@ -82,7 +95,18 @@ class Engine:
             w = reg.table.df.write.mode(mode)
             if reg.partition_cols:
                 w = w.partitionBy(*reg.partition_cols)
-            w.parquet(reg.path)
+            if reg.bucket_cols:
+                # sortBy keeps bucket files sort-merge-ready: the
+                # co-located join needs no sort either
+                w = (
+                    w.format("parquet")
+                    .option("path", reg.path)
+                    .bucketBy(reg.n_buckets, *reg.bucket_cols)
+                    .sortBy(*reg.bucket_cols)
+                )
+                w.saveAsTable(name)
+            else:
+                w.parquet(reg.path)
             written.append(name)
         return written
 

@@ -153,3 +153,36 @@ def test_custom_idfinder(spark):
     batch = spark.createDataFrame([("xyz",)], ["name"])
     dim.ensure(batch)
     assert dim.df.filter("name = 'xyz'").first()["id"] == 103
+
+
+def test_engine_bucketed_endload_colocated_join(spark, tmp_path):
+    """Tables bucketed on the join key at endload join with ZERO
+    exchanges: the shuffle is paid once at write, not per query."""
+    from pygrametl_spark.operators.facttable import FactTable
+    from pygrametl_spark.plans.explain import plan_stats
+
+    dim = Dimension(
+        "bdim", "id", ["name"],
+        df=spark.createDataFrame([(i, f"n{i}") for i in range(50)], "id long, name string"),
+    )
+    fact = FactTable(
+        "bfact", ["id"], ["amount"],
+        df=spark.createDataFrame([(i % 50, float(i)) for i in range(500)], "id long, amount double"),
+    )
+    eng = Engine(spark, str(tmp_path))
+    eng.register(dim, bucket_cols=["id"], n_buckets=4)
+    eng.register(fact, dependson=["bdim"], bucket_cols=["id"], n_buckets=4)
+    try:
+        assert eng.endload() == ["bdim", "bfact"]
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bfact").join(spark.table("bdim"), "id")
+            stats = plan_stats(joined)
+            assert stats["exchanges"] == 0 and stats["broadcast_exchanges"] == 0
+            assert joined.count() == 500
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bdim")
+        spark.sql("DROP TABLE IF EXISTS bfact")
