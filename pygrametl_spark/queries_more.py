@@ -443,8 +443,103 @@ WHERE sid < maxsid
 """
 
 
+# ---------------------------------------------------------------------------
+# Dimension.ensure with rowexpander (ref tables.py:157-165, 391-397):
+# the expansion hook runs on lookup-miss members only — pre-existing
+# members keep their stored attributes untouched.
+# ---------------------------------------------------------------------------
+
+def q_dim_rowexpander(spark, sf_dir):
+    part = load_catalog(spark, sf_dir).part
+    seed = part.filter("p_size <= 2").select(F.col("p_brand").alias("brand")).distinct()
+    seed = assign_dense_keys(seed, ["brand"], "id", 0).withColumn(
+        "brand_code", F.lit("seed")
+    )
+    dim = Dimension(
+        "brand_dim", "id", ["brand", "brand_code"], lookupatts=["brand"],
+        rowexpander=lambda df: df.withColumn("brand_code", F.upper(F.col("brand"))),
+        df=seed,
+    )
+    dim.ensure(part, namemapping={"brand": "p_brand"})
+    return dim.df
+
+
+ORACLE_ROWEXPANDER = """
+WITH seed AS (SELECT DISTINCT p_brand AS brand FROM part WHERE p_size <= 2),
+seeded AS (
+  SELECT CAST(row_number() OVER (ORDER BY brand) AS BIGINT) AS id, brand,
+         'seed' AS brand_code
+  FROM seed
+), newm AS (
+  SELECT DISTINCT p_brand AS brand FROM part
+  WHERE p_brand NOT IN (SELECT brand FROM seeded)
+)
+SELECT id, brand, brand_code FROM seeded
+UNION ALL
+SELECT (SELECT COUNT(*) FROM seeded) + CAST(row_number() OVER (ORDER BY brand) AS BIGINT) AS id,
+       brand, UPPER(brand) AS brand_code
+FROM newm
+"""
+
+
+# ---------------------------------------------------------------------------
+# lookupasof bound matrix + full-row variant (ref tables.py:1686-1711):
+# toincl=True makes the interval [from, to] inclusive on both ends, so a
+# probe at an exact version boundary matches BOTH the closing and the
+# opening version; the reference's linear scan resolves this to the
+# newest matching version, which the engine replicates with one window.
+# ---------------------------------------------------------------------------
+
+def q_asof_bounds_fullrow(spark, sf_dir):
+    events = load_catalog(spark, sf_dir).events
+    dim_df = scd2_from_history(
+        events, ["user_id"], ["event_type"], "ts", key="id", tiebreak=["event_id"]
+    )
+    scd = SlowlyChangingDimension(
+        "user_scd", "id", ["user_id", "event_type", "version", "fromdate", "todate"],
+        ["user_id"], versionatt="version", fromatt="fromdate", toatt="todate", df=dim_df,
+    )
+    probe = (
+        read_parquet(spark, f"{sf_dir}/events.parquet")
+        .filter("event_type = 'click'")
+        .select("event_id", "user_id", "ts")
+    )
+    out = scd.lookupasof(probe, "ts", fromincl=True, toincl=True, full_row=True)
+    return out.select("event_id", "id", "version", F.col("event_type").alias("state"))
+
+
+ORACLE_ASOF_BOUNDS = """
+WITH changes AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), kept AS (
+  SELECT user_id, event_type, ts, event_id FROM changes
+  WHERE prev IS NULL OR prev <> event_type
+), v AS (
+  SELECT user_id, event_type, ts AS fromdate,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS todate,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+  FROM kept
+), dim AS (
+  SELECT CAST(row_number() OVER (ORDER BY user_id, version) AS BIGINT) AS id, *
+  FROM v
+), j AS (
+  SELECT p.event_id, d.id, d.version, d.event_type AS state,
+         row_number() OVER (PARTITION BY p.event_id ORDER BY d.fromdate DESC) AS rn
+  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') p
+  LEFT JOIN dim d
+    ON p.user_id = d.user_id AND d.fromdate <= p.ts
+   AND (d.todate IS NULL OR d.todate >= p.ts)
+)
+SELECT event_id, id, version, state FROM j WHERE rn = 1
+"""
+
+
 MORE_QUERIES = {
     "pep249_source": q_pep249_source,
+    "dim_rowexpander": q_dim_rowexpander,
+    "asof_bounds_fullrow": q_asof_bounds_fullrow,
     "events_sessionize": q_events_sessionize,
     "ann_ivf_topk": q_ann_ivf_topk,
     "dim_getbykey": q_dim_getbykey,
@@ -461,6 +556,8 @@ MORE_QUERIES = {
 
 MORE_ORACLES = {
     "pep249_source": ORACLE_PEP249,
+    "dim_rowexpander": ORACLE_ROWEXPANDER,
+    "asof_bounds_fullrow": ORACLE_ASOF_BOUNDS,
     "events_sessionize": ORACLE_SESSIONIZE,
     "ann_ivf_topk": _ivf_oracle(),
     "dim_getbykey": ORACLE_GETBYKEY,
