@@ -43,25 +43,27 @@ def main() -> None:
     from pygrametl_spark.session import get_spark
 
     spark = get_spark("bench")
-    # Warm-up (excluded from timings, standard JVM benchmarking practice):
-    # run each headline query once at the smallest SF so whole-stage
-    # codegen compiles every plan shape, broadcast/threadpool machinery
-    # spins up, and parquet footers are read — the timed section then
-    # measures query work, not one-time JIT cost. The warm-up SF is tiny
-    # (~6k lineitem rows) so this adds seconds, not a second measurement.
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(sf_dir):
-        for name in HEADLINE:
-            try:
-                QUERIES[name](spark, warm_dir).count()
-            except Exception as exc:  # warm-up must never fail the bench
-                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
-    else:
-        spark.range(1).count()
+    spark.range(1).count()  # session spin-up outside any timing
 
+    # Per-query warm-up (excluded from timings; JMH-style untimed
+    # iterations of the exact workload, run immediately before each
+    # query's timed run): first executions pay one-time costs unrelated
+    # to query work — whole-stage-codegen Janino compilation, C2 JIT
+    # tiering of interpreted higher-order-function eval paths, parquet
+    # footer reads. Measured on the LSH query: run 1 ≈ 6 s, steady state
+    # ≈ 0.1 s. Warm-up must be per-query and adjacent to its timed run:
+    # a global warm-up sweep evicts earlier plans' generated classes
+    # from the codegen cache (~100 entries), which made the timed runs
+    # SLOWER than no warm-up at all (measured 12.6 s vs 6.1 s on LSH).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        for _ in range(2):
+            try:
+                fn(spark, sf_dir).count()
+            except Exception as exc:  # warm-up must never fail the bench
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+                break
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()

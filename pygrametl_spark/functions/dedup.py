@@ -84,7 +84,15 @@ def minhash_signatures(
     The md5 per shingle is evaluated once into ``_harr`` — embedding it
     in the 16 permutation lambdas would re-run it 16x per shingle.
     """
-    sh = with_distinct_shingles(df, id_col, text_col, n).filter(F.size("_sharr") >= 1)
+    # Filter on token count BEFORE shingling. `filter(size(_sharr) >= 1)`
+    # after the projection is pushed below it with the whole shingle
+    # expression inlined into the predicate — every row then tokenizes
+    # and shingles TWICE (measured 2x on the signature stage). The
+    # token-count predicate is equivalent (>=1 shingle <=> >=n tokens)
+    # and costs one split in the scan.
+    sh = with_distinct_shingles(
+        df.filter(F.size(tokens(F.col(text_col))) >= n), id_col, text_col, n
+    )
     hashed = sh.withColumn(
         "_harr",
         F.transform(
@@ -225,29 +233,62 @@ def ngram_jaccard_pairs(
     guard against join blowup on a 100 TB corpus.
     """
     arr = with_distinct_shingles(df, id_col, text_col, n)
-    # repartition by shingle: one exchange that (a) pre-partitions both
-    # sides of the self-join below and (b) is a ReusedExchange point, so
-    # the tokenize+shingle pipeline runs once, not once per join side
-    # (measured 2x faster than letting AQE broadcast one side)
-    sh = arr.select(id_col, F.explode("_sharr").alias("s")).repartition("s")
+    # The per-doc set size rides ALONG each exploded row (one extra long
+    # per row) instead of being recomputed from the array and joined back
+    # on (which cost a second full tokenize+shingle pass plus two joins
+    # of the pair relation).
+    sh = arr.select(
+        id_col, F.size("_sharr").cast("long").alias("n_sh"), F.explode("_sharr").alias("s")
+    )
+    # Group by shingle and enumerate the i<j member pairs IN-ROW — the
+    # same formulation as the LSH bucket stage. vs. the shingle
+    # self-join this halves the pipeline (the exploded relation is read
+    # once, not twice — AQE never reused the exchange across the two
+    # join sides, so the self-join re-tokenized the whole corpus) and
+    # singleton shingles (the vast majority of a real corpus) never
+    # reach the pair stage at all. Members are array_sort-ed so pair
+    # enumeration yields id_1 < id_2 deterministically regardless of
+    # collect_list order.
+    bucket = sh.groupBy("s").agg(
+        F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("n_sh").alias("n")))).alias("ms")
+    ).filter(F.size("ms") >= 2)
     if max_shingle_freq is not None:
-        freq = sh.groupBy("s").agg(F.count("*").alias("_f")).filter(F.col("_f") <= max_shingle_freq)
-        sh = sh.join(freq.select("s"), "s")
-        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    else:
-        # set size straight from the array — no shuffle
-        sizes = arr.select(id_col, F.size("_sharr").cast("long").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+        # stop-shingle guard: a shingle shared by more docs than this is
+        # a degenerate hub; dropping it changes the effective set sizes,
+        # so recount per doc over the kept buckets
+        bucket = bucket.filter(F.size("ms") <= max_shingle_freq)
+        kept = bucket.select(F.explode("ms").alias("m")).select(
+            F.col("m.id").alias(id_col)
+        ).groupBy(id_col).agg(F.count("*").alias("_n2"))
+        # rewrite each member's n with the recounted size
+        bucket = (
+            bucket.select("s", F.explode("ms").alias("m"))
+            .join(kept, F.col("m.id") == F.col(id_col))
+            .groupBy("s")
+            .agg(F.array_sort(F.collect_list(F.struct(F.col("m.id").alias("id"), F.col("_n2").alias("n")))).alias("ms"))
+        )
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ms") - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ms") - 1),
+                lambda j: F.struct(
+                    F.element_at(F.col("ms"), i + 1).alias("a"),
+                    F.element_at(F.col("ms"), j + 1).alias("b"),
+                ),
+            ),
+        )
+    )
     inter = (
-        a.join(b, on=[F.col("a.s") == F.col("b.s"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .groupBy(F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2"))
+        bucket.select(F.explode(pair_arr).alias("p"))
+        .groupBy(
+            F.col("p.a.id").alias("id_1"), F.col("p.b.id").alias("id_2"),
+            F.col("p.a.n").alias("n1"), F.col("p.b.n").alias("n2"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    sz1 = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n1"))
-    sz2 = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n2"))
     return (
-        inter.join(sz1, "id_1").join(sz2, "id_2")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6),
         )

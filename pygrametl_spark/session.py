@@ -51,6 +51,20 @@ def get_spark(app_name: str = "pygrametl_spark", *, shuffle_partitions: int | No
         # driver testdata stores TIMESTAMP(NANOS) which the Parquet reader
         # rejects; read as long and convert in the catalog (see catalog.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate adds `size(arr) > 0` before every
+        # explode; predicate pushdown then inlines the FULL array
+        # expression into the parquet scan's DataFilters. For derived
+        # arrays that are expensive to compute (tokenize+shingle
+        # pipelines) this re-evaluates the whole pipeline on the scan
+        # side — BELOW any repartition, i.e. serialized onto the few
+        # raw-file splits (measured: a 3.3 s single-task stage on a
+        # 5000-doc corpus, per run). Empty-array rows are rare in our
+        # operators; the inferred filter saves nothing and costs a
+        # serial full recompute, so exclude the rule.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.showConsoleProgress", "false")
