@@ -25,6 +25,7 @@ __all__ = [
     "MINHASH_P", "MINHASH_A", "MINHASH_B",
     "hash32", "exact_dedup", "minhash_signatures", "minhash_signatures_long",
     "minhash_lsh_pairs", "simhash32", "ngram_jaccard_pairs",
+    "neardup_clusters",
 ]
 
 # Affine permutations h_i(x) = (a_i*x + b_i) mod P over the 32-bit hash
@@ -294,4 +295,73 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", "jaccard")
+    )
+
+
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS + canonical keep decision.
+
+    The step a training-data pipeline actually runs after pair
+    generation: duplicate pairs are transitive in practice (A~B, B~C =>
+    keep one of {A,B,C}), so the dedup unit is the connected component
+    of the pair graph, not the pair. Returns one row per input document:
+    (id, cluster_id = min id of its component, keep = is the canonical
+    representative). Documents in no pair are their own cluster.
+
+    Implementation: iterative min-label propagation —
+    ``label(v) <- min(label(v), min label of v's neighbors)`` until a
+    fixpoint, which converges in O(graph diameter) rounds; each round is
+    one join + one groupBy on the (small) edge relation, with labels
+    pinned via lazy localCheckpoint so lineage stays O(1) across rounds.
+    Near-dup graphs are overwhelmingly tiny star/clique components, so
+    diameter is small; a web-scale adversarial chain would call for the
+    alternating large-star/small-star contraction (Kiveris et al.), which
+    drops in here without changing the contract.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold)
+    edges = pairs.select(F.col("id_1").alias("_a"), F.col("id_2").alias("_b"))
+    sym = edges.unionByName(
+        edges.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+    ).localCheckpoint(eager=False)
+    labels = sym.select(F.col("_a").alias("_id")).dropDuplicates().withColumn(
+        "_label", F.col("_id")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["_b"] == labels["_id"])
+            .groupBy("_a").agg(F.min("_label").alias("_nl"))
+        )
+        new = (
+            labels.join(neigh, labels["_id"] == neigh["_a"], "left")
+            .select(
+                labels["_id"],
+                F.least(labels["_label"], F.coalesce(F.col("_nl"), labels["_label"])).alias("_label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new.withColumnRenamed("_label", "_new")
+            .join(labels, "_id")
+            .filter(F.col("_new") != F.col("_label"))
+        )
+        labels = new
+        if changed.isEmpty():
+            break
+    out = df.select(id_col).join(
+        labels.select(F.col("_id").alias(id_col), "_label"), id_col, "left"
+    )
+    cluster = F.coalesce(F.col("_label"), F.col(id_col))
+    return out.select(
+        id_col,
+        cluster.alias("cluster_id"),
+        (cluster == F.col(id_col)).alias("keep"),
     )

@@ -171,7 +171,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dd.minhash_lsh_pairs(docs, threshold=0.5)
 
 
-def _lsh_oracle() -> str:
+def _lsh_oracle(final: bool = True) -> str:
     bands = 4
     rows = dd.MINHASH_K // bands
     band_selects = " UNION ALL ".join(
@@ -183,21 +183,56 @@ def _lsh_oracle() -> str:
     eq_sum = " + ".join(
         f"(CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END)" for i in range(dd.MINHASH_K)
     )
-    return _minhash_sig_cte() + f""",
+    pairs_select = f"""SELECT c.id_1, c.id_2, ROUND(({eq_sum}) / {float(dd.MINHASH_K)}, 4) AS est_jaccard
+FROM cand c
+JOIN sig s1 ON s1.doc_id = c.id_1
+JOIN sig s2 ON s2.doc_id = c.id_2
+WHERE ROUND(({eq_sum}) / {float(dd.MINHASH_K)}, 4) >= 0.5"""
+    core = _minhash_sig_cte() + f""",
 band AS ({band_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
   FROM band a JOIN band b ON a.bidx = b.bidx AND a.bhash = b.bhash AND a.doc_id < b.doc_id
 )
-SELECT c.id_1, c.id_2, ROUND(({eq_sum}) / {float(dd.MINHASH_K)}, 4) AS est_jaccard
-FROM cand c
-JOIN sig s1 ON s1.doc_id = c.id_1
-JOIN sig s2 ON s2.doc_id = c.id_2
-WHERE ROUND(({eq_sum}) / {float(dd.MINHASH_K)}, 4) >= 0.5
 """
+    if final:
+        return core + pairs_select
+    return core + ", pairs AS (\n" + pairs_select + "\n)"
 
 
 ORACLE_MINHASH_LSH = _lsh_oracle()
+
+
+def _cluster_oracle() -> str:
+    """Connected components over the LSH pairs: transitive closure via a
+    recursive CTE, cluster id = min reachable id per node."""
+    return _lsh_oracle(final=False).replace("WITH ", "WITH RECURSIVE ", 1) + """,
+edges AS (
+  SELECT id_1 AS a, id_2 AS b FROM pairs
+  UNION
+  SELECT id_2 AS a, id_1 AS b FROM pairs
+),
+reach(id, t) AS (
+  SELECT DISTINCT a AS id, a AS t FROM edges
+  UNION
+  SELECT r.id, e.b FROM reach r JOIN edges e ON r.t = e.a
+),
+clus AS (SELECT id, MIN(t) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       (COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN clus c ON d.doc_id = c.id
+"""
+
+
+ORACLE_NEARDUP_CLUSTERS = _cluster_oracle()
+
+
+def q_neardup_clusters(spark, sf_dir):
+    """Near-dup clusters + canonical keep flag (connected components of
+    the LSH pair graph; min-label propagation, see dedup.neardup_clusters)."""
+    docs = spread(load_catalog(spark, sf_dir).documents)
+    return dd.neardup_clusters(docs, threshold=0.5)
 
 
 def q_simhash(spark, sf_dir):
@@ -432,6 +467,7 @@ DATA_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "neardup_clusters": q_neardup_clusters,
     "simhash": q_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
@@ -452,6 +488,7 @@ DATA_ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "minhash_signatures": ORACLE_MINHASH,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+    "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "simhash": ORACLE_SIMHASH,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "embedding_neardup": ORACLE_EMB_NEARDUP,

@@ -264,3 +264,19 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the finalized 01:00 window holds only the on-time event, emitted once
     assert out[1] == (1, 1.0)
     assert out[3] == (1, 1.0)
+
+
+def test_neardup_clusters_transitive_chain(spark):
+    """A~B and B~C (but never A~C as a pair) must land in ONE cluster,
+    with only the min id kept; isolated docs are their own cluster."""
+    from pygrametl_spark.functions.dedup import neardup_clusters
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (9, "y")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_1 long, id_2 long")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in neardup_clusters(docs, pairs=pairs).collect()
+    }
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False), 9: (9, True)}
