@@ -16,6 +16,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "etl_star_load",
     "q01_pricing_summary",
     "sql_transforming",
     "hash_joining_source",

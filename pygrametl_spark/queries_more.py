@@ -536,10 +536,80 @@ SELECT event_id, id, version, state FROM j WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Flagship end-to-end star load (SURVEY §7.2's minimum slice as ONE
+# query): datespan date dimension + product dimension with dense
+# surrogate keys + fact decorated via lookup joins + star aggregation.
+# Exercises source -> ensure -> key assignment -> fact load -> agg in a
+# single lineage, the way a real ETL run composes the operators.
+# ---------------------------------------------------------------------------
+
+def q_etl_star_load(spark, sf_dir):
+    from pygrametl_spark.functions.helpers import datespan
+
+    cat = load_catalog(spark, sf_dir)
+    dates = datespan(spark, "1995-01-01", "1995-12-31")
+    # p_name alone is NOT unique in the part table; the business key of
+    # the product dimension is (name, brand)
+    prod = cat.part.select(F.col("p_name").alias("name"), F.col("p_brand").alias("brand")).distinct()
+    dim = Dimension(
+        "prod_dim", "pid", ["name", "brand"], lookupatts=["name", "brand"],
+        df=assign_dense_keys(prod, ["name", "brand"], "pid", 0),
+    )
+    li = cat.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    batch = li.join(cat.part, li.l_partkey == cat.part.p_partkey).select(
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.date_format("l_shipdate", "yyyyMMdd").cast("int").alias("dateid"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    keyed = dim.lookup(batch, broadcast=True)
+    fact = FactTable("sales_fact", ["pid", "dateid"], ["qty", "price"], df=keyed)
+    out = (
+        fact.df.join(dates.select("dateid", "month"), "dateid")
+        .join(dim.df.select("pid", "brand"), "pid")
+        .groupBy("month", "brand")
+        .agg(
+            F.round(F.sum("qty"), 2).alias("sum_qty"),
+            F.round(F.sum("price"), 2).alias("revenue"),
+            F.count("*").alias("n_sales"),
+            F.countDistinct("pid").alias("n_products"),
+        )
+    )
+    return out
+
+
+ORACLE_ETL_STAR = """
+WITH dates AS (
+  SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS dateid, CAST(month(d) AS INT) AS month
+  FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-12-31', INTERVAL 1 DAY))::DATE AS d)
+), fact AS (
+  SELECT p_name, p_brand AS brand,
+         CAST(strftime(l_shipdate, '%Y%m%d') AS INT) AS dateid,
+         l_quantity AS qty, l_extendedprice AS price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+)
+SELECT d.month, f.brand,
+       ROUND(SUM(qty), 2) AS sum_qty,
+       ROUND(SUM(price), 2) AS revenue,
+       COUNT(*) AS n_sales,
+       COUNT(DISTINCT p_name || '|' || brand) AS n_products
+FROM fact f JOIN dates d ON f.dateid = d.dateid
+GROUP BY d.month, f.brand
+"""
+
+
 MORE_QUERIES = {
     "pep249_source": q_pep249_source,
     "dim_rowexpander": q_dim_rowexpander,
     "asof_bounds_fullrow": q_asof_bounds_fullrow,
+    "etl_star_load": q_etl_star_load,
     "events_sessionize": q_events_sessionize,
     "ann_ivf_topk": q_ann_ivf_topk,
     "dim_getbykey": q_dim_getbykey,
@@ -558,6 +628,7 @@ MORE_ORACLES = {
     "pep249_source": ORACLE_PEP249,
     "dim_rowexpander": ORACLE_ROWEXPANDER,
     "asof_bounds_fullrow": ORACLE_ASOF_BOUNDS,
+    "etl_star_load": ORACLE_ETL_STAR,
     "events_sessionize": ORACLE_SESSIONIZE,
     "ann_ivf_topk": _ivf_oracle(),
     "dim_getbykey": ORACLE_GETBYKEY,
