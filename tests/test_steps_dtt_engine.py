@@ -186,3 +186,28 @@ def test_engine_bucketed_endload_colocated_join(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bdim")
         spark.sql("DROP TABLE IF EXISTS bfact")
+
+
+def test_engine_partitioned_endload_prunes(spark, tmp_path):
+    """A fact persisted with partition_cols is read back with partition
+    pruning: a filter on the partition column touches only its files."""
+    from pygrametl_spark.operators.facttable import FactTable
+    from pygrametl_spark.plans.explain import formatted_plan
+
+    fact = FactTable(
+        "pfact", ["k", "region"], ["amount"],
+        df=spark.createDataFrame(
+            [(i, i % 4, float(i)) for i in range(400)], "k long, region int, amount double"
+        ),
+    )
+    eng = Engine(spark, str(tmp_path))
+    eng.register(fact, partition_cols=["region"])
+    eng.endload()
+    back = spark.read.parquet(str(tmp_path / "pfact"))
+    pruned = back.filter("region = 2")
+    assert pruned.count() == 100
+    plan = formatted_plan(pruned)
+    # the region predicate lands in PartitionFilters (directory pruning),
+    # not in the row-group DataFilters
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "region" in pf[1][:120]
