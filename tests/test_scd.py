@@ -156,3 +156,66 @@ def test_scd2_from_history(spark):
         ("u1", "b", 2, D(2024, 1, 3), None, 2),
         ("u2", "a", 1, D(2024, 1, 1), None, 3),
     ]
+
+
+# -- property-based: batch SCD2 == sequential per-row replay ---------------
+
+from hypothesis import given, settings, HealthCheck
+from hypothesis import strategies as st
+
+
+def _scd2_reference(events):
+    """Sequential replay of the reference's scdensure semantics
+    (tables.py:1274-1421): per member in event order, a change opens a
+    new version (version+1, fromdate=ts) and closes the predecessor
+    (todate=ts); same-state events are suppressed."""
+    out = {}
+    for eid, user, state, ts in sorted(events, key=lambda e: (e[1], e[3], e[0])):
+        versions = out.setdefault(user, [])
+        if versions and versions[-1][0] == state:
+            continue
+        if versions:
+            versions[-1] = (versions[-1][0], versions[-1][1], ts)
+        versions.append((state, ts, None))
+    return {
+        (u, s, i + 1, f, t)
+        for u, vs in out.items()
+        for i, (s, f, t) in enumerate(vs)
+    }
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2", "u3"]),
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_scd2_from_history_matches_sequential_replay(spark, raw):
+    import datetime
+    events = [
+        (i, u, s, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=h))
+        for i, (u, s, h) in enumerate(raw)
+    ]
+    # drop same-member same-ts collisions: the reference's per-row loop
+    # orders them by arrival, which a relation cannot observe — the
+    # engine requires a total (ts, tiebreak) order per member instead
+    seen, uniq = set(), []
+    for e in events:
+        k = (e[1], e[3])
+        if k not in seen:
+            seen.add(k)
+            uniq.append(e)
+    ev = spark.createDataFrame(uniq, ["event_id", "user", "state", "ts"])
+    dim = scd2_from_history(ev, ["user"], ["state"], "ts", tiebreak=["event_id"])
+    got = {
+        (r["user"], r["state"], r["version"], r["fromdate"], r["todate"])
+        for r in dim.collect()
+    }
+    assert got == _scd2_reference(uniq)
+
