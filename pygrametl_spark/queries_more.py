@@ -27,7 +27,7 @@ from pygrametl_spark.operators.facttable import FactTable
 from pygrametl_spark.operators.scd import SlowlyChangingDimension, scd2_from_history
 from pygrametl_spark.operators.snowflake import SnowflakedDimension
 from pygrametl_spark.plans.keys import assign_dense_keys
-from pygrametl_spark.queries import TS_FMT_DUCK, _fmt_ts
+from pygrametl_spark.queries import TS_FMT_DUCK, _SCD2_DUCK_DIM, _fmt_ts
 from pygrametl_spark.sources.sources import (
     DynamicForEachSource,
     PEP249Source,
@@ -605,11 +605,84 @@ GROUP BY d.month, f.brand
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD2 per-attribute type-1 overrides (ref tables.py:1083-1085, 1486-1528):
+# a type-1 attribute inside a type-2 dimension is overwritten in place —
+# across ALL versions (type1attsupdateall=True, the reference default) or
+# the newest version only (False). The batch carries the members' current
+# tracked state, so no type-2 version is created; only the overwrite runs.
+# ---------------------------------------------------------------------------
+
+def _scd2_with_t1(spark, sf_dir, updateall: bool):
+    from pyspark.sql import Window
+
+    events = load_catalog(spark, sf_dir).events
+    base = scd2_from_history(
+        events, ["user_id"], ["event_type"], "ts", key="id", tiebreak=["event_id"]
+    )
+    dim_df = base.withColumn("latest_value", F.lit(None).cast("double"))
+    scd = SlowlyChangingDimension(
+        "user_scd", "id",
+        ["user_id", "event_type", "version", "fromdate", "todate", "latest_value"],
+        ["user_id"], versionatt="version", fromatt="fromdate", toatt="todate",
+        type1atts=["latest_value"], type1attsupdateall=updateall, df=dim_df,
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = (
+        events.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+        .select("user_id", F.round("value", 2).alias("latest_value"))
+    )
+    current = scd.current_versions().select("user_id", "event_type")
+    scd.scdensure(latest.join(current, "user_id"))
+    return scd.df.select(
+        "id", "user_id", "event_type", "version",
+        _fmt_ts("fromdate").alias("fromdate"), _fmt_ts("todate").alias("todate"),
+        "latest_value",
+    )
+
+
+def q_scd2_type1_all_versions(spark, sf_dir):
+    return _scd2_with_t1(spark, sf_dir, updateall=True)
+
+
+def q_scd2_type1_latest_only(spark, sf_dir):
+    return _scd2_with_t1(spark, sf_dir, updateall=False)
+
+
+_T1_LATEST_CTE = """,
+latest AS (
+  SELECT user_id, ROUND(value, 2) AS latest_value FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) t
+  WHERE rn = 1
+)
+"""
+
+ORACLE_SCD2_T1_ALL = _SCD2_DUCK_DIM + _T1_LATEST_CTE + """
+SELECT id, d.user_id, event_type, version,
+       strftime(fromdate, '{f}') AS fromdate,
+       strftime(todate, '{f}') AS todate,
+       l.latest_value
+FROM dim d JOIN latest l ON d.user_id = l.user_id
+""".format(f=TS_FMT_DUCK)
+
+ORACLE_SCD2_T1_LATEST = _SCD2_DUCK_DIM + _T1_LATEST_CTE + """
+SELECT id, d.user_id, event_type, version,
+       strftime(fromdate, '{f}') AS fromdate,
+       strftime(todate, '{f}') AS todate,
+       CASE WHEN todate IS NULL THEN l.latest_value END AS latest_value
+FROM dim d JOIN latest l ON d.user_id = l.user_id
+""".format(f=TS_FMT_DUCK)
+
+
 MORE_QUERIES = {
     "pep249_source": q_pep249_source,
     "dim_rowexpander": q_dim_rowexpander,
     "asof_bounds_fullrow": q_asof_bounds_fullrow,
     "etl_star_load": q_etl_star_load,
+    "scd2_type1_all_versions": q_scd2_type1_all_versions,
+    "scd2_type1_latest_only": q_scd2_type1_latest_only,
     "events_sessionize": q_events_sessionize,
     "ann_ivf_topk": q_ann_ivf_topk,
     "dim_getbykey": q_dim_getbykey,
@@ -629,6 +702,8 @@ MORE_ORACLES = {
     "dim_rowexpander": ORACLE_ROWEXPANDER,
     "asof_bounds_fullrow": ORACLE_ASOF_BOUNDS,
     "etl_star_load": ORACLE_ETL_STAR,
+    "scd2_type1_all_versions": ORACLE_SCD2_T1_ALL,
+    "scd2_type1_latest_only": ORACLE_SCD2_T1_LATEST,
     "events_sessionize": ORACLE_SESSIONIZE,
     "ann_ivf_topk": _ivf_oracle(),
     "dim_getbykey": ORACLE_GETBYKEY,
