@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "partition_for"]
 
 
 def salted_join(
@@ -45,3 +45,18 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return s.join(r, keys + ["_salt"], how).drop("_salt")
+
+
+def partition_for(table, df: DataFrame, n: int | None = None) -> DataFrame:
+    """Route rows to the partitions of a table's natural key — the batch
+    analogue of the reference's partitioner family
+    (``DimensionPartitioner``/``FactTablePartitioner``,
+    ``pygrametl/tables.py:3503-3710``), which hash lookupatts/keyrefs to
+    pick one of several table parts. In Spark that routing IS hash
+    shuffle partitioning: ``repartition`` on the same columns, after
+    which every downstream per-key operation (ensure dedup, SCD window,
+    co-located join against a same-partitioned table) reuses the one
+    exchange.
+    """
+    cols = list(getattr(table, "lookupatts", None) or getattr(table, "keyrefs"))
+    return df.repartition(n, *cols) if n else df.repartition(*cols)

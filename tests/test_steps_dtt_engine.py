@@ -211,3 +211,25 @@ def test_engine_partitioned_endload_prunes(spark, tmp_path):
     # not in the row-group DataFilters
     pf = plan.split("PartitionFilters", 1)
     assert len(pf) == 2 and "region" in pf[1][:120]
+
+
+def test_partition_for_routes_by_table_key(spark):
+    """partition_for repartitions a batch on the table's natural key
+    (lookupatts for dimensions, keyrefs for facts), so downstream
+    per-key work reuses one exchange."""
+    from pygrametl_spark.operators.facttable import FactTable
+    from pygrametl_spark.plans.joins import partition_for
+
+    dim = Dimension(
+        "rdim", "id", ["name"],
+        df=spark.createDataFrame([(1, "a")], "id long, name string"),
+    )
+    batch = spark.createDataFrame([("a",), ("b",)], ["name"])
+    plan = partition_for(dim, batch)._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression [name" in plan
+    fact = FactTable(
+        "rfact", ["k1", "k2"], ["m"],
+        df=spark.createDataFrame([(1, 2, 0.5)], "k1 long, k2 long, m double"),
+    )
+    fplan = partition_for(fact, fact.df, 8)._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression [k1" in fplan and ", 8" in fplan
