@@ -86,3 +86,33 @@ def test_insert_with_explicit_keys(spark, book_dim):
     rows = spark.createDataFrame([(10, "New", "Essay")], ["id", "title", "genre"])
     book_dim.insert(rows)
     assert book_dim.df.filter("id = 10").count() == 1
+
+
+# -- property-based: ensure is idempotent and keys stay dense --------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.lists(st.sampled_from("abcdef"), min_size=1, max_size=6, unique=True),
+    batch=st.lists(st.sampled_from("abcdefghij"), min_size=1, max_size=12),
+)
+def test_ensure_idempotent_dense_keys(spark, seed, batch):
+    from pygrametl_spark.plans.keys import assign_dense_keys
+
+    sdf = spark.createDataFrame([(s,) for s in seed], ["name"])
+    dim = Dimension("d", "id", ["name"], df=assign_dense_keys(sdf, ["name"], "id", 0))
+    bdf = spark.createDataFrame([(b,) for b in batch], ["name"])
+    dim.ensure(bdf)
+    first = {(r["id"], r["name"]) for r in dim.df.collect()}
+    # keys are dense 1..N and names unique
+    ids = sorted(i for i, _ in first)
+    assert ids == list(range(1, len(first) + 1))
+    assert len({n for _, n in first}) == len(first)
+    assert {n for _, n in first} == set(seed) | set(batch)
+    # second ensure of the same batch changes nothing
+    dim.ensure(bdf)
+    second = {(r["id"], r["name"]) for r in dim.df.collect()}
+    assert second == first
