@@ -121,4 +121,9 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     the source is small relative to the compute it fans out into.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # No-op when the scan already has enough splits: on a 100 TB input
+    # repartition(n) would shuffle the whole corpus AND shrink its
+    # parallelism to n. getNumPartitions is plan metadata — no job runs.
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
