@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "dot_expr", "norm_expr", "cosine_expr", "cosine_topk",
     "cosine_neardup_pairs", "lsh_bucket", "ivf_assign", "ivf_topk",
+    "ivf_write_index", "ivf_topk_from_index",
 ]
 
 
@@ -184,6 +185,75 @@ def ivf_topk(
     """
     assign = ivf_assign(df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters)
     cent = _centroids(df, id_col, vec_col, n_clusters)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    qc = q.crossJoin(F.broadcast(cent)).withColumn(
+        "_cos",
+        F.round(
+            _dot_cols(F.col("_qv"), F.col("_cent"))
+            / (F.sqrt(_dot_cols(F.col("_qv"), F.col("_qv"))) * F.col("_cnorm")),
+            6,
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qv", F.col("_cid").alias("cluster"))
+    )
+    cand = assign.join(F.broadcast(probes), "cluster").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    cand = cand.withColumn("cosine", F.round(cosine_expr("_qv", vec_col), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"),
+                F.col(id_col).alias("neighbor_id"), "cosine")
+    )
+
+
+def ivf_write_index(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+) -> None:
+    """Persist the IVF index: vectors written **partitioned by cluster**
+    plus a small centroid sidecar. This materializes the scale story the
+    in-memory :func:`ivf_topk` can only allude to — at 100 TB the
+    routing pass runs once, and every probe afterwards reads only its
+    ``nprobe`` cluster directories."""
+    cent = _centroids(df, id_col, vec_col, n_clusters)
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    ivf_assign(df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters).write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(f"{path}/vectors")
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """Probe a persisted IVF index (:func:`ivf_write_index`).
+
+    The candidate read joins the partitioned vector relation to the
+    broadcast probe set on ``cluster`` — the partition column — so
+    Spark's dynamic partition pruning turns the join into a directory
+    skip: only the probed ``nprobe`` clusters per query are scanned
+    (verified in the plan: the scan's PartitionFilters carries a
+    ``dynamicpruning`` subquery on cluster).
+    """
+    cent = spark.read.parquet(f"{path}/centroids")
+    assign = spark.read.parquet(f"{path}/vectors")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     qc = q.crossJoin(F.broadcast(cent)).withColumn(
         "_cos",

@@ -280,3 +280,27 @@ def test_neardup_clusters_transitive_chain(spark):
         for r in neardup_clusters(docs, pairs=pairs).collect()
     }
     assert out == {1: (1, True), 2: (1, False), 3: (1, False), 9: (9, True)}
+
+
+def test_ivf_index_roundtrip_prunes_partitions(spark, tmp_path):
+    """A persisted IVF index returns the same top-k as the in-memory
+    path, and the probe scan prunes to the probed clusters via dynamic
+    partition pruning on the cluster partition column."""
+    from pygrametl_spark.catalog import read_parquet
+    from pygrametl_spark.functions.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        ivf_write_index,
+    )
+    from pygrametl_spark.plans.explain import formatted_plan
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(3)
+    path = str(tmp_path / "ivf")
+    ivf_write_index(emb, path, n_clusters=4)
+    got = ivf_topk_from_index(spark, path, queries, nprobe=2, k=5)
+    want = ivf_topk(emb, queries, n_clusters=4, nprobe=2, k=5)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+    plan = formatted_plan(got)
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "dynamicpruning" in pf[1][:200]
