@@ -1,0 +1,62 @@
+"""Deterministic sampling / dataset splitting for training pipelines.
+
+Net-new surface beyond the reference. Everything here is *hash-based*
+and therefore reproducible across runs, engines, and cluster sizes —
+unlike ``df.sample``, whose output depends on partitioning. The hash is
+the same md5-derived 32-bit value the dedup family uses, so a DuckDB
+oracle replays the assignment bit-for-bit, and at 100 TB each operator
+is a pure scan-stage projection/filter: ZERO shuffle, no state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pygrametl_spark.functions.dedup import hash32
+
+__all__ = ["hash_bucket", "hash_split", "hash_sample", "stratified_hash_sample"]
+
+
+def hash_bucket(col, buckets: int = 100) -> Column:
+    """Stable bucket in [0, buckets) from the md5-hash of a column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return hash32(c.cast("string")) % buckets
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, tuple[int, int]] | None = None,
+    *,
+    buckets: int = 100,
+    out: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hash bucket — the
+    reproducible train/val/test partition of a corpus. ``splits`` maps
+    name -> [lo, hi) bucket range; default 98/1/1."""
+    splits = splits or {"train": (0, 98), "val": (98, 99), "test": (99, 100)}
+    b = hash_bucket(id_col, buckets)
+    expr = F.lit(None).cast("string")
+    for name, (lo, hi) in reversed(list(splits.items())):
+        expr = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(out, expr)
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float, *, buckets: int = 10000) -> DataFrame:
+    """Deterministic ~fraction sample: keep rows whose hash bucket falls
+    below fraction*buckets. Same ids are kept in every run."""
+    return df.filter(hash_bucket(id_col, buckets) < int(fraction * buckets))
+
+
+def stratified_hash_sample(
+    df: DataFrame, id_col: str, strata_col: str, fractions: dict[str, float], *, buckets: int = 10000
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample web text but
+    keep all code). Strata missing from ``fractions`` are dropped —
+    matching ``sampleBy`` semantics, but reproducibly."""
+    b = hash_bucket(id_col, buckets)
+    cond = F.lit(False)
+    for stratum, frac in fractions.items():
+        cond = cond | ((F.col(strata_col) == stratum) & (b < int(frac * buckets)))
+    return df.filter(cond)

@@ -228,6 +228,48 @@ FROM documents d LEFT JOIN clus c ON d.doc_id = c.id
 ORACLE_NEARDUP_CLUSTERS = _cluster_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Deterministic sampling / dataset splitting (functions/sampling.py):
+# hash-bucket assignment is a pure scan-stage projection — zero shuffle,
+# reproducible across runs and cluster sizes, replayed exactly by the
+# oracle from the same md5 math.
+# ---------------------------------------------------------------------------
+
+def q_dataset_split(spark, sf_dir):
+    from pygrametl_spark.functions.sampling import hash_split
+
+    docs = load_catalog(spark, sf_dir).documents
+    return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+_BUCKET_SQL = "(" + dd.hash32_sql("CAST(doc_id AS VARCHAR)") + " % 100)"
+ORACLE_DATASET_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN {_BUCKET_SQL} >= 99 THEN 'test'
+            WHEN {_BUCKET_SQL} >= 98 THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    from pygrametl_spark.functions.sampling import stratified_hash_sample
+
+    docs = load_catalog(spark, sf_dir).documents
+    return stratified_hash_sample(
+        docs, "doc_id", "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    ).select("doc_id", "source")
+
+
+_BUCKET10K_SQL = "(" + dd.hash32_sql("CAST(doc_id AS VARCHAR)") + " % 10000)"
+ORACLE_STRATIFIED = f"""
+SELECT doc_id, source FROM documents
+WHERE (source = 'src0' AND {_BUCKET10K_SQL} < 10000)
+   OR (source = 'src1' AND {_BUCKET10K_SQL} < 5000)
+   OR (source = 'src2' AND {_BUCKET10K_SQL} < 2500)
+"""
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Near-dup clusters + canonical keep flag (connected components of
     the LSH pair graph; min-label propagation, see dedup.neardup_clusters)."""
@@ -468,6 +510,8 @@ DATA_QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "neardup_clusters": q_neardup_clusters,
+    "dataset_split": q_dataset_split,
+    "stratified_sample": q_stratified_sample,
     "simhash": q_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
@@ -489,6 +533,8 @@ DATA_ORACLES = {
     "minhash_signatures": ORACLE_MINHASH,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
+    "dataset_split": ORACLE_DATASET_SPLIT,
+    "stratified_sample": ORACLE_STRATIFIED,
     "simhash": ORACLE_SIMHASH,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "embedding_neardup": ORACLE_EMB_NEARDUP,
