@@ -10,12 +10,12 @@ is a pure scan-stage projection/filter: ZERO shuffle, no state.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pygrametl_spark.functions.dedup import hash32
 
-__all__ = ["hash_bucket", "hash_split", "hash_sample", "stratified_hash_sample"]
+__all__ = ["hash_bucket", "hash_split", "hash_sample", "stratified_hash_sample", "pack_by_token_budget"]
 
 
 def hash_bucket(col, buckets: int = 100) -> Column:
@@ -60,3 +60,33 @@ def stratified_hash_sample(
     for stratum, frac in fractions.items():
         cond = cond | ((F.col(strata_col) == stratum) & (b < int(frac * buckets)))
     return df.filter(cond)
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    *,
+    order_by,
+    partition_by=None,
+    out: str = "pack_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs for pretraining
+    batch assembly: pack_id = floor(exclusive-prefix-sum(tokens) /
+    budget) over a deterministic order. A document whose tokens straddle
+    a boundary opens the next pack (prefix-chunking, the standard
+    streaming approximation of greedy bin packing — exact greedy needs a
+    sequential scan, which a relation cannot express).
+
+    One window sort is the entire cost; with ``partition_by`` (e.g. a
+    shard column) packing runs per shard and the sort never crosses
+    shards — the 100 TB formulation.
+    """
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.orderBy(*order) if partition_by is None else Window.partitionBy(
+        *([partition_by] if isinstance(partition_by, str) else list(partition_by))
+    ).orderBy(*order)
+    prefix = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return df.withColumn(out, F.floor(prefix / budget).cast("long"))

@@ -270,6 +270,31 @@ WHERE (source = 'src0' AND {_BUCKET10K_SQL} < 10000)
 """
 
 
+def q_pack_tokens(spark, sf_dir):
+    """Token-budget sequence packing per source shard (sampling.py)."""
+    from pygrametl_spark.functions.sampling import pack_by_token_budget
+
+    docs = load_catalog(spark, sf_dir).documents
+    with_tokens = docs.withColumn("n_tokens", F.size(tx.tokens()).cast("long"))
+    return pack_by_token_budget(
+        with_tokens, "n_tokens", 512, order_by="doc_id", partition_by="source"
+    ).select("doc_id", "source", "n_tokens", "pack_id")
+
+
+ORACLE_PACK_TOKENS = rf"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+            AS BIGINT) AS pack_id
+FROM t
+"""
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Near-dup clusters + canonical keep flag (connected components of
     the LSH pair graph; min-label propagation, see dedup.neardup_clusters)."""
@@ -512,6 +537,7 @@ DATA_QUERIES = {
     "neardup_clusters": q_neardup_clusters,
     "dataset_split": q_dataset_split,
     "stratified_sample": q_stratified_sample,
+    "pack_tokens": q_pack_tokens,
     "simhash": q_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
@@ -535,6 +561,7 @@ DATA_ORACLES = {
     "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "dataset_split": ORACLE_DATASET_SPLIT,
     "stratified_sample": ORACLE_STRATIFIED,
+    "pack_tokens": ORACLE_PACK_TOKENS,
     "simhash": ORACLE_SIMHASH,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "embedding_neardup": ORACLE_EMB_NEARDUP,
