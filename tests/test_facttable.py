@@ -93,3 +93,54 @@ def test_accumulating_snapshot_inserts_new_keys(spark):
     batch = spark.createDataFrame([(2, 2, 77)], "id1 int, id2 int, ref1 int")
     fact.ensure(batch)
     assert_df_set_equal(fact.df, [(1, 1, 10), (2, 2, 77)])
+
+
+# -- property-based: accumulating snapshot merge == sequential replay ------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=4),          # key
+                st.one_of(st.none(), st.integers(0, 9)),        # ref value
+                st.one_of(st.none(), st.integers(0, 99)),       # measure value
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_accumulating_snapshot_matches_sequential_replay(spark, batches):
+    """ignore-None merge over arbitrary batch sequences equals per-row
+    replay of the reference's ensure/update (tables.py:2418-2505):
+    non-NULL incoming values overwrite, NULLs keep the stored value,
+    unknown keys insert."""
+    from pygrametl_spark.operators.facttable import AccumulatingSnapshotFactTable
+
+    base = spark.createDataFrame([], "k long, r long, m long")
+    fact = AccumulatingSnapshotFactTable("acc", ["k"], ["r"], ["m"], df=base)
+    state = {}
+    for batch in batches:
+        # the engine is batch-at-a-time: collapse same-key rows the way a
+        # deterministic batch would (last-non-null per column, keys sorted
+        # by arrival = list order); replay reference per row
+        for k, r, m in batch:
+            old = state.get(k, (None, None))
+            state[k] = (r if r is not None else old[0], m if m is not None else old[1])
+        collapsed = {}
+        for k, r, m in batch:
+            pr, pm = collapsed.get(k, (None, None))
+            collapsed[k] = (r if r is not None else pr, m if m is not None else pm)
+        bdf = spark.createDataFrame(
+            [(k, r, m) for k, (r, m) in sorted(collapsed.items())], "k long, r long, m long"
+        )
+        fact.ensure(bdf)
+    got = {r["k"]: (r["r"], r["m"]) for r in fact.df.collect()}
+    assert got == state
