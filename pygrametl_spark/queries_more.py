@@ -641,6 +641,23 @@ def _scd2_with_t1(spark, sf_dir, updateall: bool):
     )
 
 
+def q_scd2_streaming_maintain(spark, sf_dir):
+    """Streaming SCD2: scdensure per micro-batch via foreachBatch over
+    time-ordered slices; final dimension == one-shot batch replay of the
+    full history (the oracle). See streaming.events.stream_scd2_maintain."""
+    from pygrametl_spark.streaming.events import stream_scd2_maintain
+
+    return stream_scd2_maintain(spark, sf_dir, n_files=2)
+
+
+ORACLE_SCD2_STREAMING = _SCD2_DUCK_DIM + """
+SELECT user_id, event_type, version,
+       strftime(fromdate, '{f}') AS fromdate,
+       strftime(todate, '{f}') AS todate
+FROM dim
+""".format(f=TS_FMT_DUCK)
+
+
 def q_scd2_type1_all_versions(spark, sf_dir):
     return _scd2_with_t1(spark, sf_dir, updateall=True)
 
@@ -682,6 +699,7 @@ MORE_QUERIES = {
     "asof_bounds_fullrow": q_asof_bounds_fullrow,
     "etl_star_load": q_etl_star_load,
     "scd2_type1_all_versions": q_scd2_type1_all_versions,
+    "scd2_streaming_maintain": q_scd2_streaming_maintain,
     "scd2_type1_latest_only": q_scd2_type1_latest_only,
     "events_sessionize": q_events_sessionize,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -703,6 +721,7 @@ MORE_ORACLES = {
     "asof_bounds_fullrow": ORACLE_ASOF_BOUNDS,
     "etl_star_load": ORACLE_ETL_STAR,
     "scd2_type1_all_versions": ORACLE_SCD2_T1_ALL,
+    "scd2_streaming_maintain": ORACLE_SCD2_STREAMING,
     "scd2_type1_latest_only": ORACLE_SCD2_T1_LATEST,
     "events_sessionize": ORACLE_SESSIONIZE,
     "ann_ivf_topk": _ivf_oracle(),

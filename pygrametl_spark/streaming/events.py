@@ -70,6 +70,99 @@ def stream_windowed_event_counts(
     )
 
 
+def _stage_time_sliced(spark: SparkSession, sf_dir: str, n_files: int, tag: str):
+    """Stage the event history as ``n_files`` time-ordered parquet files
+    (one per micro-batch with ``maxFilesPerTrigger=1``) — every batch's
+    events are >= the previous batch's, the shape a live time-ordered
+    ingest has. Returns (full_df, stage_path, ts_is_long)."""
+    path = f"{sf_dir}/events.parquet"
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001
+        pass
+    full = spark.read.parquet(path)
+    ts_is_long = dict(full.dtypes).get("ts") == "bigint"
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"pygrametl_spark_{tag}_{abs(hash((path, n_files))) % 10**8}",
+    )
+    if not os.path.isdir(stage) or len(os.listdir(stage)) != n_files:
+        ts_long = F.col("ts") if ts_is_long else F.unix_micros("ts")
+        bounds = full.select(
+            F.percentile_approx(ts_long, [i / n_files for i in range(1, n_files)], 10000).alias("b")
+        ).first()["b"]
+        os.makedirs(stage, exist_ok=True)
+        cuts = [None, *bounds, None]
+        for i in range(n_files):
+            sl = full
+            if cuts[i] is not None:
+                sl = sl.filter(ts_long >= cuts[i])
+            if cuts[i + 1] is not None:
+                sl = sl.filter(ts_long < cuts[i + 1])
+            sl.coalesce(1).write.mode("overwrite").parquet(f"{stage}/part{i}")
+        for i in range(n_files):  # mtime order = processing order
+            for f in os.listdir(f"{stage}/part{i}"):
+                os.utime(f"{stage}/part{i}/{f}", (1_700_000_000 + i, 1_700_000_000 + i))
+    return full, stage, ts_is_long
+
+
+def stream_scd2_maintain(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_files: int = 2,
+) -> DataFrame:
+    """Incremental SCD2 warehouse maintenance on a live stream: each
+    micro-batch of change events merges into the dimension through
+    ``SlowlyChangingDimension.scdensure`` inside ``foreachBatch`` — the
+    streaming deployment of the engine's core upsert. Because the
+    micro-batches are time-ordered slices, the final dimension is
+    IDENTICAL to a one-shot batch replay of the whole history (the
+    oracle), which is exactly the invariant a streaming warehouse load
+    must keep. Surrogate keys depend on batch slicing, so the stable
+    output is (member, state, version, validity) — keys stay internal.
+    """
+    from pygrametl_spark.operators.scd import SlowlyChangingDimension
+
+    full, stage, ts_is_long = _stage_time_sliced(spark, sf_dir, n_files, "scd")
+    empty = spark.createDataFrame(
+        [],
+        "id long, user_id long, event_type string, version long, "
+        "fromdate timestamp, todate timestamp",
+    )
+    scd = SlowlyChangingDimension(
+        "user_scd_stream", "id",
+        ["user_id", "event_type", "version", "fromdate", "todate"],
+        ["user_id"], versionatt="version", fromatt="fromdate", toatt="todate",
+        srcdateatt="ts", df=empty,
+    )
+
+    def upsert(bdf, _bid):
+        ts_col = (
+            F.timestamp_micros(F.expr("ts div 1000")) if ts_is_long else F.col("ts")
+        )
+        scd.scdensure(bdf.select("user_id", "event_type", ts_col.alias("ts")))
+
+    files = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/part*")
+    )
+    q = (
+        files.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="scd2_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return scd.df.select(
+        "user_id", "event_type", "version",
+        F.date_format("fromdate", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("fromdate"),
+        F.date_format("todate", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("todate"),
+    )
+
+
 def stream_sessionize(
     spark: SparkSession,
     sf_dir: str,
@@ -99,36 +192,7 @@ def stream_sessionize(
         DoubleType, LongType, StringType, StructField, StructType,
     )
 
-    path = f"{sf_dir}/events.parquet"
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # noqa: BLE001
-        pass
-    full = spark.read.parquet(path)
-    ts_is_long = dict(full.dtypes).get("ts") == "bigint"
-
-    # stage the history as n time-ordered files, one per micro-batch
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"pygrametl_spark_sess_{abs(hash((path, n_files))) % 10**8}",
-    )
-    if not os.path.isdir(stage) or len(os.listdir(stage)) != n_files:
-        ts_long = F.col("ts") if ts_is_long else F.unix_micros("ts")
-        bounds = full.select(
-            F.percentile_approx(ts_long, [i / n_files for i in range(1, n_files)], 10000).alias("b")
-        ).first()["b"]
-        os.makedirs(stage, exist_ok=True)
-        cuts = [None, *bounds, None]
-        for i in range(n_files):
-            sl = full
-            if cuts[i] is not None:
-                sl = sl.filter(ts_long >= cuts[i])
-            if cuts[i + 1] is not None:
-                sl = sl.filter(ts_long < cuts[i + 1])
-            sl.coalesce(1).write.mode("overwrite").parquet(f"{stage}/part{i}")
-        for i in range(n_files):  # mtime order = processing order
-            for f in os.listdir(f"{stage}/part{i}"):
-                os.utime(f"{stage}/part{i}/{f}", (1_700_000_000 + i, 1_700_000_000 + i))
+    full, stage, ts_is_long = _stage_time_sliced(spark, sf_dir, n_files, "sess")
 
     gap_us = int(gap_hours * 3_600_000_000)
     out_schema = StructType([
