@@ -203,10 +203,7 @@ cand AS (
 ORACLE_MINHASH_LSH = _lsh_oracle()
 
 
-def _cluster_oracle() -> str:
-    """Connected components over the LSH pairs: transitive closure via a
-    recursive CTE, cluster id = min reachable id per node."""
-    return _lsh_oracle(final=False).replace("WITH ", "WITH RECURSIVE ", 1) + """,
+_CLUSTER_CTES = """,
 edges AS (
   SELECT id_1 AS a, id_2 AS b FROM pairs
   UNION
@@ -218,11 +215,22 @@ reach(id, t) AS (
   SELECT r.id, e.b FROM reach r JOIN edges e ON r.t = e.a
 ),
 clus AS (SELECT id, MIN(t) AS cluster_id FROM reach GROUP BY id)
+"""
+
+
+def _cluster_oracle(final: bool = True) -> str:
+    """Connected components over the LSH pairs: transitive closure via a
+    recursive CTE, cluster id = min reachable id per node."""
+    core = _lsh_oracle(final=False).replace("WITH ", "WITH RECURSIVE ", 1) + _CLUSTER_CTES
+    select = """
 SELECT d.doc_id,
        COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
        (COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS keep
 FROM documents d LEFT JOIN clus c ON d.doc_id = c.id
 """
+    if final:
+        return core + select
+    return core
 
 
 ORACLE_NEARDUP_CLUSTERS = _cluster_oracle()
@@ -267,6 +275,62 @@ SELECT doc_id, source FROM documents
 WHERE (source = 'src0' AND {_BUCKET10K_SQL} < 10000)
    OR (source = 'src1' AND {_BUCKET10K_SQL} < 5000)
    OR (source = 'src2' AND {_BUCKET10K_SQL} < 2500)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation capstone: the full training-data pipeline in ONE
+# lineage — near-dup clustering (keep the canonical doc), quality
+# filter, language ID, reproducible split assignment. Each stage is the
+# already-verified operator; this query proves they compose.
+# ---------------------------------------------------------------------------
+
+def q_corpus_curation(spark, sf_dir):
+    from pygrametl_spark.functions.sampling import hash_split
+
+    docs = spread(load_catalog(spark, sf_dir).documents)
+    keep = dd.neardup_clusters(docs, threshold=0.5).filter("keep").select("doc_id")
+    scored = tx.quality_score(tx.lang_id(docs)).filter(F.col("quality_score") >= 0.2)
+    curated = scored.join(keep, "doc_id")
+    return hash_split(curated, "doc_id").select(
+        "doc_id", "lang_pred", F.round("quality_score", 6).alias("quality_score"), "split"
+    )
+
+
+def _curation_oracle() -> str:
+    lang_scores = ", ".join(
+        f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in ms)}))) AS s_{lang}"
+        for lang, ms in tx.LANG_MARKERS.items()
+    )
+    best = "greatest(s_en, s_de, s_es, s_fr)"
+    lang_cases = " ".join(
+        f"WHEN {best} > 0 AND s_{lang} = {best} THEN '{lang}'" for lang in ("en", "de", "es", "fr")
+    )
+    return _cluster_oracle(final=False) + rf""",
+keeplist AS (
+  SELECT d.doc_id FROM documents d LEFT JOIN clus c ON d.doc_id = c.id
+  WHERE COALESCE(c.cluster_id, d.doc_id) = d.doc_id
+),
+feat AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         length(regexp_replace(text, '\s', '', 'g')) AS alpha_len
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text, toks, {lang_scores},
+         ROUND((CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE / len(toks)
+                ELSE 0.0 END) * 0.5 + least(len(toks), 200) / 400.0, 6) AS quality_score
+  FROM feat
+)
+SELECT s.doc_id,
+       CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' {lang_cases} ELSE 'und' END AS lang_pred,
+       quality_score,
+       CASE WHEN {_BUCKET_SQL.replace("doc_id", "s.doc_id")} >= 99 THEN 'test'
+            WHEN {_BUCKET_SQL.replace("doc_id", "s.doc_id")} >= 98 THEN 'val'
+            ELSE 'train' END AS split
+FROM scored s JOIN keeplist k ON s.doc_id = k.doc_id
+WHERE quality_score >= 0.2
 """
 
 
@@ -538,6 +602,7 @@ DATA_QUERIES = {
     "dataset_split": q_dataset_split,
     "stratified_sample": q_stratified_sample,
     "pack_tokens": q_pack_tokens,
+    "corpus_curation": q_corpus_curation,
     "simhash": q_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
@@ -562,6 +627,7 @@ DATA_ORACLES = {
     "dataset_split": ORACLE_DATASET_SPLIT,
     "stratified_sample": ORACLE_STRATIFIED,
     "pack_tokens": ORACLE_PACK_TOKENS,
+    "corpus_curation": _curation_oracle(),
     "simhash": ORACLE_SIMHASH,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "embedding_neardup": ORACLE_EMB_NEARDUP,
