@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "etl_star_load",
+    "corpus_curation",
     "q01_pricing_summary",
     "sql_transforming",
     "hash_joining_source",
