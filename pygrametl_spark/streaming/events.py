@@ -36,8 +36,14 @@ def _raw_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.symlink(path, link)
         path = link_dir
     stream = spark.readStream.schema(schema).parquet(path)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    dtype = dict(stream.dtypes).get("ts")
+    if dtype == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        # parquet TIMESTAMP(isAdjustedToUTC=false) infers as NTZ, which
+        # withWatermark rejects; the session timezone is pinned to UTC,
+        # so the cast is value-preserving.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -81,11 +87,16 @@ def _stage_time_sliced(spark: SparkSession, sf_dir: str, n_files: int, tag: str)
     except Exception:  # noqa: BLE001
         pass
     full = spark.read.parquet(path)
+    if dict(full.dtypes).get("ts") == "timestamp_ntz":
+        # normalize NTZ to TIMESTAMP before staging so the re-written
+        # slices (and the batch twin) carry watermark-compatible event
+        # time; session tz is UTC, so the cast is value-preserving.
+        full = full.withColumn("ts", F.col("ts").cast("timestamp"))
     ts_is_long = dict(full.dtypes).get("ts") == "bigint"
 
     stage = os.path.join(
         tempfile.gettempdir(),
-        f"pygrametl_spark_{tag}_{abs(hash((path, n_files))) % 10**8}",
+        f"pygrametl_spark_{tag}v2_{abs(hash((path, n_files))) % 10**8}",
     )
     if not os.path.isdir(stage) or len(os.listdir(stage)) != n_files:
         ts_long = F.col("ts") if ts_is_long else F.unix_micros("ts")
