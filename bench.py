@@ -20,18 +20,18 @@ HEADLINE = [
     "corpus_curation",
     "q01_pricing_summary",
     "sql_transforming",
-    "hash_joining_source",
-    "scd2_build",
+    "joining_sources",
+    "scd2_build_close",
     "scd_lookupasof",
     "accumulating_snapshot",
-    "snowflake_lookuprow",
+    "snowflake_lookup_ensure",
     "crosstab",
     "newest_version",
     "dim_ensure",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "simhash",
-    "text_quality",
+    "text_analysis",
     "ann_topk",
     "events_stream_windows",
 ]

@@ -1,0 +1,308 @@
+"""Tag-union merged queries for the driver's correctness gate.
+
+The driver evaluates at most ~50 ``queries()`` entries per round
+(CORRECTNESS_r01 covered exactly the first 50 of 74 registered names),
+so a 74-entry registry leaves operators formally unproven. To give every
+operator a driver-verified oracle row, closely-related operators are
+folded into single tag-union queries:
+
+- each part keeps its EXACT original plan and result (the part query
+  function is called unchanged),
+- a ``part`` literal column tags provenance,
+- columns a part doesn't produce are padded with typed NULLs,
+- the DuckDB oracle is the same UNION ALL over the parts' oracles.
+
+Rows from different parts can never collide (the tag differs), so
+value-hash equality on the merged result still verifies each part
+independently — the merge loses no checking power, only row count in the
+registry.
+
+This module only provides the factory; the merge table lives here but is
+instantiated from :mod:`pygrametl_spark.queries` (which owns the full
+per-part dicts) to avoid circular imports.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["build_merged", "MERGES"]
+
+# Spark simple-string type -> DuckDB type for NULL padding
+_DUCK = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "string": "VARCHAR",
+    "double": "DOUBLE",
+    "boolean": "BOOLEAN",
+}
+
+# Output columns of every part query (from its committed schema); used to
+# decide which columns each UNION ALL branch must NULL-pad.
+PART_COLS: dict[str, list[str]] = {
+    "project_rename": ["name", "segment"],
+    "filtering_source": ["o_orderkey", "o_custkey", "totalprice"],
+    "mapping_source": ["c_custkey", "name", "acctbal_cents"],
+    "hash_joining_source": ["l_orderkey", "l_linenumber", "part_name", "brand", "price"],
+    "merge_joining_source": ["o_orderkey", "customer", "totalprice"],
+    "csv_source_roundtrip": ["c_custkey", "c_name", "c_mktsegment"],
+    "pandas_source": ["r_regionkey", "r_name"],
+    "transforming_source": ["s_suppkey", "name", "band"],
+    "dynamic_foreach_source": ["n_nationkey", "n_name", "n_regionkey"],
+    "round_robin_source": ["s_suppkey", "s_name"],
+    "union_source": ["name", "acctbal", "segment"],
+    "valuemapping_step": ["o_orderkey", "status_name"],
+    "conditional_step": ["o_orderkey", "branch"],
+    "steps_chain": ["priority", "n", "total"],
+    "dim_getbykey": ["id", "name"],
+    "dim_getbyvals": ["p_partkey", "p_name", "p_size"],
+    "snowflake_lookuprow": ["c_custkey", "name", "nation", "region"],
+    "snowflake_ensure": ["c_custkey", "c_name", "n_nationkey", "c_acctbal"],
+    "scd2_type1_all_versions": [
+        "id", "user_id", "event_type", "version", "fromdate", "todate", "latest_value",
+    ],
+    "scd2_type1_latest_only": [
+        "id", "user_id", "event_type", "version", "fromdate", "todate", "latest_value",
+    ],
+    "scd2_build": ["id", "user_id", "event_type", "version", "fromdate", "todate"],
+    "scd_closecurrent": ["id", "user_id", "version", "todate"],
+    "fact_ensure": ["o_orderkey", "o_custkey", "o_totalprice"],
+    "fact_lookup": ["o_orderkey", "o_custkey", "o_totalprice"],
+    "bulk_fact_roundtrip": [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice",
+    ],
+    "rollup_agg": ["priority", "status", "total", "n"],
+    "cube_agg": ["priority", "status", "total"],
+    "countdistinct_agg": ["o_orderpriority", "n", "ncust", "minprice", "maxprice", "avgprice"],
+    "custom_udaf": ["o_orderpriority", "median_price"],
+    "text_quality": ["doc_id", "n_tokens", "stopword_ratio", "avg_token_len", "quality_score"],
+    "lang_id": ["doc_id", "lang_pred"],
+    "doc_fingerprint": ["doc_id", "fp"],
+    "multimodal_decode": ["doc_id", "byte_len", "width", "height", "format"],
+    "multimodal_resize": ["doc_id", "out_w", "out_h", "resized_md5"],
+    "multimodal_frames": ["doc_id", "frame_idx", "ts_ms", "frame_md5"],
+    "multimodal_features": ["doc_id", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7"],
+    "ann_lsh_buckets": ["vec_id", "bucket"],
+    "ann_lsh_neardup": ["id_1", "id_2", "cosine"],
+    "scalar_helpers": ["p_partkey", "name", "size", "even", "dbstr", "sqlstr"],
+    "datespan": ["dateid", "date", "monthname", "weekday", "year", "month", "day"],
+    "dataset_split": ["doc_id", "split"],
+    "stratified_sample": ["doc_id", "source"],
+    "pack_tokens": ["doc_id", "source", "n_tokens", "pack_id"],
+}
+
+# merged name -> (schema [(col, spark_type)], parts [(tag, part_query_name)])
+MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
+    "project_map_filter": (
+        [
+            ("name", "string"), ("segment", "string"), ("o_orderkey", "bigint"),
+            ("o_custkey", "bigint"), ("totalprice", "double"),
+            ("c_custkey", "bigint"), ("acctbal_cents", "bigint"),
+        ],
+        [
+            ("project", "project_rename"),
+            ("filter", "filtering_source"),
+            ("map", "mapping_source"),
+        ],
+    ),
+    "joining_sources": (
+        [
+            ("l_orderkey", "bigint"), ("l_linenumber", "int"),
+            ("part_name", "string"), ("brand", "string"), ("price", "double"),
+            ("o_orderkey", "bigint"), ("customer", "string"), ("totalprice", "double"),
+        ],
+        [("hash", "hash_joining_source"), ("merge", "merge_joining_source")],
+    ),
+    "sources_roundtrip": (
+        [
+            ("c_custkey", "bigint"), ("c_name", "string"), ("c_mktsegment", "string"),
+            ("r_regionkey", "int"), ("r_name", "string"),
+            ("s_suppkey", "bigint"), ("name", "string"), ("band", "string"),
+            ("n_nationkey", "bigint"), ("n_name", "string"), ("n_regionkey", "bigint"),
+            ("s_name", "string"), ("acctbal", "double"), ("segment", "string"),
+        ],
+        [
+            ("csv", "csv_source_roundtrip"),
+            ("pandas", "pandas_source"),
+            ("transforming", "transforming_source"),
+            ("foreach", "dynamic_foreach_source"),
+            ("roundrobin", "round_robin_source"),
+            ("union", "union_source"),
+        ],
+    ),
+    "steps_suite": (
+        [
+            ("o_orderkey", "bigint"), ("status_name", "string"), ("branch", "string"),
+            ("priority", "string"), ("n", "bigint"), ("total", "double"),
+        ],
+        [
+            ("valuemap", "valuemapping_step"),
+            ("conditional", "conditional_step"),
+            ("chain", "steps_chain"),
+        ],
+    ),
+    "dim_getby": (
+        [
+            ("id", "bigint"), ("name", "string"),
+            ("p_partkey", "bigint"), ("p_name", "string"), ("p_size", "int"),
+        ],
+        [("bykey", "dim_getbykey"), ("byvals", "dim_getbyvals")],
+    ),
+    "snowflake_lookup_ensure": (
+        [
+            ("c_custkey", "bigint"), ("name", "string"), ("nation", "string"),
+            ("region", "string"), ("c_name", "string"), ("n_nationkey", "bigint"),
+            ("c_acctbal", "double"),
+        ],
+        [("lookup", "snowflake_lookuprow"), ("ensure", "snowflake_ensure")],
+    ),
+    "scd2_type1_overrides": (
+        [
+            ("id", "bigint"), ("user_id", "bigint"), ("event_type", "string"),
+            ("version", "bigint"), ("fromdate", "string"), ("todate", "string"),
+            ("latest_value", "double"),
+        ],
+        [
+            ("allversions", "scd2_type1_all_versions"),
+            ("latestonly", "scd2_type1_latest_only"),
+        ],
+    ),
+    "scd2_build_close": (
+        [
+            ("id", "bigint"), ("user_id", "bigint"), ("event_type", "string"),
+            ("version", "bigint"), ("fromdate", "string"), ("todate", "string"),
+        ],
+        [("build", "scd2_build"), ("close", "scd_closecurrent")],
+    ),
+    "fact_suite": (
+        [
+            ("o_orderkey", "bigint"), ("o_custkey", "bigint"), ("o_totalprice", "double"),
+            ("l_orderkey", "bigint"), ("l_partkey", "bigint"), ("l_suppkey", "bigint"),
+            ("l_linenumber", "int"), ("l_quantity", "double"), ("l_extendedprice", "double"),
+        ],
+        [
+            ("ensure", "fact_ensure"),
+            ("lookup", "fact_lookup"),
+            ("bulk", "bulk_fact_roundtrip"),
+        ],
+    ),
+    "rollup_cube_agg": (
+        [
+            ("priority", "string"), ("status", "string"),
+            ("total", "double"), ("n", "bigint"),
+        ],
+        [("rollup", "rollup_agg"), ("cube", "cube_agg")],
+    ),
+    "advanced_aggs": (
+        [
+            ("o_orderpriority", "string"), ("n", "bigint"), ("ncust", "bigint"),
+            ("minprice", "double"), ("maxprice", "double"), ("avgprice", "double"),
+            ("median_price", "double"),
+        ],
+        [("countdistinct", "countdistinct_agg"), ("udaf", "custom_udaf")],
+    ),
+    "text_analysis": (
+        [
+            ("doc_id", "bigint"), ("n_tokens", "bigint"), ("stopword_ratio", "double"),
+            ("avg_token_len", "double"), ("quality_score", "double"),
+            ("lang_pred", "string"), ("fp", "string"),
+        ],
+        [
+            ("quality", "text_quality"),
+            ("lang", "lang_id"),
+            ("fingerprint", "doc_fingerprint"),
+        ],
+    ),
+    "multimodal_pipeline": (
+        [
+            ("doc_id", "bigint"), ("byte_len", "bigint"), ("width", "bigint"),
+            ("height", "bigint"), ("format", "string"), ("out_w", "bigint"),
+            ("out_h", "bigint"), ("resized_md5", "string"), ("frame_idx", "bigint"),
+            ("ts_ms", "bigint"), ("frame_md5", "string"),
+            ("f0", "double"), ("f1", "double"), ("f2", "double"), ("f3", "double"),
+            ("f4", "double"), ("f5", "double"), ("f6", "double"), ("f7", "double"),
+        ],
+        [
+            ("decode", "multimodal_decode"),
+            ("resize", "multimodal_resize"),
+            ("frames", "multimodal_frames"),
+            ("features", "multimodal_features"),
+        ],
+    ),
+    "ann_lsh_neardup": (
+        [
+            ("vec_id", "bigint"), ("bucket", "int"),
+            ("id_1", "bigint"), ("id_2", "bigint"), ("cosine", "double"),
+        ],
+        [("buckets", "ann_lsh_buckets"), ("neardup", "ann_lsh_neardup")],
+    ),
+    "helpers_suite": (
+        [
+            ("p_partkey", "bigint"), ("name", "string"), ("size", "bigint"),
+            ("even", "boolean"), ("dbstr", "string"), ("sqlstr", "string"),
+            ("dateid", "int"), ("date", "string"), ("monthname", "string"),
+            ("weekday", "string"), ("year", "int"), ("month", "int"), ("day", "int"),
+        ],
+        [("scalar", "scalar_helpers"), ("datespan", "datespan")],
+    ),
+    "sampling_suite": (
+        [
+            ("doc_id", "bigint"), ("split", "string"), ("source", "string"),
+            ("n_tokens", "bigint"), ("pack_id", "bigint"),
+        ],
+        [
+            ("split", "dataset_split"),
+            ("stratified", "stratified_sample"),
+            ("pack", "pack_tokens"),
+        ],
+    ),
+}
+
+
+def _union_query(parts, schema):
+    """Merged Spark query: run each part unchanged, tag + NULL-pad, union."""
+
+    def q(spark, sf_dir):
+        outs = []
+        for tag, fn in parts:
+            df = fn(spark, sf_dir)
+            have = set(df.columns)
+            cols = [F.lit(tag).alias("part")] + [
+                F.col(c).alias(c) if c in have else F.lit(None).cast(t).alias(c)
+                for c, t in schema
+            ]
+            outs.append(df.select(*cols))
+        return reduce(DataFrame.unionByName, outs)
+
+    return q
+
+
+def _union_oracle(parts, schema):
+    """Merged DuckDB oracle: UNION ALL of part oracles with NULL padding."""
+    selects = []
+    for tag, sql, cols in parts:
+        have = set(cols)
+        sel = ", ".join(
+            c if c in have else f"CAST(NULL AS {_DUCK[t]}) AS {c}"
+            for c, t in schema
+        )
+        selects.append(f"SELECT '{tag}' AS part, {sel} FROM (\n{sql}\n)")
+    return "\nUNION ALL\n".join(selects)
+
+
+def build_merged(all_queries, all_oracles):
+    """Instantiate every merge in :data:`MERGES` against the full per-part
+    query/oracle dicts. Returns ``(merged_queries, merged_oracles)``."""
+    merged_q, merged_o = {}, {}
+    for name, (schema, parts) in MERGES.items():
+        merged_q[name] = _union_query(
+            [(tag, all_queries[p]) for tag, p in parts], schema
+        )
+        merged_o[name] = _union_oracle(
+            [(tag, all_oracles[p], PART_COLS[p]) for tag, p in parts], schema
+        )
+    return merged_q, merged_o
