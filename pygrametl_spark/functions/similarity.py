@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "dot_expr", "norm_expr", "cosine_expr", "cosine_topk",
-    "cosine_neardup_pairs", "lsh_bucket", "ivf_assign", "ivf_topk",
-    "ivf_write_index", "ivf_topk_from_index",
+    "cosine_neardup_pairs", "lsh_bucket", "lsh_banded_neardup",
+    "ivf_assign", "ivf_topk", "ivf_write_index", "ivf_topk_from_index",
 ]
 
 
@@ -324,6 +324,98 @@ def lsh_bucket(
         lambda acc, v: acc + v,
     )
     return df.withColumn(out, bucket.cast("int"))
+
+
+def lsh_banded_neardup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bands: int = 8,
+    planes_per_band: int = 6,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Embedding near-dup pairs via banded random-hyperplane LSH.
+
+    The scale path for ``cosine_neardup_pairs`` (which is an exact but
+    O(n²) crossJoin, kept only as a tiny-pool test oracle). Candidate
+    pairs are restricted to vectors that collide in at least one of
+    ``n_bands`` independent sign-bit buckets (band b uses planes
+    ``b*planes_per_band .. (b+1)*planes_per_band-1`` of the same
+    deterministic md5-derived family as :func:`lsh_bucket`); exact
+    cosine is then computed only within buckets and thresholded, and
+    pairs colliding in several bands are deduplicated.
+
+    Plan shape: ONE corpus scan computes all band buckets in-row (a
+    single nested plane literal, no per-plane expression blowup), an
+    explode by band, a self-join shuffling only on (band, bucket), and
+    a final pair-dedup exchange — never a corpus×corpus product. Recall
+    is tunable: more bands raise it at linear candidate cost (with
+    these defaults, a pair at cosine ≈ 0.46 collides in ≥1 band with
+    p ≈ 0.47; near-identical vectors with p ≈ 1). The driver oracle
+    replays the identical banding, so the gate checks the approximate
+    semantics exactly.
+    """
+    planes = [
+        [_plane_weight(p, i) for i in range(dim)]
+        for p in range(n_bands * planes_per_band)
+    ]
+    # per-row array of n_bands bucket ids, computed in the scan stage
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.aggregate(
+            F.sequence(F.lit(0), F.lit(planes_per_band - 1)),
+            F.lit(0),
+            lambda acc, p: acc
+            + F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.element_at(
+                            F.lit(planes), b * planes_per_band + p + F.lit(1)
+                        ),
+                        lambda x, w: x.cast("double") * w,
+                    ),
+                    F.lit(0.0),
+                    lambda a2, v: a2 + v,
+                )
+                >= 0,
+                F.pow(F.lit(2.0), p.cast("double")).cast("int"),
+            ).otherwise(F.lit(0)),
+        ),
+    )
+    # norms once per vector (8k aggregates), NOT once per candidate pair
+    # (millions) — the per-pair work is then a single dot product; the
+    # value is bit-identical to inlining, so the oracle is unaffected
+    banded = df.select(
+        F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("_norm"),
+        F.posexplode(buckets).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.band") == F.col("b.band"),
+            F.col("a.bucket") == F.col("b.bucket"),
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        ],
+    )
+    cos = F.round(
+        dot_expr(f"a.{vec_col}", f"b.{vec_col}")
+        / (F.col("a._norm") * F.col("b._norm")),
+        6,
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+            "cosine",
+        )
+        .distinct()
+    )
 
 
 def _plane_weight(plane: int, index: int) -> float:

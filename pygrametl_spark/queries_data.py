@@ -428,16 +428,45 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """Banded-LSH embedding near-dup (the scale path — no corpus×corpus
+    product; see similarity.lsh_banded_neardup). The exact quadratic
+    ``cosine_neardup_pairs`` stays available for tiny pools and is
+    compared against this in tests."""
     emb = load_catalog(spark, sf_dir).embeddings
-    return sim.cosine_neardup_pairs(emb, threshold=0.45)
+    return sim.lsh_banded_neardup(emb, threshold=0.45)
 
 
-ORACLE_EMB_NEARDUP = f"""
-SELECT a.vec_id AS id_1, b.vec_id AS id_2,
-       {_cos_sql('a.embedding', 'b.embedding')} AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.45
+def _emb_neardup_oracle(n_bands: int = 8, planes_per_band: int = 6, dim: int = 64) -> str:
+    """DuckDB replay of the banded LSH: same md5 planes, same band
+    bucketing, same within-bucket exact cosine + threshold + dedup."""
+    planes = ", ".join(
+        "[" + ", ".join(repr(sim._plane_weight(p, i)) for i in range(dim)) + "]"
+        for p in range(n_bands * planes_per_band)
+    )
+    proj = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> CAST(embedding[i] AS DOUBLE) * w[{idx}][i]))"
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN {proj.format(idx=f'band * {planes_per_band} + {p + 1}')} >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(planes_per_band)
+    )
+    cos = _cos_sql("a.embedding", "b.embedding")
+    return f"""
+WITH pl AS (SELECT [{planes}] AS w),
+bands AS (SELECT unnest(generate_series(0, {n_bands - 1})) AS band),
+bk AS (
+  SELECT vec_id, embedding, band, ({bucket}) AS bucket
+  FROM embeddings CROSS JOIN pl CROSS JOIN bands
+)
+SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2, {cos} AS cosine
+FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= 0.45
 """
+
+
+ORACLE_EMB_NEARDUP = _emb_neardup_oracle()
 
 
 def q_ann_topk(spark, sf_dir):

@@ -97,6 +97,36 @@ def test_lsh_bucket_deterministic(spark):
     assert all(0 <= v < 256 for v in b1.values())
 
 
+def test_lsh_banded_neardup_subset_of_exact_and_nonquadratic(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(30, 64)
+    vecs = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    # plant near-dups: small perturbations of rows 0..4
+    for j in range(5):
+        vecs.append((100 + j, [float(x + 0.01 * j) for x in base[j]]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["id_1"], r["id_2"])
+        for r in sim.cosine_neardup_pairs(emb, threshold=0.45).collect()
+    }
+    banded_rows = sim.lsh_banded_neardup(emb, threshold=0.45)
+    banded = {(r["id_1"], r["id_2"]) for r in banded_rows.collect()}
+    # bucketing only restricts candidates — never invents pairs
+    assert banded <= exact
+    # the planted near-identical pairs collide in ≥1 band with p≈1
+    assert {(j, 100 + j) for j in range(5)} <= banded
+
+    # the gated plan must not contain any corpus×corpus product
+    from pygrametl_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(banded_rows)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_quality_and_langid(spark, docs):
     q = tx.quality_score(docs).filter("doc_id = 1").first()
     assert q["n_tokens"] == 9
