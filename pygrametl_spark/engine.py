@@ -86,27 +86,38 @@ class Engine:
             visit(name)
         return order
 
-    def endload(self, mode: str = "overwrite") -> list[str]:
+    def endload(self, mode: str = "overwrite", *, target=None,
+                parquet: bool = True) -> list[str]:
         """Persist every registered table, FK dependencies first
-        (the reference's global endload + dependson ordering)."""
+        (the reference's global endload + dependson ordering).
+
+        ``target`` (a :class:`pygrametl_spark.sinks.PEP249Target`)
+        additionally loads each table into an external RDBMS in the
+        same FK order — the reference's commit-time database flush
+        (ref ``__init__.py:442-448``, ``tables.py:2560-2563``).
+        ``parquet=False`` skips the warehouse-directory write when the
+        external database is the only destination."""
         written = []
         for name in self._order():
             reg = self._tables[name]
-            w = reg.table.df.write.mode(mode)
-            if reg.partition_cols:
-                w = w.partitionBy(*reg.partition_cols)
-            if reg.bucket_cols:
-                # sortBy keeps bucket files sort-merge-ready: the
-                # co-located join needs no sort either
-                w = (
-                    w.format("parquet")
-                    .option("path", reg.path)
-                    .bucketBy(reg.n_buckets, *reg.bucket_cols)
-                    .sortBy(*reg.bucket_cols)
-                )
-                w.saveAsTable(name)
-            else:
-                w.parquet(reg.path)
+            if parquet:
+                w = reg.table.df.write.mode(mode)
+                if reg.partition_cols:
+                    w = w.partitionBy(*reg.partition_cols)
+                if reg.bucket_cols:
+                    # sortBy keeps bucket files sort-merge-ready: the
+                    # co-located join needs no sort either
+                    w = (
+                        w.format("parquet")
+                        .option("path", reg.path)
+                        .bucketBy(reg.n_buckets, *reg.bucket_cols)
+                        .sortBy(*reg.bucket_cols)
+                    )
+                    w.saveAsTable(name)
+                else:
+                    w.parquet(reg.path)
+            if target is not None:
+                target.load(reg.table.df, name)
             written.append(name)
         return written
 

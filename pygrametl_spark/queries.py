@@ -781,7 +781,7 @@ _REGISTRY_ORDER = [
     "q01_pricing_summary", "etl_star_load", "corpus_curation", "sql_transforming",
     # sources / projections / steps / helpers
     "project_map_filter", "joining_sources", "sources_roundtrip", "pep249_source",
-    "steps_suite", "helpers_suite",
+    "pep249_sink_roundtrip", "steps_suite", "helpers_suite",
     # dimensions
     "dim_lookup", "dim_getby", "dim_ensure", "dim_update", "dim_rowexpander",
     "snowflake_lookup_ensure", "snowflake_scdensure",

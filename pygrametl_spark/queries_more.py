@@ -351,6 +351,53 @@ def q_pep249_source(spark, sf_dir):
 ORACLE_PEP249 = "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer"
 
 
+def q_pep249_sink_roundtrip(spark, sf_dir):
+    """Warehouse -> external RDBMS -> read back (the reference's core
+    deliverable: loading a star into a real database — ConnectionWrapper
+    ref __init__.py:654-729, bulkloader ref tables.py:2508-2683).
+
+    A nation dimension and a supplier fact are endloaded in FK order
+    into an on-disk DuckDB via Engine.endload(target=PEP249Target(...)),
+    then the verification join runs INSIDE the external database through
+    PEP249Source — proving both tables landed with full fidelity.
+    """
+    import duckdb
+
+    from pygrametl_spark.engine import Engine
+    from pygrametl_spark.sinks import PEP249Target
+
+    cat = load_catalog(spark, sf_dir)
+    db = os.path.join(
+        tempfile.gettempdir(),
+        f"pygrametl_spark_sink_{abs(hash(sf_dir)) % 10**8}.duckdb",
+    )
+    dim = Dimension(
+        "nation_ext", "n_nationkey", ["n_name", "n_regionkey"],
+        lookupatts=["n_name"], df=cat.nation,
+    )
+    fact = FactTable(
+        "supplier_ext", ["s_suppkey", "s_nationkey"], ["s_acctbal"],
+        df=cat.supplier.select("s_suppkey", "s_nationkey", "s_acctbal"),
+    )
+    eng = Engine(spark, tempfile.mkdtemp(prefix="sink_wh_"))
+    eng.register(dim)
+    eng.register(fact, dependson=[dim])
+    eng.endload(target=PEP249Target(lambda: duckdb.connect(db)), parquet=False)
+
+    return PEP249Source(
+        spark,
+        lambda: duckdb.connect(db),
+        "SELECT s_suppkey, n_name AS nation, s_acctbal "
+        "FROM supplier_ext JOIN nation_ext ON s_nationkey = n_nationkey",
+    )
+
+
+ORACLE_PEP249_SINK = (
+    "SELECT s_suppkey, n_name AS nation, s_acctbal "
+    "FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+)
+
+
 # ---------------------------------------------------------------------------
 # IVF approximate nearest neighbor (net-new): route vectors to broadcast
 # centroids, probe only the nprobe nearest clusters per query.
@@ -695,6 +742,7 @@ FROM dim d JOIN latest l ON d.user_id = l.user_id
 
 MORE_QUERIES = {
     "pep249_source": q_pep249_source,
+    "pep249_sink_roundtrip": q_pep249_sink_roundtrip,
     "dim_rowexpander": q_dim_rowexpander,
     "asof_bounds_fullrow": q_asof_bounds_fullrow,
     "etl_star_load": q_etl_star_load,
@@ -717,6 +765,7 @@ MORE_QUERIES = {
 
 MORE_ORACLES = {
     "pep249_source": ORACLE_PEP249,
+    "pep249_sink_roundtrip": ORACLE_PEP249_SINK,
     "dim_rowexpander": ORACLE_ROWEXPANDER,
     "asof_bounds_fullrow": ORACLE_ASOF_BOUNDS,
     "etl_star_load": ORACLE_ETL_STAR,

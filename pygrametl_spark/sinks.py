@@ -1,0 +1,229 @@
+"""External-database sinks: load the warehouse into a real RDBMS.
+
+The reference engine's core deliverable is loading dimensional
+warehouses into databases — ``ConnectionWrapper``
+(ref ``pygrametl/__init__.py:654-729``), ``JDBCConnectionWrapper``
+(ref ``JDBCConnectionWrapper.py:50-584``) and the bulkloader protocol
+(ref ``tables.py:2508-2683``, ``docs/examples/bulkloading.rst:20-183``).
+
+Spark restatement: the engine's durable state is a parquet/bucketed
+warehouse, and loading an external RDBMS is a *sink* over a finished
+DataFrame:
+
+- :func:`jdbc_sink` — the JVM-native path (``df.write.jdbc``): every
+  partition opens its own JDBC connection and streams inserts, fully
+  parallel, zero Python in the loop. This is the 100 TB path whenever a
+  JDBC driver jar is on the classpath (none ships in this container, so
+  it is exercised only through its thin argument-passing layer).
+- :func:`PEP249Sink` — the DB-API twin of ``PEP249Source``: a zero-arg
+  ``connect`` factory plus ``executemany`` batches. ``parallel=True``
+  runs one connection per partition via ``foreachPartition`` (for
+  server databases — Postgres, MySQL); the default driver-side path
+  streams ``toLocalIterator`` batches through ONE connection, which is
+  what single-writer embedded databases (DuckDB, SQLite) require.
+
+Both orderings preserve the engine's FK discipline when driven through
+:meth:`pygrametl_spark.engine.Engine.endload`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+
+__all__ = ["ddl_for", "PEP249Sink", "jdbc_sink", "PEP249Target"]
+
+# Spark simple type -> portable SQL column type
+_SQL_TYPES = {
+    "tinyint": "SMALLINT",
+    "smallint": "SMALLINT",
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "float": "REAL",
+    "double": "DOUBLE PRECISION",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "binary": "BLOB",
+}
+
+
+def ddl_for(df: DataFrame, table: str) -> str:
+    """``CREATE TABLE`` DDL for a DataFrame's schema in portable SQL.
+
+    Decimal keeps precision/scale; complex types (array/map/struct) are
+    rejected — flatten or serialize them before loading an RDBMS.
+    """
+    cols = []
+    for name, dtype in df.dtypes:
+        if dtype.startswith("decimal"):
+            sql = dtype.upper()
+        elif dtype in _SQL_TYPES:
+            sql = _SQL_TYPES[dtype]
+        else:
+            raise ValueError(
+                f"column {name!r} has non-relational type {dtype!r}; "
+                "flatten or serialize it before sinking to an RDBMS"
+            )
+        cols.append(f"{name} {sql}")
+    return f"CREATE TABLE {table} ({', '.join(cols)})"
+
+
+def _insert_sql(table: str, columns: Sequence[str], paramstyle: str) -> str:
+    if paramstyle == "qmark":
+        ph = ["?"] * len(columns)
+    elif paramstyle == "format":
+        ph = ["%s"] * len(columns)
+    elif paramstyle == "numeric":
+        ph = [f":{i + 1}" for i in range(len(columns))]
+    else:
+        raise ValueError(f"unsupported paramstyle {paramstyle!r}")
+    return (
+        f"INSERT INTO {table} ({', '.join(columns)}) VALUES ({', '.join(ph)})"
+    )
+
+
+def PEP249Sink(
+    df: DataFrame,
+    connect: Callable[[], object],
+    table: str,
+    *,
+    create: bool = True,
+    overwrite: bool = True,
+    batch_size: int = 10_000,
+    paramstyle: str = "qmark",
+    parallel: bool = False,
+) -> int:
+    """Load a DataFrame into a PEP 249 database table. Returns rows written.
+
+    ``connect`` is a zero-arg factory (mirrors ``PEP249Source``): for
+    ``parallel=True`` it must cloudpickle, because every partition task
+    opens its own connection executor-side and the driver never sees the
+    data — the scale path for server databases. The default
+    driver-side path streams Arrow batches from ``toLocalIterator``
+    through one connection: required for single-writer embedded engines
+    (DuckDB/SQLite), and still memory-bounded (one batch in flight).
+
+    ``create``/``overwrite`` issue ``DROP TABLE IF EXISTS`` + portable
+    ``CREATE TABLE`` DDL first. Ref parity: ConnectionWrapper's
+    paramstyle translation (ref ``__init__.py:730-800``) becomes the
+    ``paramstyle`` knob on one INSERT template.
+    """
+    columns = df.columns
+    ins = _insert_sql(table, columns, paramstyle)
+
+    if create:
+        con = connect()
+        try:
+            cur = con.cursor()
+            if overwrite:
+                cur.execute(f"DROP TABLE IF EXISTS {table}")
+            cur.execute(ddl_for(df, table))
+            con.commit()
+        finally:
+            con.close()
+
+    if parallel:
+        def write_partition(rows) -> None:
+            con = connect()
+            try:
+                cur = con.cursor()
+                batch = []
+                for row in rows:
+                    batch.append(tuple(row))
+                    if len(batch) >= batch_size:
+                        cur.executemany(ins, batch)
+                        batch.clear()
+                if batch:
+                    cur.executemany(ins, batch)
+                con.commit()
+            finally:
+                con.close()
+
+        df.foreachPartition(write_partition)
+        # count from the target: foreachPartition returns nothing
+        con = connect()
+        try:
+            cur = con.cursor()
+            cur.execute(f"SELECT COUNT(*) FROM {table}")
+            return int(cur.fetchone()[0])
+        finally:
+            con.close()
+
+    n = 0
+    con = connect()
+    try:
+        cur = con.cursor()
+        batch = []
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            batch.append(tuple(row))
+            if len(batch) >= batch_size:
+                cur.executemany(ins, batch)
+                n += len(batch)
+                batch.clear()
+        if batch:
+            cur.executemany(ins, batch)
+            n += len(batch)
+        con.commit()
+    finally:
+        con.close()
+    return n
+
+
+def jdbc_sink(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "overwrite",
+    properties: dict | None = None,
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+) -> None:
+    """JVM-native RDBMS load: ``df.write.jdbc``. One connection per
+    partition, inserts batched ``batch_size`` at a time, no Python in
+    the data path — use this over :func:`PEP249Sink` whenever a JDBC
+    driver jar is available. ``num_partitions`` caps the connection
+    count (a 1000-partition frame should not open 1000 connections
+    against one primary)."""
+    props = {"batchsize": str(batch_size), **(properties or {})}
+    out = df
+    if num_partitions is not None and df.rdd.getNumPartitions() > num_partitions:
+        out = df.coalesce(num_partitions)
+    out.write.jdbc(url, table, mode=mode, properties=props)
+
+
+class PEP249Target:
+    """endload target: where + how to load the finished warehouse.
+
+    ``Engine.endload(target=PEP249Target(connect))`` loads every
+    registered table into the external database in FK order (referenced
+    dimensions before referencing facts), mirroring the reference's
+    commit-time flush ordering (ref ``tables.py:2560-2563``).
+    """
+
+    def __init__(
+        self,
+        connect: Callable[[], object],
+        *,
+        paramstyle: str = "qmark",
+        parallel: bool = False,
+        batch_size: int = 10_000,
+    ):
+        self.connect = connect
+        self.paramstyle = paramstyle
+        self.parallel = parallel
+        self.batch_size = batch_size
+
+    def load(self, df: DataFrame, table: str) -> int:
+        return PEP249Sink(
+            df,
+            self.connect,
+            table,
+            paramstyle=self.paramstyle,
+            parallel=self.parallel,
+            batch_size=self.batch_size,
+        )

@@ -233,3 +233,92 @@ def test_partition_for_routes_by_table_key(spark):
     )
     fplan = partition_for(fact, fact.df, 8)._jdf.queryExecution().optimizedPlan().toString()
     assert "RepartitionByExpression [k1" in fplan and ", 8" in fplan
+
+
+# ---------------------------------------------------------------------------
+# External-DB sinks (ref ConnectionWrapper / bulkloader parity)
+# ---------------------------------------------------------------------------
+
+
+def test_ddl_for_maps_types_and_rejects_arrays(spark):
+    from pygrametl_spark.sinks import ddl_for
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.5, True)], "id long, name string, x double, f boolean"
+    )
+    ddl = ddl_for(df, "t")
+    assert ddl == (
+        "CREATE TABLE t (id BIGINT, name VARCHAR, x DOUBLE PRECISION, f BOOLEAN)"
+    )
+    arr = spark.createDataFrame([(1, [1.0])], "id long, v array<double>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-relational"):
+        ddl_for(arr, "t")
+
+
+def test_pep249_sink_sqlite_roundtrip(spark, tmp_path):
+    import sqlite3
+
+    from pygrametl_spark.sinks import PEP249Sink
+
+    db = str(tmp_path / "wh.sqlite3")
+    df = spark.range(100).selectExpr("id", "CAST(id AS DOUBLE) / 4 AS x")
+    n = PEP249Sink(df, lambda: sqlite3.connect(db), "nums", batch_size=7)
+    assert n == 100
+    con = sqlite3.connect(db)
+    rows = con.execute("SELECT COUNT(*), SUM(x) FROM nums").fetchone()
+    con.close()
+    assert rows[0] == 100 and abs(rows[1] - sum(i / 4 for i in range(100))) < 1e-9
+    # overwrite semantics: second load replaces, not appends
+    n2 = PEP249Sink(df, lambda: sqlite3.connect(db), "nums")
+    assert n2 == 100
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM nums").fetchone()[0] == 100
+    con.close()
+
+
+def test_pep249_sink_parallel_partition_path(spark, tmp_path):
+    """foreachPartition path (one connection per partition task); a
+    single partition keeps the single-writer sqlite file uncontended
+    while still exercising the executor-side code."""
+    import sqlite3
+
+    from pygrametl_spark.sinks import PEP249Sink
+
+    db = str(tmp_path / "par.sqlite3")
+    df = spark.range(50).selectExpr("id", "CAST(id % 5 AS STRING) AS tag").coalesce(1)
+    n = PEP249Sink(df, lambda: sqlite3.connect(db), "tags", parallel=True, batch_size=9)
+    assert n == 50
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT COUNT(DISTINCT tag) FROM tags").fetchone()[0] == 5
+    con.close()
+
+
+def test_endload_target_loads_fk_order(spark, tmp_path):
+    import duckdb
+
+    from pygrametl_spark.engine import Engine
+    from pygrametl_spark.operators.facttable import FactTable
+    from pygrametl_spark.sinks import PEP249Target
+
+    db = str(tmp_path / "wh.duckdb")
+    dim = Dimension(
+        "d_ext", "id", ["name"],
+        df=spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"),
+    )
+    fact = FactTable(
+        "f_ext", ["id"], ["m"],
+        df=spark.createDataFrame([(1, 0.5), (2, 1.5)], "id long, m double"),
+    )
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.register(fact, dependson=[dim])  # registered BEFORE its dependency
+    eng.register(dim)
+    written = eng.endload(target=PEP249Target(lambda: duckdb.connect(db)), parquet=False)
+    assert written == ["d_ext", "f_ext"]  # dependson order, not registration
+    con = duckdb.connect(db)
+    got = con.execute(
+        "SELECT name, m FROM f_ext JOIN d_ext USING (id) ORDER BY name"
+    ).fetchall()
+    con.close()
+    assert got == [("a", 0.5), ("b", 1.5)]
