@@ -33,6 +33,8 @@ HEADLINE = [
     "simhash",
     "text_analysis",
     "ann_topk",
+    "ann_ivf_index",
+    "pep249_source",
     "events_stream_windows",
 ]
 

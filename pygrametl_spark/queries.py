@@ -799,7 +799,7 @@ _REGISTRY_ORDER = [
     "dedup_exact", "minhash_signatures", "dedup_minhash_lsh", "neardup_clusters",
     "simhash", "dedup_ngram_jaccard", "embedding_neardup",
     # similarity search
-    "ann_topk", "ann_lsh_neardup", "ann_ivf_topk",
+    "ann_topk", "ann_lsh_neardup", "ann_ivf_topk", "ann_ivf_index",
     # sampling / multimodal
     "sampling_suite", "multimodal_pipeline",
     # streaming

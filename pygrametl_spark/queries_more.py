@@ -411,6 +411,26 @@ def q_ann_ivf_topk(spark, sf_dir):
     return sim.ivf_topk(emb, queries, n_clusters=8, nprobe=3, k=5)
 
 
+def q_ann_ivf_index(spark, sf_dir):
+    """THE 100 TB ANN story: the corpus is routed once and persisted
+    partitioned by cluster (ivf_write_index), then every probe reads
+    only its nprobe cluster directories — dynamic partition pruning
+    turns the candidate join into a directory skip (plan-asserted in
+    tests/test_datatools.py). Same parameters as ann_ivf_topk, so the
+    persisted path must reproduce the in-memory path's oracle exactly.
+    """
+    from pygrametl_spark.functions import similarity as sim
+
+    emb = load_catalog(spark, sf_dir).embeddings
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pygrametl_spark_ivf_{abs(hash(sf_dir)) % 10**8}",
+    )
+    sim.ivf_write_index(emb, path, n_clusters=8)
+    queries = emb.filter("vec_id < 5")
+    return sim.ivf_topk_from_index(spark, path, queries, nprobe=3, k=5)
+
+
 def _ivf_oracle() -> str:
     from pygrametl_spark.queries_data import _cos_sql
 
@@ -751,6 +771,7 @@ MORE_QUERIES = {
     "scd2_type1_latest_only": q_scd2_type1_latest_only,
     "events_sessionize": q_events_sessionize,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_index": q_ann_ivf_index,
     "dim_getbykey": q_dim_getbykey,
     "transforming_source": q_transforming_source,
     "dynamic_foreach_source": q_dynamic_foreach_source,
@@ -774,6 +795,7 @@ MORE_ORACLES = {
     "scd2_type1_latest_only": ORACLE_SCD2_T1_LATEST,
     "events_sessionize": ORACLE_SESSIONIZE,
     "ann_ivf_topk": _ivf_oracle(),
+    "ann_ivf_index": _ivf_oracle(),
     "dim_getbykey": ORACLE_GETBYKEY,
     "transforming_source": ORACLE_TRANSFORMING,
     "dynamic_foreach_source": ORACLE_DYNAMIC_FOREACH,
