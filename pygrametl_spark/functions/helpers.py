@@ -227,6 +227,7 @@ def datespan(
     key: str = "dateid",
     strings: Mapping[str, str] | None = None,
     ints: Mapping[str, str] | None = None,
+    expander=None,
 ) -> DataFrame:
     """Date-dimension generator (ref ``datespan`` __init__.py:561-630).
 
@@ -234,6 +235,15 @@ def datespan(
     ``strings`` maps attribute -> Spark ``date_format`` pattern (defaults
     mirror the reference: date/monthname/weekday); ``ints`` maps
     attribute -> one of year/month/day.
+
+    ``expander`` is the reference's per-row extension hook (ref
+    ``__init__.py:600-614``: a callable mutating each row dict),
+    restated declaratively: it receives the date ``Column`` and returns
+    a mapping of attribute name -> ``Column`` appended to the output —
+    e.g. ``lambda d: {"quarter": F.quarter(d), "is_weekend":
+    F.dayofweek(d).isin(1, 7)}``. Staying a Column expression keeps the
+    whole dimension inside one codegen'd project, with no per-row
+    Python at any scale.
 
     Spark-first: a single ``sequence() -> explode`` expression — the span
     is generated distributed, never as a driver loop, so a 200-year
@@ -262,4 +272,7 @@ def datespan(
     int_fns = {"year": F.year, "month": F.month, "day": F.dayofmonth}
     for att, which in ints.items():
         cols.append(int_fns[which]("_d").cast("int").alias(att))
+    if expander is not None:
+        for att, col in expander(F.col("_d")).items():
+            cols.append(col.alias(att))
     return df.select(*cols)

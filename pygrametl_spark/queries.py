@@ -598,7 +598,10 @@ FROM orders GROUP BY o_orderpriority
 
 
 def q_datespan(spark, sf_dir):  # noqa: ARG001
-    return datespan(spark, "1995-01-01", "1995-12-31")
+    return datespan(
+        spark, "1995-01-01", "1995-12-31",
+        expander=lambda d: {"quarter": F.quarter(d).cast("int")},
+    )
 
 
 ORACLE_DATESPAN = """
@@ -608,7 +611,8 @@ SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS dateid,
        strftime(d, '%A') AS weekday,
        CAST(year(d) AS INT) AS year,
        CAST(month(d) AS INT) AS month,
-       CAST(day(d) AS INT) AS day
+       CAST(day(d) AS INT) AS day,
+       CAST(quarter(d) AS INT) AS quarter
 FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-12-31', INTERVAL 1 DAY))::DATE AS d) t
 """
 

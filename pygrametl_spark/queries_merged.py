@@ -89,7 +89,7 @@ PART_COLS: dict[str, list[str]] = {
     "ann_lsh_buckets": ["vec_id", "bucket"],
     "ann_lsh_neardup": ["id_1", "id_2", "cosine"],
     "scalar_helpers": ["p_partkey", "name", "size", "even", "dbstr", "sqlstr"],
-    "datespan": ["dateid", "date", "monthname", "weekday", "year", "month", "day"],
+    "datespan": ["dateid", "date", "monthname", "weekday", "year", "month", "day", "quarter"],
     "dataset_split": ["doc_id", "split"],
     "stratified_sample": ["doc_id", "source"],
     "pack_tokens": ["doc_id", "source", "n_tokens", "pack_id"],
@@ -246,6 +246,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("even", "boolean"), ("dbstr", "string"), ("sqlstr", "string"),
             ("dateid", "int"), ("date", "string"), ("monthname", "string"),
             ("weekday", "string"), ("year", "int"), ("month", "int"), ("day", "int"),
+            ("quarter", "int"),
         ],
         [("scalar", "scalar_helpers"), ("datespan", "datespan")],
     ),

@@ -42,15 +42,26 @@ def TypedCSVSource(
     *,
     delimiter: str = ",",
     header: bool = True,
+    strict: bool = False,
     **options,
 ) -> DataFrame:
     """CSV scan + per-column casts (ref datasources.py:75-132). ``casts``
-    maps column -> Spark type name; uncast columns stay strings. Cast
-    failures yield NULL (the reference would raise per-row; NULL keeps
-    the pipeline total — filter on isNull to find rejects)."""
+    maps column -> Spark type name; uncast columns stay strings.
+
+    Default (``strict=False``): cast failures yield NULL — the total
+    pipeline; filter on isNull to collect rejects. ``strict=True``
+    matches the reference exactly (ref datasources.py:123-129 raises
+    ``ValueError`` per bad row): an ANSI ``cast`` makes the FIRST bad
+    value fail the job with the offending value in the error. At scale
+    prefer the default + a reject-side filter: one poisoned row among
+    billions shouldn't kill a 6-hour load."""
     df = CSVSource(spark, path, delimiter=delimiter, header=header, **options)
     for c, t in casts.items():
-        df = df.withColumn(c, F.col(c).try_cast(t))
+        if strict:
+            # ANSI-mode cast raises CAST_INVALID_INPUT on malformed values
+            df = df.withColumn(c, F.expr(f"cast(`{c}` AS {t})"))
+        else:
+            df = df.withColumn(c, F.col(c).try_cast(t))
     return df
 
 

@@ -167,3 +167,33 @@ def test_datespan(spark):
 def test_datespan_exclusive_bounds(spark):
     df = helpers.datespan(spark, "2024-01-01", "2024-01-03", fromdateincl=False, todateincl=False)
     assert [r["dateid"] for r in df.collect()] == [20240102]
+
+
+def test_typed_csv_strict_raises_on_bad_cast(spark, tmp_path):
+    """strict=True matches the reference's raise-per-bad-row semantics
+    (ref datasources.py:123-129) via ANSI cast."""
+    import pytest as _pytest
+
+    p = tmp_path / "bad2.csv"
+    p.write_text("bid\n7\nnot_a_number\n")
+    ok = TypedCSVSource(spark, str(p), {"bid": "int"})
+    assert sorted((r["bid"] for r in ok.collect()), key=str) == [7, None]
+    with _pytest.raises(Exception, match="CAST_INVALID_INPUT|cannot be cast"):
+        TypedCSVSource(spark, str(p), {"bid": "int"}, strict=True).collect()
+
+
+def test_datespan_expander_hook(spark):
+    """expander mirrors ref datespan's row-expander (__init__.py:600-614)
+    as a Column-returning hook — no per-row Python."""
+    from pyspark.sql import functions as F
+
+    df = helpers.datespan(
+        spark, "2024-01-05", "2024-01-07",
+        expander=lambda d: {
+            "quarter": F.quarter(d).cast("int"),
+            "is_weekend": F.dayofweek(d).isin(1, 7),
+        },
+    )
+    rows = {r["dateid"]: (r["quarter"], r["is_weekend"]) for r in df.collect()}
+    # 2024-01-06/07 are Sat/Sun
+    assert rows == {20240105: (1, False), 20240106: (1, True), 20240107: (1, True)}
