@@ -10,6 +10,13 @@ Spark restatement: a drawing parses straight into a typed DataFrame
 (no database); assertions compare collected row multisets with the same
 variable semantics. Intended for tests — data is test-sized by
 construction, so driver-side comparison is correct and simple.
+
+Database-state management (ref __init__.py:299-407) is also supported
+against a live PEP 249 connection: ``create``/``ensure``/``reset``/
+``drop`` instantiate the drawing in a test database, ``update``/
+``additions`` build postcondition drawings, and ``clear`` drops
+everything in reverse-creation order. Pass ``testconnection`` at
+construction or set a default via :func:`connectionwrapper`.
 """
 
 from __future__ import annotations
@@ -20,7 +27,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["Table", "assertEqual", "assertDisjoint", "assertSubset"]
+__all__ = [
+    "Table", "assertEqual", "assertDisjoint", "assertSubset",
+    "connectionwrapper",
+]
 
 # DTT/SQL type names -> Spark types (ref drawntabletesting/__init__.py:114-128)
 _TYPES = {
@@ -33,6 +43,20 @@ _TYPES = {
 }
 
 _VARIABLE = re.compile(r"^\$(\w+|_!?)$")
+
+#: default PEP 249 test connection (ref dtt.connectionwrapper)
+_DEFAULT_CON = None
+
+
+def connectionwrapper(con=None):
+    """Set (and return) the default PEP 249 test connection used by
+    Table.create/ensure/reset/drop when none is passed — the engine's
+    stand-in for the reference's default ConnectionWrapper
+    (ref drawntabletesting/__init__.py:60-77)."""
+    global _DEFAULT_CON
+    if con is not None:
+        _DEFAULT_CON = con
+    return _DEFAULT_CON
 
 
 def _cells(line: str) -> list[str]:
@@ -65,9 +89,16 @@ class Table:
     same value at every occurrence.
     """
 
-    def __init__(self, name: str, drawing: str, *, nullsubst: str = "NULL"):
+    #: tables created through create()/ensure(), in creation order
+    #: (ref __init__.py:305 __createdTables) — clear() drops them reversed
+    _created: dict = {}
+
+    def __init__(self, name: str, drawing: str, *, nullsubst: str = "NULL",
+                 testconnection=None):
         self.name = name
         self.nullsubst = nullsubst
+        self.testconnection = testconnection
+        self._additions: set[int] = set()
         lines = [ln.strip() for ln in drawing.strip().splitlines() if ln.strip()]
         if not lines:
             raise ValueError("empty drawing")
@@ -143,17 +174,165 @@ class Table:
     def _has_variables(row: tuple) -> bool:
         return any(isinstance(v, str) and _VARIABLE.match(v) for v in row)
 
-    def __add__(self, extra_rows: str) -> "Table":
+    def _copy(self) -> "Table":
         clone = Table.__new__(Table)
         clone.name, clone.nullsubst, clone.columns = self.name, self.nullsubst, self.columns
+        clone.testconnection = self.testconnection
         clone.rows = list(self.rows)
+        clone._additions = set(self._additions)
+        return clone
+
+    def __add__(self, extra_rows: str) -> "Table":
+        """Postcondition drawing: extra drawn rows (ref __init__.py:418-448);
+        the new rows are tracked for :meth:`additions`."""
+        clone = self._copy()
         for ln in [ln.strip() for ln in extra_rows.strip().splitlines() if ln.strip()]:
+            clone._additions.add(len(clone.rows))
             clone.rows.append(clone._parse_row(ln))
         return clone
 
+    def update(self, index: int, line: str) -> "Table":
+        """New instance with row ``index`` updated from the drawn ``line``
+        (ref __init__.py:357-381); empty cells keep the old value, and the
+        row is tracked for :meth:`additions`."""
+        if index >= len(self.rows):
+            raise ValueError(
+                f"{self.name} index out of bounds {index} >= {len(self.rows)}"
+            )
+        cells = _cells(line.strip())
+        if len(cells) != len(self.columns):
+            raise ValueError(
+                f"update line has {len(cells)} cells, expected {len(self.columns)}"
+            )
+        clone = self._copy()
+        new = tuple(
+            old if cell.strip() == "" else self._parse_cell(cell.strip(), col)
+            for old, cell, col in zip(self.rows[index], cells, self.columns)
+        )
+        clone.rows[index] = new
+        clone._additions.add(index)
+        return clone
+
+    def additions(self, withKey: bool = False) -> list[dict]:
+        """Rows added (via ``+``) or updated since the original drawing
+        (ref __init__.py:383-395). ``withKey=False`` drops pk columns —
+        the shape ``ensure``-style loaders expect."""
+        out = []
+        for i in sorted(self._additions):
+            if withKey:
+                out.append({c.name: v for c, v in zip(self.columns, self.rows[i])})
+            else:
+                out.append(
+                    {c.name: v for c, v in zip(self.columns, self.rows[i]) if not c.pk}
+                )
+        return out
+
+    # -- database state (ref __init__.py:299-407) --------------------------
+    def getSQLToCreate(self) -> str:
+        cols = [f"{c.name} {c.typename.upper()}" for c in self.columns]
+        pks = [c.name for c in self.columns if c.pk]
+        pk = f", PRIMARY KEY ({', '.join(pks)})" if pks else ""
+        return f"CREATE TABLE {self.name} ({', '.join(cols)}{pk})"
+
+    def getSQLToInsert(self) -> str:
+        names = ", ".join(c.name for c in self.columns)
+        ph = ", ".join("?" for _ in self.columns)
+        return f"INSERT INTO {self.name} ({names}) VALUES ({ph})"
+
+    def _con(self, con=None):
+        con = con or self.testconnection or _DEFAULT_CON
+        if con is None:
+            raise ValueError(
+                f"{self.name}: no test connection (pass testconnection= or "
+                "set a default with dtt.connectionwrapper(con))"
+            )
+        return con
+
+    def create(self, con=None) -> None:
+        """Create the table without adding rows (ref __init__.py:299-304)."""
+        con = self._con(con)
+        con.cursor().execute(self.getSQLToCreate())
+        con.commit()
+        Table._created[self.name] = (self, con)
+
+    def ensure(self, con=None) -> None:
+        """Create + fill if absent; verify contents if present — refuses
+        to override existing data (ref __init__.py:330-355)."""
+        if any(self._has_variables(r) for r in self.rows):
+            raise ValueError(f"{self.name} contains variables")
+        con = self._con(con)
+        try:
+            con.cursor().execute(f"SELECT 1 FROM {self.name}")
+        except Exception:  # missing-table error is driver dependent
+            try:
+                con.rollback()
+            except Exception:  # noqa: BLE001 — not all drivers support it
+                pass
+            self.create(con)
+            if self.rows:
+                con.cursor().executemany(
+                    self.getSQLToInsert(), [tuple(r) for r in self.rows]
+                )
+                con.commit()
+            return
+        db = self._fetch_db(con)
+        if len(db) != len(self.rows) or not _match(self.rows, db, {}):
+            raise ValueError(f"{self.name} contains other rows")
+
+    def reset(self, con=None) -> None:
+        """Forcefully recreate with the drawn rows (ref __init__.py:322-328)."""
+        con = self._con(con)
+        try:
+            con.cursor().execute(f"DROP TABLE {self.name}")
+            con.commit()
+        except Exception:  # noqa: BLE001 — missing table is fine
+            try:
+                con.rollback()
+            except Exception:  # noqa: BLE001
+                pass
+        Table._created.pop(self.name, None)
+        self.ensure(con)
+
+    def drop(self, con=None) -> None:
+        """Drop without checking contents (ref __init__.py:397-404); only
+        tables created through a Table instance may be dropped."""
+        if self.name not in Table._created:
+            raise ValueError(f"{self.name} is not created by a Table instance")
+        con = self._con(con)
+        con.cursor().execute(f"DROP TABLE {self.name}")
+        con.commit()
+        del Table._created[self.name]
+
+    @classmethod
+    def clear(cls) -> None:
+        """Drop all created tables, newest first (ref __init__.py:306-320)."""
+        for name, (_, con) in reversed(list(cls._created.items())):
+            try:
+                con.cursor().execute(f"DROP TABLE {name}")
+                con.commit()
+            except Exception:  # noqa: BLE001 — driver-dependent missing-table error
+                pass
+        cls._created.clear()
+
+    def _fetch_db(self, con=None) -> list[tuple]:
+        con = self._con(con)
+        cur = con.cursor()
+        cur.execute(
+            f"SELECT {', '.join(c.name for c in self.columns)} FROM {self.name}"
+        )
+        return [tuple(r) for r in cur.fetchall()]
+
     # -- assertions (ref __init__.py:241-297) -----------------------------
-    def assertEqual(self, actual: DataFrame) -> None:
-        actual_rows = [tuple(r) for r in actual.select(*[c.name for c in self.columns]).collect()]
+    def _actual_rows(self, actual: DataFrame | None) -> list[tuple]:
+        """Rows to assert against: a DataFrame's, or — mirroring the
+        reference, which always asserts against the test database — the
+        live table's via the test connection when ``actual`` is None."""
+        if actual is None:
+            return self._fetch_db()
+        return [tuple(r) for r in actual.select(*[c.name for c in self.columns]).collect()]
+
+    def assertEqual(self, actual: DataFrame | None = None) -> None:
+        actual_rows = self._actual_rows(actual)
         if len(actual_rows) != len(self.rows):
             raise AssertionError(
                 f"{self.name}: expected {len(self.rows)} rows, got {len(actual_rows)}"
@@ -164,13 +343,13 @@ class Table:
                 f"\nactual:   {sorted(map(str, actual_rows))}"
             )
 
-    def assertSubset(self, actual: DataFrame) -> None:
-        actual_rows = [tuple(r) for r in actual.select(*[c.name for c in self.columns]).collect()]
+    def assertSubset(self, actual: DataFrame | None = None) -> None:
+        actual_rows = self._actual_rows(actual)
         if not _match(self.rows, actual_rows, {}, subset=True):
             raise AssertionError(f"{self.name}: drawn rows are not a subset of the table")
 
-    def assertDisjoint(self, actual: DataFrame) -> None:
-        actual_rows = [tuple(r) for r in actual.select(*[c.name for c in self.columns]).collect()]
+    def assertDisjoint(self, actual: DataFrame | None = None) -> None:
+        actual_rows = self._actual_rows(actual)
         for er in self.rows:
             for ar in actual_rows:
                 if _row_matches(er, ar, {}) is not None:

@@ -322,3 +322,72 @@ def test_endload_target_loads_fk_order(spark, tmp_path):
     ).fetchall()
     con.close()
     assert got == [("a", 0.5), ("b", 1.5)]
+
+
+# ---------------------------------------------------------------------------
+# DTT database-state management (ref drawntabletesting/__init__.py:299-407)
+# ---------------------------------------------------------------------------
+
+
+def _book_table(con):
+    from pygrametl_spark.dtt import Table
+
+    return Table(
+        "book",
+        """
+        | id:int (pk) | title:text |
+        | ----------- | ---------- |
+        | 1           | Unknown    |
+        | 2           | Nineteen   |
+        """,
+        testconnection=con,
+    )
+
+
+def test_dtt_ensure_creates_then_verifies(tmp_path):
+    import sqlite3
+
+    from pygrametl_spark.dtt import Table
+
+    con = sqlite3.connect(str(tmp_path / "dtt.sqlite3"))
+    t = _book_table(con)
+    t.ensure()  # absent -> create + fill
+    assert con.execute("SELECT COUNT(*) FROM book").fetchone()[0] == 2
+    t.ensure()  # present + matching -> no-op
+    t.assertEqual()  # assert against the live DB, no DataFrame
+    con.execute("INSERT INTO book VALUES (3, 'Extra')")
+    con.commit()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="contains other rows"):
+        t.ensure()  # present + mismatching -> refuses to override
+    t.reset()  # forceful recreate restores the drawing
+    assert con.execute("SELECT COUNT(*) FROM book").fetchone()[0] == 2
+    t.drop()
+    with _pytest.raises(ValueError, match="not created by a Table"):
+        t.drop()
+    Table.clear()
+    con.close()
+
+
+def test_dtt_update_and_additions(tmp_path):
+    import sqlite3
+
+    con = sqlite3.connect(str(tmp_path / "dtt2.sqlite3"))
+    t = _book_table(con)
+    post = t.update(1, "|   | Rewritten |") + "| 3 | Third |"
+    assert post.rows[1] == (2, "Rewritten")  # empty cell kept the pk
+    adds = post.additions(withKey=True)
+    assert adds == [{"id": 2, "title": "Rewritten"}, {"id": 3, "title": "Third"}]
+    assert post.additions() == [{"title": "Rewritten"}, {"title": "Third"}]
+    # the original drawing is unchanged (update copies)
+    assert t.rows[1] == (2, "Nineteen") and t.additions() == []
+    post.ensure()
+    assert con.execute("SELECT title FROM book WHERE id = 2").fetchone()[0] == "Rewritten"
+    from pygrametl_spark.dtt import Table
+
+    Table.clear()
+    assert con.execute(
+        "SELECT COUNT(*) FROM sqlite_master WHERE type='table' AND name='book'"
+    ).fetchone()[0] == 0
+    con.close()
