@@ -94,7 +94,12 @@ class Dimension:
         # grow unboundedly across batches). Lazy localCheckpoint: computed
         # once at first use. The reference's analogue is that its tables
         # ARE materialized state in the RDBMS after every operation.
+        # localCheckpoint blocks are executor-local (non-replicated): right
+        # for a single-session sandbox, lost on executor failure on a real
+        # cluster — production loads call durable() for write-through
+        # parquet state instead (operators/state.py).
         self.materialize_updates = True
+        self._persistence = None
         self.all = [key, *self.attributes]
         self._df: DataFrame | None = df.select(*self.all) if df is not None else None
 
@@ -215,8 +220,34 @@ class Dimension:
             return self.idfinder(new_members, offset)
         return assign_dense_keys(new_members, self.lookupatts, self.key, offset)
 
+    def durable(self, path: str) -> "Dimension":
+        """Write-through state (the production persistence path — see
+        operators/state.py): every mutation persists to ``path`` and a
+        fresh session resumes with :meth:`restore`."""
+        from pygrametl_spark.operators.state import StatePersistence
+
+        self._persistence = StatePersistence(path)
+        if self._df is not None:
+            self._df = self._persistence.write(self._df)
+        return self
+
+    def restore(self, spark, path: str | None = None) -> "Dimension":
+        """Reload the latest durably-persisted state — the fresh-session /
+        post-failure recovery twin of :meth:`durable`."""
+        from pygrametl_spark.operators.state import StatePersistence
+
+        if path is not None or self._persistence is None:
+            if path is None:
+                raise ValueError(f"dimension {self.name} has no persistence path")
+            self._persistence = StatePersistence(path)
+        self._df = self._persistence.read_latest(spark).select(*self.all)
+        return self
+
     def _set_state(self, df: DataFrame) -> None:
-        self._df = df.localCheckpoint(eager=False) if self.materialize_updates else df
+        if self._persistence is not None:
+            self._df = self._persistence.write(df)
+        else:
+            self._df = df.localCheckpoint(eager=False) if self.materialize_updates else df
 
     def update(self, updates: DataFrame, namemapping=None) -> None:
         """Overwrite provided attribute columns per key (ref tables.py:335-366).

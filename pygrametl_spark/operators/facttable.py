@@ -58,9 +58,33 @@ class FactTable:
     # Pin mutated state (see Dimension._set_state): iterative ensure
     # chains otherwise replay the full merge lineage on every action.
     materialize_updates = True
+    _persistence = None
+
+    def durable(self, path: str) -> "FactTable":
+        """Write-through state (production persistence — operators/state.py)."""
+        from pygrametl_spark.operators.state import StatePersistence
+
+        self._persistence = StatePersistence(path)
+        if self._df is not None:
+            self._df = self._persistence.write(self._df)
+        return self
+
+    def restore(self, spark, path: str | None = None) -> "FactTable":
+        """Reload the latest durably-persisted state in a fresh session."""
+        from pygrametl_spark.operators.state import StatePersistence
+
+        if path is not None or self._persistence is None:
+            if path is None:
+                raise ValueError(f"fact table {self.name} has no persistence path")
+            self._persistence = StatePersistence(path)
+        self._df = self._persistence.read_latest(spark).select(*self.all)
+        return self
 
     def _set_state(self, df: DataFrame) -> None:
-        self._df = df.localCheckpoint(eager=False) if self.materialize_updates else df
+        if self._persistence is not None:
+            self._df = self._persistence.write(df)
+        else:
+            self._df = df.localCheckpoint(eager=False) if self.materialize_updates else df
 
     def insert(self, rows: DataFrame, namemapping=None) -> None:
         """Append keyrefs+measures (ref insert tables.py:2184-2197). Extra

@@ -1,0 +1,73 @@
+"""Durable write-through state for mutable tables (Dimension/FactTable).
+
+The default state pin after a mutation is a lazy ``localCheckpoint`` —
+right for a sandbox/driver-session lifetime, but its blocks live in
+*non-replicated executor storage*: on a real cluster, losing one
+executor kills the truncated lineage and the computation cannot be
+replayed. The production path is write-through: every mutation persists
+the new state as parquet under a versioned directory and the in-memory
+DataFrame re-reads from storage, so
+
+- executor loss costs nothing (state is on the cluster FS / object
+  store, exactly like the reference's tables, which *are* materialized
+  in the RDBMS after every operation — ref ``tables.py:400-425``),
+- a fresh session resumes from the latest version (`restore`),
+- the mutation lineage is truncated the same way localCheckpoint
+  truncates it (no unbounded plan growth across batches).
+
+Versioned subdirectories (``v1``, ``v2`` …) avoid overwriting a path
+that the next plan is still reading; old versions are pruned
+best-effort, keeping the previous one as a rollback point.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["StatePersistence"]
+
+_VERSION = re.compile(r"^v(\d+)$")
+
+
+class StatePersistence:
+    """Write-through parquet persistence with version rotation."""
+
+    def __init__(self, path: str, keep: int = 2):
+        self.path = path
+        self.keep = keep
+        self.version = self._latest() or 0
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        for d in os.listdir(self.path):
+            m = _VERSION.match(d)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _latest(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def write(self, df: DataFrame) -> DataFrame:
+        """Persist ``df`` as the next version; return the re-read frame."""
+        self.version += 1
+        target = os.path.join(self.path, f"v{self.version}")
+        df.write.mode("overwrite").parquet(target)
+        for v in self._versions()[: -self.keep] if self.keep else []:
+            shutil.rmtree(os.path.join(self.path, f"v{v}"), ignore_errors=True)
+        return df.sparkSession.read.parquet(target)
+
+    def read_latest(self, spark: SparkSession) -> DataFrame:
+        """Latest persisted state — the fresh-session recovery path."""
+        latest = self._latest()
+        if latest is None:
+            raise ValueError(f"no persisted state under {self.path}")
+        self.version = latest
+        return spark.read.parquet(os.path.join(self.path, f"v{latest}"))

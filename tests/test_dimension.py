@@ -116,3 +116,52 @@ def test_ensure_idempotent_dense_keys(spark, seed, batch):
     dim.ensure(bdf)
     second = {(r["id"], r["name"]) for r in dim.df.collect()}
     assert second == first
+
+
+def test_durable_state_survives_fresh_session_reload(spark, tmp_path):
+    """Write-through persistence (operators/state.py): mutations persist
+    to storage, a NEW Dimension object (fresh-session stand-in) restores
+    the identical contents, and old versions are pruned to `keep`."""
+    import os
+
+    d = Dimension(
+        "dur_dim", "id", ["name", "seg"], lookupatts=["name"],
+        df=spark.createDataFrame([(1, "a", "s1")], "id long, name string, seg string"),
+    ).durable(str(tmp_path / "dur_dim"))
+    d.ensure(spark.createDataFrame([("b", "s2"), ("c", "s3")], ["name", "seg"]))
+    d.ensure(spark.createDataFrame([("d", "s4")], ["name", "seg"]))
+    want = sorted(tuple(r) for r in d.df.collect())
+
+    d2 = Dimension("dur_dim", "id", ["name", "seg"], lookupatts=["name"])
+    d2.restore(spark, str(tmp_path / "dur_dim"))
+    assert sorted(tuple(r) for r in d2.df.collect()) == want
+    # further mutations on the restored object keep persisting
+    d2.ensure(spark.createDataFrame([("e", "s5")], ["name", "seg"]))
+    d3 = Dimension("dur_dim", "id", ["name", "seg"], lookupatts=["name"]).restore(
+        spark, str(tmp_path / "dur_dim")
+    )
+    assert d3.df.count() == 5
+    # version rotation: at most `keep` (2) versions on disk
+    versions = [v for v in os.listdir(tmp_path / "dur_dim") if v.startswith("v")]
+    assert len(versions) <= 2
+
+
+def test_dimension_survives_endload_and_reload(spark, tmp_path):
+    """The engine-level durability path: endload persists the dimension
+    to the warehouse dir; a fresh session reloads identical contents."""
+    from pygrametl_spark.engine import Engine
+
+    d = Dimension(
+        "wh_dim", "id", ["name"],
+        df=spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"),
+    )
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.register(d)
+    eng.endload()
+    d.ensure(spark.createDataFrame([("zz",)], ["name"]))  # post-endload mutation
+    reloaded = Dimension(
+        "wh_dim", "id", ["name"],
+        df=spark.read.parquet(str(tmp_path / "wh" / "wh_dim")),
+    )
+    # the reload reflects the endloaded snapshot, not the later mutation
+    assert sorted(tuple(r) for r in reloaded.df.collect()) == [(1, "a"), (2, "b")]
