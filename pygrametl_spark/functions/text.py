@@ -18,6 +18,7 @@ __all__ = [
     "tokens", "shingles", "shingles_of_tokens", "with_shingle_rows",
     "token_stats", "quality_score", "lang_id",
     "fingerprint", "STOPWORDS", "LANG_MARKERS",
+    "pii_stats", "decontaminate", "PII_PATTERNS",
 ]
 
 # Tiny deterministic marker lists (the heuristic, not a model).
@@ -146,3 +147,70 @@ def fingerprint(df: DataFrame, text: str = "text", out: str = "fp") -> DataFrame
     whitespace collapsed). Byte-identical across engines."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text))), r"\s+", " ")
     return df.withColumn(out, F.md5(norm))
+
+
+# PII surface patterns. Deliberately restricted to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+# character classes, bounded repetition, \b, non-overlapping counting.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ip": r"\b(\d{1,3}\.)\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII surface counts (emails, URLs, IPv4 literals).
+
+    Standard corpus-curation gate before training-data release. Pure
+    ``regexp_count`` expressions — JVM-side, inside the scan stage, no
+    shuffle and no Python at any scale; route docs with ``has_pii`` to a
+    scrub/redact pass."""
+    c = F.col(text)
+    n_emails = F.regexp_count(c, F.lit(PII_PATTERNS["email"])).cast("long")
+    n_urls = F.regexp_count(c, F.lit(PII_PATTERNS["url"])).cast("long")
+    n_ips = F.regexp_count(c, F.lit(PII_PATTERNS["ip"])).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        n_ips.alias("n_ips"),
+        ((n_emails + n_urls + n_ips) > 0).alias("has_pii"),
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    n-token shingle with a held-out evaluation set.
+
+    The training-data hygiene step every large pretraining corpus needs
+    (n-gram overlap against eval benchmarks). Scale shape: eval sets
+    are small by nature, so their distinct shingles BROADCAST; the
+    corpus is scanned once, shingled in-row, exploded, hash-joined
+    against the broadcast set, and collapsed to one boolean per doc —
+    the corpus is never shuffled by anything wider than its hit set.
+    Returns (id, contaminated)."""
+    bench = (
+        with_shingle_rows(benchmark, id_col, text_col, n)
+        .select("_s")
+        .distinct()
+    )
+    hits = (
+        with_shingle_rows(df, id_col, text_col, n)
+        .join(F.broadcast(bench), "_s")
+        .select(id_col)
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(id_col, F.coalesce("_hit", F.lit(False)).alias("contaminated"))
+    )

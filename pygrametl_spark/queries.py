@@ -797,8 +797,8 @@ _REGISTRY_ORDER = [
     "fact_suite", "accumulating_snapshot",
     # aggregation / ordering
     "crosstab", "rollup_cube_agg", "advanced_aggs", "topk",
-    # text analysis
-    "text_analysis", "token_count",
+    # text analysis / corpus hygiene
+    "text_analysis", "token_count", "curation_guard",
     # dedup
     "dedup_exact", "minhash_signatures", "dedup_minhash_lsh", "neardup_clusters",
     "simhash", "dedup_ngram_jaccard", "embedding_neardup",

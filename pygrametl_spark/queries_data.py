@@ -285,6 +285,43 @@ WHERE (source = 'src0' AND {_BUCKET10K_SQL} < 10000)
 # already-verified operator; this query proves they compose.
 # ---------------------------------------------------------------------------
 
+def q_pii_scan(spark, sf_dir):
+    """PII surface counts per document (emails/URLs/IPv4) — the release
+    gate before training-data export (functions/text.py pii_stats)."""
+    docs = load_catalog(spark, sf_dir).documents
+    return tx.pii_stats(docs)
+
+
+ORACLE_PII = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{tx.PII_PATTERNS["email"]}')) AS n_emails,
+       len(regexp_extract_all(text, '{tx.PII_PATTERNS["url"]}')) AS n_urls,
+       len(regexp_extract_all(text, '{tx.PII_PATTERNS["ip"]}')) AS n_ips,
+       (len(regexp_extract_all(text, '{tx.PII_PATTERNS["email"]}'))
+        + len(regexp_extract_all(text, '{tx.PII_PATTERNS["url"]}'))
+        + len(regexp_extract_all(text, '{tx.PII_PATTERNS["ip"]}'))) > 0 AS has_pii
+FROM documents
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any 3-token shingle with
+    the held-out eval set (doc_id % 50 == 0) are flagged. Eval shingles
+    broadcast; the corpus shingles in-row and is never fully shuffled
+    (functions/text.py decontaminate)."""
+    docs = load_catalog(spark, sf_dir).documents
+    bench = docs.filter("doc_id % 50 = 0")
+    return tx.decontaminate(docs, bench, n=3)
+
+
+ORACLE_DECONTAM = _SHINGLE_CTE + """,
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+hits AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s))
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 def q_corpus_curation(spark, sf_dir):
     from pygrametl_spark.functions.sampling import hash_split
 
@@ -632,6 +669,8 @@ DATA_QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pack_tokens": q_pack_tokens,
     "corpus_curation": q_corpus_curation,
+    "pii_scan": q_pii_scan,
+    "decontaminate": q_decontaminate,
     "simhash": q_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
@@ -657,6 +696,8 @@ DATA_ORACLES = {
     "stratified_sample": ORACLE_STRATIFIED,
     "pack_tokens": ORACLE_PACK_TOKENS,
     "corpus_curation": _curation_oracle(),
+    "pii_scan": ORACLE_PII,
+    "decontaminate": ORACLE_DECONTAM,
     "simhash": ORACLE_SIMHASH,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "embedding_neardup": ORACLE_EMB_NEARDUP,

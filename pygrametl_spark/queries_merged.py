@@ -93,6 +93,8 @@ PART_COLS: dict[str, list[str]] = {
     "dataset_split": ["doc_id", "split"],
     "stratified_sample": ["doc_id", "source"],
     "pack_tokens": ["doc_id", "source", "n_tokens", "pack_id"],
+    "pii_scan": ["doc_id", "n_emails", "n_urls", "n_ips", "has_pii"],
+    "decontaminate": ["doc_id", "contaminated"],
 }
 
 # merged name -> (schema [(col, spark_type)], parts [(tag, part_query_name)])
@@ -249,6 +251,14 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("quarter", "int"),
         ],
         [("scalar", "scalar_helpers"), ("datespan", "datespan")],
+    ),
+    "curation_guard": (
+        [
+            ("doc_id", "bigint"), ("n_emails", "bigint"), ("n_urls", "bigint"),
+            ("n_ips", "bigint"), ("has_pii", "boolean"),
+            ("contaminated", "boolean"),
+        ],
+        [("pii", "pii_scan"), ("decontam", "decontaminate")],
     ),
     "sampling_suite": (
         [

@@ -334,3 +334,35 @@ def test_ivf_index_roundtrip_prunes_partitions(spark, tmp_path):
     plan = formatted_plan(got)
     pf = plan.split("PartitionFilters", 1)
     assert len(pf) == 2 and "dynamicpruning" in pf[1][:200]
+
+
+def test_pii_stats_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact a@b.com or c.d@e.org via https://x.io at 10.0.0.1"),
+            (2, "clean text with no identifiers"),
+            (3, "ip 999.1.2.3 still matches the surface pattern 1.2.3.4"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in tx.pii_stats(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_urls"], got[1]["n_ips"]) == (2, 1, 1)
+    assert got[1]["has_pii"] and not got[2]["has_pii"]
+    assert got[2]["n_emails"] == 0
+    assert got[3]["n_ips"] == 2  # surface scan, not a validator
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "totally unrelated content here"),
+            (2, "he said the quick brown fox appeared"),  # shares a 3-gram
+            (3, "quick brown cat sleeps"),  # no full 3-gram overlap
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["contaminated"] for r in tx.decontaminate(docs, bench, n=3).collect()}
+    assert got == {1: False, 2: True, 3: False}
