@@ -366,3 +366,66 @@ def test_decontaminate_flags_ngram_overlap(spark):
     )
     got = {r["doc_id"]: r["contaminated"] for r in tx.decontaminate(docs, bench, n=3).collect()}
     assert got == {1: False, 2: True, 3: False}
+
+
+# ---------------------------------------------------------------------------
+# Property tests: bucketed formulations == brute force on random corpora
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+_doc_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=3, max_size=10).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_doc_strategy)
+def test_ngram_jaccard_matches_bruteforce(spark, texts):
+    """The shared-shingle bucket formulation equals the brute-force
+    per-pair jaccard over distinct 3-gram sets, for every pair."""
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+
+    def shingle_set(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingle_set(t) for i, t in enumerate(texts)}
+    for i in sets:
+        for j in sets:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                want = round(inter / len(sets[i] | sets[j]), 6) if inter else None
+                if want:  # bucket formulation only emits intersecting pairs
+                    assert got.get((i, j)) == want
+                else:
+                    assert (i, j) not in got
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_doc_strategy, bench_texts=_doc_strategy)
+def test_decontaminate_matches_bruteforce(spark, texts, bench_texts):
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(bench_texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in tx.decontaminate(docs, bench, n=3).collect()
+    }
+
+    def shingle_set(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    bench_sh = set().union(*(shingle_set(t) for t in bench_texts))
+    for i, t in enumerate(texts):
+        assert got[i] == bool(shingle_set(t) & bench_sh)
