@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "getint", "getfloat", "getstr", "getstrippedstr", "getbool",
-    "getdate", "gettimestamp", "ymdparser", "ymdhmsparser", "today", "now",
+    "getdate", "gettimestamp", "ymdparser", "ymdhmsparser",
+    "datereader", "datetimereader", "rowfactory", "today", "now",
     "getvalue", "getvalueor", "setdefaults",
     "project", "copy", "rename", "renamefromto", "renametofrom",
     "toupper", "tolower", "keepasis", "datespan",
@@ -87,6 +88,46 @@ def gettimestamp(value, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
 
 ymdparser = getdate
 ymdhmsparser = gettimestamp
+
+
+def datereader(dateattribute: str, parsingfunction=None):
+    """Attribute-picking date converter factory (ref __init__.py:519-538).
+
+    The reference returns ``f(targetconnection, row, namemapping)`` used
+    as an SCD ``fromfinder``; the Spark restatement returns
+    ``f(namemapping=None) -> Column`` resolving the (name-mapped)
+    attribute through the parsing function — pass it wherever a date
+    Column for a named attribute is needed."""
+    parse = parsingfunction or ymdparser
+
+    def readerfunction(namemapping: Mapping[str, str] | None = None) -> Column:
+        att = (namemapping or {}).get(dateattribute, dateattribute)
+        return parse(att)
+
+    return readerfunction
+
+
+def datetimereader(datetimeattribute: str, parsingfunction=None):
+    """Timestamp twin of :func:`datereader` (ref __init__.py:540-559)."""
+    parse = parsingfunction or ymdhmsparser
+
+    def readerfunction(namemapping: Mapping[str, str] | None = None) -> Column:
+        att = (namemapping or {}).get(datetimeattribute, datetimeattribute)
+        return parse(att)
+
+    return readerfunction
+
+
+def rowfactory(source: DataFrame, names=None, close: bool = True):  # noqa: ARG001
+    """Iterate a DataFrame as dicts (ref rowfactory __init__.py:385-414:
+    turns a cursor-like source into dict rows). Driver-side by design —
+    for test fixtures and tiny control tables, never a data path;
+    ``toLocalIterator`` keeps at most one partition in driver memory.
+    ``close`` is accepted for signature parity (nothing to close)."""
+    cols = list(names) if names else source.columns
+    for row in source.select(*cols).toLocalIterator():
+        yield dict(zip(cols, row))
+
 
 _FROZEN: dict = {}
 

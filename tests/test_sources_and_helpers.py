@@ -197,3 +197,21 @@ def test_datespan_expander_hook(spark):
     rows = {r["dateid"]: (r["quarter"], r["is_weekend"]) for r in df.collect()}
     # 2024-01-06/07 are Sat/Sun
     assert rows == {20240105: (1, False), 20240106: (1, True), 20240107: (1, True)}
+
+
+def test_datereader_and_rowfactory(spark):
+    """datereader/datetimereader resolve name-mapped attributes to parsed
+    Columns (ref __init__.py:519-559); rowfactory iterates dict rows
+    (ref __init__.py:385-414)."""
+    df = spark.createDataFrame([("2024-02-29", "2024-02-29 13:45:00")], ["d", "ts"])
+    reader = helpers.datereader("date_att")
+    out = df.select(reader({"date_att": "d"}).alias("parsed")).first()["parsed"]
+    import datetime
+
+    assert out == datetime.date(2024, 2, 29)
+    treader = helpers.datetimereader("ts")
+    got = df.select(treader().alias("p")).first()["p"]
+    assert got == datetime.datetime(2024, 2, 29, 13, 45)
+
+    rows = list(helpers.rowfactory(df, names=["d"]))
+    assert rows == [{"d": "2024-02-29"}]
