@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "Sum", "Count", "CountDistinct", "Max", "Min", "Avg",
-    "PandasAggregator", "crosstab",
+    "PandasAggregator", "crosstab", "Aggregator", "SimpleAggregator",
 ]
 
 
@@ -130,3 +130,11 @@ def crosstab(
     if sortrows:
         out = out.orderBy(rowvaluesatt)
     return out
+
+
+# Reference API aliases (ref aggregators.py:49-65): users subclass
+# Aggregator/SimpleAggregator with process/finish; the batch restatement
+# is the Column-factory protocol of _Aggregator (or PandasAggregator for
+# arbitrary Python finalization over Arrow batches).
+Aggregator = _Aggregator
+SimpleAggregator = _Aggregator

@@ -35,7 +35,10 @@ from pyspark.sql import functions as F
 
 from pygrametl_spark.plans.keys import assign_dense_keys, max_key
 
-__all__ = ["Dimension", "CachedDimension", "BulkDimension"]
+__all__ = [
+    "Dimension", "CachedDimension", "BulkDimension", "CachedBulkDimension",
+    "DecoupledDimension",
+]
 
 
 def apply_namemapping(df: DataFrame, namemapping: Mapping[str, str] | None) -> DataFrame:
@@ -280,3 +283,14 @@ class Dimension:
 # user code from the reference API readable.
 CachedDimension = Dimension
 BulkDimension = Dimension
+CachedBulkDimension = Dimension
+
+
+def DecoupledDimension(dimension: Dimension, **_ignored) -> Dimension:
+    """Reference ``DecoupledDimension`` (tables.py, §2.10) proxies a
+    dimension to a worker process so callers don't block. Spark executes
+    every table operation as distributed lazy plans already — the
+    decoupling is the execution model — so the facade returns the wrapped
+    dimension unchanged (consumer/returnvalues kwargs are accepted and
+    ignored)."""
+    return dimension

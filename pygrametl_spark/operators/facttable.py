@@ -24,7 +24,15 @@ from pygrametl_spark.operators.dimension import apply_namemapping
 __all__ = [
     "FactTable", "BatchFactTable", "BulkFactTable",
     "AccumulatingSnapshotFactTable", "SubprocessFactTable",
+    "DecoupledFactTable",
 ]
+
+
+def DecoupledFactTable(facttable, **_ignored):
+    """Reference ``DecoupledFactTable`` (tables.py, §2.10) proxies a fact
+    table to a worker process. Spark's lazy distributed execution IS the
+    decoupling, so the facade returns the wrapped table unchanged."""
+    return facttable
 
 
 class FactTable:

@@ -60,3 +60,38 @@ def partition_for(table, df: DataFrame, n: int | None = None) -> DataFrame:
     """
     cols = list(getattr(table, "lookupatts", None) or getattr(table, "keyrefs"))
     return df.repartition(n, *cols) if n else df.repartition(*cols)
+
+
+class BasePartitioner:
+    """API facade over the reference's partitioner family
+    (ref tables.py:3503-3710): there, N parallel table *instances* each
+    own a hash slice of the keys and the partitioner routes per-row
+    calls. In Spark the slices are shuffle partitions of ONE table, so
+    the facade holds the single logical table, routes batches through
+    :func:`partition_for`, and delegates the table API. ``parts``/
+    ``getpart`` keep reference call sites working (every part IS the
+    same distributed table)."""
+
+    def __init__(self, *parts):
+        if not parts:
+            raise ValueError("at least one table part required")
+        self.table = parts[0]
+        self.parts = [self.table]
+
+    def getpart(self, _row=None):
+        return self.table
+
+    def partition(self, df: DataFrame, n: int | None = None) -> DataFrame:
+        return partition_for(self.table, df, n)
+
+    def __getattr__(self, name):
+        return getattr(self.table, name)
+
+
+class DimensionPartitioner(BasePartitioner):
+    """ref tables.py:3550-3628; delegates lookup/ensure/insert/... to the
+    one distributed dimension."""
+
+
+class FactTablePartitioner(BasePartitioner):
+    """ref tables.py:3631-3710; delegates insert/lookup/ensure."""

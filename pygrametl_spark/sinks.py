@@ -32,7 +32,27 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
 
-__all__ = ["ddl_for", "PEP249Sink", "jdbc_sink", "PEP249Target"]
+__all__ = ["ddl_for", "PEP249Sink", "jdbc_sink", "PEP249Target", "definequote"]
+
+# identifier quoting for generated SQL (ref definequote __init__.py:166-187:
+# configures how identifiers are quoted in SQL the framework generates)
+_QUOTE = None
+
+
+def definequote(quotechar=None):
+    """Set (and return) the identifier quote used in generated DDL/INSERT
+    SQL. ``None`` (default) emits bare identifiers; pass e.g. ``'"'`` for
+    ANSI quoting or a ``(left, right)`` tuple for bracket styles."""
+    global _QUOTE
+    _QUOTE = quotechar
+    return _QUOTE
+
+
+def _q(name: str) -> str:
+    if _QUOTE is None:
+        return name
+    left, right = (_QUOTE, _QUOTE) if isinstance(_QUOTE, str) else _QUOTE
+    return f"{left}{name}{right}"
 
 # Spark simple type -> portable SQL column type
 _SQL_TYPES = {
@@ -68,8 +88,8 @@ def ddl_for(df: DataFrame, table: str) -> str:
                 f"column {name!r} has non-relational type {dtype!r}; "
                 "flatten or serialize it before sinking to an RDBMS"
             )
-        cols.append(f"{name} {sql}")
-    return f"CREATE TABLE {table} ({', '.join(cols)})"
+        cols.append(f"{_q(name)} {sql}")
+    return f"CREATE TABLE {_q(table)} ({', '.join(cols)})"
 
 
 def _insert_sql(table: str, columns: Sequence[str], paramstyle: str) -> str:
@@ -81,8 +101,9 @@ def _insert_sql(table: str, columns: Sequence[str], paramstyle: str) -> str:
         ph = [f":{i + 1}" for i in range(len(columns))]
     else:
         raise ValueError(f"unsupported paramstyle {paramstyle!r}")
+    quoted = [_q(c) for c in columns]
     return (
-        f"INSERT INTO {table} ({', '.join(columns)}) VALUES ({', '.join(ph)})"
+        f"INSERT INTO {_q(table)} ({', '.join(quoted)}) VALUES ({', '.join(ph)})"
     )
 
 

@@ -19,6 +19,8 @@ __all__ = [
     "Step", "connectsteps", "MappingStep", "ValueMappingStep",
     "RenamingFromToStep", "RenamingToFromStep", "ConditionalStep", "CopyStep",
     "GarbageStep", "PrintStep", "SourceStep", "AggregatingStep",
+    "DimensionStep", "SCDimensionStep",
+    "SumAggregator", "AvgAggregator", "MaxAggregator", "MinAggregator",
 ]
 
 
@@ -175,3 +177,57 @@ class AggregatingStep(Step):
 
     def apply(self, df: DataFrame) -> DataFrame:
         return df.groupBy(*self.keys).agg(*self.aggs) if self.keys else df.agg(*self.aggs)
+
+
+class DimensionStep(Step):
+    """Ensure each row's member in one or more dimensions and decorate
+    the stream with the surrogate key(s) (ref DimensionStep
+    steps.py:240-278: per-row ``dimension.ensure`` + key insertion).
+    Batch restatement: one ``ensure`` per dimension over the whole
+    micro-batch — same decoration, set-at-a-time."""
+
+    def __init__(self, *dimensions, keymapping: Mapping[str, str] | None = None, **kw):
+        super().__init__(**kw)
+        self.dimensions = list(dimensions)
+        self.keymapping = keymapping
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        for dim in self.dimensions:
+            df = dim.ensure(df, self.keymapping)
+        return df
+
+
+class SCDimensionStep(DimensionStep):
+    """DimensionStep over slowly changing dimensions (ref SCDimensionStep
+    steps.py:281-318): ``scdensure`` per batch, then a lookup decorates
+    the stream with the current version's key."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        for dim in self.dimensions:
+            dim.scdensure(df, self.keymapping)
+            df = dim.lookup(df, self.keymapping)
+        return df
+
+
+def SumAggregator(column, alias=None):
+    """Step-level aggregator helpers (ref steps.py:563-618 SumAggregator/
+    AvgAggregator/...): Column factories for AggregatingStep. The
+    reference's ``AggregatedRow`` mutable-row machinery has no batch
+    analogue — ``groupBy().agg`` subsumes it."""
+    c = F.sum(column)
+    return c.alias(alias) if alias else c
+
+
+def AvgAggregator(column, alias=None):
+    c = F.avg(column)
+    return c.alias(alias) if alias else c
+
+
+def MaxAggregator(column, alias=None):
+    c = F.max(column)
+    return c.alias(alias) if alias else c
+
+
+def MinAggregator(column, alias=None):
+    c = F.min(column)
+    return c.alias(alias) if alias else c

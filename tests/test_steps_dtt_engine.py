@@ -391,3 +391,47 @@ def test_dtt_update_and_additions(tmp_path):
         "SELECT COUNT(*) FROM sqlite_master WHERE type='table' AND name='book'"
     ).fetchone()[0] == 0
     con.close()
+
+
+def test_dimension_step_decorates_with_keys(spark):
+    from pygrametl_spark.plans.keys import assign_dense_keys
+    from pygrametl_spark.steps import DimensionStep, connectsteps, RenamingFromToStep
+
+    seed = spark.createDataFrame([("a",), ("b",)], ["name"])
+    dim = Dimension("sd", "id", ["name"], df=assign_dense_keys(seed, ["name"], "id", 0))
+    pipeline = connectsteps(
+        RenamingFromToStep({"n": "name"}),
+        DimensionStep(dim),
+    )
+    out = pipeline(spark.createDataFrame([("a",), ("c",)], ["n"]))
+    got = {r["name"]: r["id"] for r in out.collect()}
+    assert got["a"] == 1 and got["c"] == 3  # existing key kept, new key assigned
+    assert dim.df.count() == 3
+
+
+def test_partitioner_facade_delegates(spark):
+    from pygrametl_spark.plans.joins import DimensionPartitioner
+
+    dim = Dimension(
+        "pd", "id", ["name"],
+        df=spark.createDataFrame([(1, "a")], "id long, name string"),
+    )
+    p = DimensionPartitioner(dim)
+    assert p.getpart() is dim
+    out = p.lookup(spark.createDataFrame([("a",)], ["name"]))  # delegated
+    assert out.first()["id"] == 1
+    plan = p.partition(dim.df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression [name" in plan
+
+
+def test_definequote_quotes_generated_sql(spark):
+    from pygrametl_spark import sinks
+
+    df = spark.createDataFrame([(1,)], "id long")
+    try:
+        sinks.definequote('"')
+        assert sinks.ddl_for(df, "t") == 'CREATE TABLE "t" ("id" BIGINT)'
+        assert sinks._insert_sql("t", ["id"], "qmark") == 'INSERT INTO "t" ("id") VALUES (?)'
+    finally:
+        sinks.definequote(None)
+    assert sinks.ddl_for(df, "t") == "CREATE TABLE t (id BIGINT)"
