@@ -435,3 +435,32 @@ def test_definequote_quotes_generated_sql(spark):
     finally:
         sinks.definequote(None)
     assert sinks.ddl_for(df, "t") == "CREATE TABLE t (id BIGINT)"
+
+
+def test_scdimension_step_ensures_and_decorates(spark):
+    from pygrametl_spark.operators.scd import SlowlyChangingDimension
+    from pygrametl_spark.steps import SCDimensionStep
+
+    empty = spark.createDataFrame(
+        [], "id long, name string, state string, version long, "
+        "fromdate timestamp, todate timestamp"
+    )
+    scd = SlowlyChangingDimension(
+        "s_step", "id", ["name", "state", "version", "fromdate", "todate"],
+        ["name"], versionatt="version", fromatt="fromdate", toatt="todate",
+        srcdateatt="ts", df=empty,
+    )
+    step = SCDimensionStep(scd)
+    b1 = spark.createDataFrame(
+        [("a", "s1", "2024-01-01 00:00:00")], ["name", "state", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out1 = step(b1)
+    assert out1.first()["id"] is not None
+    b2 = b1.withColumn("state", F.lit("s2")).withColumn(
+        "ts", F.lit("2024-02-01 00:00:00").cast("timestamp")
+    )
+    out2 = step(b2)
+    # decorated with the NEWEST version's key after the change
+    assert scd.df.count() == 2
+    newest = scd.current_versions().first()
+    assert out2.first()["id"] == newest["id"] and newest["version"] == 2
