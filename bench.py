@@ -70,13 +70,23 @@ def main() -> None:
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
                 break
         # one bad query must never zero the whole round's bench data —
-        # record the error and keep the other measurements
+        # record the error and keep the other measurements. Median of 3
+        # timed iterations: single runs swing by seconds from JIT/codegen
+        # cache state (measured 1.7 s vs 6.2 s for the identical query
+        # across sweeps), which is measurement noise, not query cost.
         try:
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.time() - t0, 3)
-            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            runs = []
+            for _ in range(3):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                runs.append(time.time() - t0)
+            timings[name] = round(sorted(runs)[1], 3)
+            print(
+                f"# {name}: {timings[name]:.3f}s median of "
+                f"{[round(r, 3) for r in runs]} ({n} rows)",
+                file=sys.stderr,
+            )
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)

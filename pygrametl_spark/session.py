@@ -65,6 +65,13 @@ def get_spark(app_name: str = "pygrametl_spark", *, shuffle_partitions: int | No
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # the generated-class cache defaults to 100 entries; a benchmark
+        # sweep over ~20 multi-stage queries compiles far more plans than
+        # that, so later queries evict earlier ones and every run pays
+        # Janino recompiles (measured: the same query swings 1.7 s - 6.2 s
+        # across sweeps purely from cache state). 4096 keeps every plan
+        # of a full sweep resident.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.showConsoleProgress", "false")
