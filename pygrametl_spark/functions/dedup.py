@@ -298,6 +298,86 @@ def ngram_jaccard_pairs(
     )
 
 
+def _cc_star_labels(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., *Connected Components in MapReduce and
+    Beyond*, SoCC'14). Input: undirected edge list ``(_a, _b)`` (any
+    orientation, self-loops ignored). Output: ``(_id, _label)`` with
+    ``_label`` = the component's minimum id, one row per node that
+    appears in an edge.
+
+    Each round halves the longest root-to-leaf distance, so convergence
+    is O(log n) rounds even on an adversarial path graph — the upgrade
+    over plain min-label propagation's O(diameter). Each round is two
+    groupBys over the *edge* relation only (tiny next to the corpus);
+    duplicate edges are tolerated between rounds because ``collect_set``
+    re-deduplicates neighborhoods, so no extra dedup shuffle is paid
+    inside the loop.
+
+    - large-star: for each node u over its full neighborhood N(u),
+      m = min(N(u) + u); emit (v, m) for v in N(u), v > u.
+    - small-star: for each node u over its smaller neighbors
+      S(u) = {v in N(u): v < u}, m = min(S(u)); emit (u, m) and
+      (v, m) for v in S(u), v != m.
+
+    Both emissions keep every edge oriented big->small, so the small-star
+    grouping is simply a groupBy on the first column.
+    """
+    # canonical big->small orientation, self-loops dropped
+    cur = (
+        edges.filter(F.col("_a") != F.col("_b"))
+        .select(
+            F.greatest("_a", "_b").alias("_u"), F.least("_a", "_b").alias("_v")
+        )
+        .localCheckpoint(eager=False)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star over the symmetric adjacency
+        adj = cur.unionByName(
+            cur.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+        )
+        ls = (
+            adj.groupBy("_u")
+            .agg(F.collect_set("_v").alias("_ns"))
+            .select(
+                "_u",
+                F.least(F.array_min("_ns"), F.col("_u")).alias("_m"),
+                F.filter("_ns", lambda v: v > F.col("_u")).alias("_big"),
+            )
+            .select(F.explode("_big").alias("_u"), F.col("_m").alias("_v"))
+            .filter(F.col("_u") != F.col("_v"))
+        )
+        # small-star over big->small edges
+        ss = (
+            ls.groupBy("_u")
+            .agg(F.collect_set("_v").alias("_ns"))
+            .select("_u", F.array_min("_ns").alias("_m"), "_ns")
+            .select(
+                F.explode(
+                    F.array_union(F.array(F.col("_u")), F.col("_ns"))
+                ).alias("_u"),
+                F.col("_m").alias("_v"),
+            )
+            .filter(F.col("_u") != F.col("_v"))
+        )
+        cur = ss.dropDuplicates(["_u", "_v"]).localCheckpoint(eager=False)
+        sig = cur.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("_u", "_v")), F.lit(0)).alias("h"),
+        ).first()
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # at the fixpoint every non-root points straight at its component min
+    roots = cur.select(F.col("_v").alias("_id")).subtract(
+        cur.select(F.col("_u").alias("_id"))
+    )
+    return cur.select(F.col("_u").alias("_id"), F.col("_v").alias("_label")).unionByName(
+        roots.select("_id", F.col("_id").alias("_label"))
+    )
+
+
 def neardup_clusters(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -306,6 +386,7 @@ def neardup_clusters(
     threshold: float = 0.5,
     pairs: DataFrame | None = None,
     max_iter: int = 50,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Near-duplicate CLUSTERS + canonical keep decision.
 
@@ -316,19 +397,30 @@ def neardup_clusters(
     (id, cluster_id = min id of its component, keep = is the canonical
     representative). Documents in no pair are their own cluster.
 
-    Implementation: iterative min-label propagation —
-    ``label(v) <- min(label(v), min label of v's neighbors)`` until a
-    fixpoint, which converges in O(graph diameter) rounds; each round is
-    one join + one groupBy on the (small) edge relation, with labels
+    Implementation: ``algorithm="star"`` (default) runs the alternating
+    large-star/small-star contraction (:func:`_cc_star_labels`) — O(log n)
+    rounds on any graph shape, the web-scale formulation.
+    ``algorithm="propagation"`` keeps plain iterative min-label
+    propagation — ``label(v) <- min(label(v), min label of v's
+    neighbors)`` until a fixpoint, O(graph diameter) rounds; each round
+    is one join + one groupBy on the (small) edge relation, with labels
     pinned via lazy localCheckpoint so lineage stays O(1) across rounds.
-    Near-dup graphs are overwhelmingly tiny star/clique components, so
-    diameter is small; a web-scale adversarial chain would call for the
-    alternating large-star/small-star contraction (Kiveris et al.), which
-    drops in here without changing the contract.
+    Both are exact; they must (and, property-tested, do) agree.
     """
     if pairs is None:
         pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold)
     edges = pairs.select(F.col("id_1").alias("_a"), F.col("id_2").alias("_b"))
+    if algorithm == "star":
+        labels = _cc_star_labels(edges, max_iter)
+        out = df.select(id_col).join(
+            labels.select(F.col("_id").alias(id_col), "_label"), id_col, "left"
+        )
+        cluster = F.coalesce(F.col("_label"), F.col(id_col))
+        return out.select(
+            id_col,
+            cluster.alias("cluster_id"),
+            (cluster == F.col(id_col)).alias("keep"),
+        )
     sym = edges.unionByName(
         edges.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
     ).localCheckpoint(eager=False)

@@ -429,3 +429,46 @@ def test_decontaminate_matches_bruteforce(spark, texts, bench_texts):
     bench_sh = set().union(*(shingle_set(t) for t in bench_texts))
     for i, t in enumerate(texts):
         assert got[i] == bool(shingle_set(t) & bench_sh)
+
+
+_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edge_list=_edges_strategy)
+def test_cc_star_matches_unionfind_and_propagation(spark, edge_list):
+    """Large-star/small-star contraction and min-label propagation both
+    equal a union-find oracle on arbitrary random graphs (self-loops,
+    duplicate and reversed edges included)."""
+    from pygrametl_spark.functions.dedup import neardup_clusters
+
+    nodes = list(range(15))
+    docs = spark.createDataFrame([(n, "x") for n in nodes], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edge_list] or [(0, 0)], "id_1 long, id_2 long"
+    )
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+    for algo in ("star", "propagation"):
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in neardup_clusters(docs, pairs=pairs, algorithm=algo).collect()
+        }
+        assert got == want, f"{algo} disagrees with union-find"
