@@ -19,6 +19,7 @@ __all__ = [
     "token_stats", "quality_score", "lang_id",
     "fingerprint", "STOPWORDS", "LANG_MARKERS",
     "pii_stats", "decontaminate", "PII_PATTERNS",
+    "repetition_stats", "REPETITION_THRESHOLDS",
 ]
 
 # Tiny deterministic marker lists (the heuristic, not a model).
@@ -147,6 +148,108 @@ def fingerprint(df: DataFrame, text: str = "text", out: str = "fp") -> DataFrame
     whitespace collapsed). Byte-identical across engines."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text))), r"\s+", " ")
     return df.withColumn(out, F.md5(norm))
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021, table A1,
+# adapted): fraction of non-space characters covered by the single most
+# frequent word n-gram, and the fraction of 5-gram instances whose
+# 5-gram occurs more than once. Documents over ANY threshold are flagged
+# `repetitive` — boilerplate / keyword-stuffed pages a training corpus
+# should drop.
+REPETITION_THRESHOLDS = {"top2": 0.20, "top3": 0.18, "top4": 0.16, "dup5": 0.15}
+
+
+def _run_scan(sorted_arr: Column) -> Column:
+    """One in-row fold over a SORTED string array returning
+    ``struct(cnt, best, dup)``: the highest run length (= mode count),
+    the mode itself (ties -> lexicographically smallest, which sorted
+    order + strict ``>`` gives for free), and the number of elements
+    belonging to runs longer than 1 (= duplicate instances).
+
+    This is the zero-shuffle alternative to exploding n-grams into a
+    ``groupBy(doc, ngram)``: per-document work is one ``array_sort`` +
+    one linear ``aggregate`` pass inside the scan stage, so a 100 TB
+    corpus computes repetition features without moving a single row.
+    """
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(None).cast("string").alias("best"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].eqNullSafe(x)
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        dup = F.when(~same & (acc["run"] > 1), acc["dup"] + acc["run"]).otherwise(acc["dup"])
+        better = run > acc["cnt"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["cnt"]).alias("cnt"),
+            F.when(better, x).otherwise(acc["best"]).alias("best"),
+            dup.alias("dup"),
+        )
+
+    def fin(acc):
+        return F.struct(
+            acc["cnt"].alias("cnt"),
+            acc["best"].alias("best"),
+            F.when(acc["run"] > 1, acc["dup"] + acc["run"]).otherwise(acc["dup"]).alias("dup"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, fin)
+
+
+def repetition_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Intra-document repetition features (Gopher repetition rules).
+
+    Per document: ``top{2,3,4}_frac`` = (occurrences of the most
+    frequent word n-gram x its non-space character length) / non-space
+    characters of the document; ``dup5_frac`` = fraction of 5-gram
+    instances whose 5-gram appears more than once; ``repetitive`` =
+    any fraction over its :data:`REPETITION_THRESHOLDS` entry.
+
+    Everything is computed in-row (:func:`_run_scan`) — no explode, no
+    shuffle; ties on the mode go to the lexicographically smallest
+    n-gram so the DuckDB oracle can replay the choice exactly.
+    """
+    toks = tokens(text)
+    base = df.select(
+        id_col,
+        F.col(text),
+        toks.alias("_toks"),
+        F.length(F.regexp_replace(F.col(text), r"\s", "")).cast("long").alias("_alpha"),
+    )
+    cols = [F.col(id_col)]
+    flags = []
+    for n in (2, 3, 4):
+        scan = _run_scan(F.array_sort(shingles_of_tokens(F.col("_toks"), n)))
+        # a mode occurring once is not repetition (otherwise every short
+        # document gets ngram_len/doc_len as a phantom fraction)
+        frac = F.when(
+            (F.col("_alpha") > 0) & (scan["cnt"] > 1),
+            F.round(
+                scan["cnt"] * F.length(F.replace(scan["best"], F.lit(" "), F.lit("")))
+                / F.col("_alpha"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+        cols.append(frac.alias(f"top{n}_frac"))
+        flags.append(F.col(f"top{n}_frac") > REPETITION_THRESHOLDS[f"top{n}"])
+    five = shingles_of_tokens(F.col("_toks"), 5)
+    dup5 = F.when(
+        F.size(five) > 0,
+        F.round(_run_scan(F.array_sort(five))["dup"] / F.size(five), 6),
+    ).otherwise(F.lit(0.0))
+    cols.append(dup5.alias("dup5_frac"))
+    flags.append(F.col("dup5_frac") > REPETITION_THRESHOLDS["dup5"])
+    out = base.select(*cols)
+    flag = flags[0]
+    for f in flags[1:]:
+        flag = flag | f
+    return out.withColumn("repetitive", flag)
 
 
 # PII surface patterns. Deliberately restricted to constructs with

@@ -285,6 +285,66 @@ WHERE (source = 'src0' AND {_BUCKET10K_SQL} < 10000)
 # already-verified operator; this query proves they compose.
 # ---------------------------------------------------------------------------
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style intra-document repetition features: top-{2,3,4}-gram
+    character coverage + duplicate-5-gram instance fraction, computed
+    entirely in-row (functions/text.py repetition_stats)."""
+    docs = load_catalog(spark, sf_dir).documents
+    return tx.repetition_stats(docs)
+
+
+def _repetition_oracle() -> str:
+    th = tx.REPETITION_THRESHOLDS
+    return rf"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks,
+         length(regexp_replace(text, '\s', '', 'g')) AS alpha FROM documents
+),
+ng AS (
+  {" UNION ALL ".join(
+    f'''SELECT doc_id, {n} AS n, alpha, len(toks) - {n - 1} AS n_inst,
+         array_to_string(toks[i:i+{n - 1}], ' ') AS g
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - {n - 1})) AS i) _'''
+    for n in (2, 3, 4, 5)
+  )}
+),
+cnt AS (
+  SELECT doc_id, n, alpha, n_inst, g, count(*) AS c
+  FROM ng GROUP BY doc_id, n, alpha, n_inst, g
+),
+best AS (
+  SELECT doc_id, n,
+         CASE WHEN alpha > 0 AND max(c) > 1
+              THEN ROUND(max(c) * length(replace(min(g) FILTER (c = mx), ' ', '')) * 1.0 / alpha, 6)
+              ELSE 0.0 END AS frac
+  FROM (SELECT *, max(c) OVER (PARTITION BY doc_id, n) AS mx FROM cnt)
+  GROUP BY doc_id, n, alpha
+),
+b2 AS (SELECT doc_id,
+         COALESCE(MAX(CASE WHEN n = 2 THEN frac END), 0.0) AS top2_frac,
+         COALESCE(MAX(CASE WHEN n = 3 THEN frac END), 0.0) AS top3_frac,
+         COALESCE(MAX(CASE WHEN n = 4 THEN frac END), 0.0) AS top4_frac
+       FROM best GROUP BY doc_id),
+d5 AS (
+  SELECT doc_id,
+         ROUND(COALESCE(SUM(c) FILTER (c > 1), 0) * 1.0 / MAX(n_inst), 6) AS dup5_frac
+  FROM cnt WHERE n = 5 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(b2.top2_frac, 0.0) AS top2_frac,
+       COALESCE(b2.top3_frac, 0.0) AS top3_frac,
+       COALESCE(b2.top4_frac, 0.0) AS top4_frac,
+       COALESCE(d5.dup5_frac, 0.0) AS dup5_frac,
+       (COALESCE(b2.top2_frac, 0.0) > {th["top2"]}
+        OR COALESCE(b2.top3_frac, 0.0) > {th["top3"]}
+        OR COALESCE(b2.top4_frac, 0.0) > {th["top4"]}
+        OR COALESCE(d5.dup5_frac, 0.0) > {th["dup5"]}) AS repetitive
+FROM documents d
+LEFT JOIN b2 ON d.doc_id = b2.doc_id
+LEFT JOIN d5 ON d.doc_id = d5.doc_id
+"""
+
+
 def q_pii_scan(spark, sf_dir):
     """PII surface counts per document (emails/URLs/IPv4) — the release
     gate before training-data export (functions/text.py pii_stats)."""
@@ -658,6 +718,7 @@ FROM events GROUP BY 1, 2
 
 DATA_QUERIES = {
     "text_quality": q_text_quality,
+    "repetition_stats": q_repetition_stats,
     "token_count": q_token_count,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -685,6 +746,7 @@ DATA_QUERIES = {
 
 DATA_ORACLES = {
     "text_quality": ORACLE_TEXT_QUALITY,
+    "repetition_stats": _repetition_oracle(),
     "token_count": ORACLE_TOKEN_COUNT,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_FINGERPRINT,

@@ -80,6 +80,9 @@ PART_COLS: dict[str, list[str]] = {
     "countdistinct_agg": ["o_orderpriority", "n", "ncust", "minprice", "maxprice", "avgprice"],
     "custom_udaf": ["o_orderpriority", "median_price"],
     "text_quality": ["doc_id", "n_tokens", "stopword_ratio", "avg_token_len", "quality_score"],
+    "repetition_stats": [
+        "doc_id", "top2_frac", "top3_frac", "top4_frac", "dup5_frac", "repetitive",
+    ],
     "lang_id": ["doc_id", "lang_pred"],
     "doc_fingerprint": ["doc_id", "fp"],
     "multimodal_decode": ["doc_id", "byte_len", "width", "height", "format"],
@@ -212,11 +215,14 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("doc_id", "bigint"), ("n_tokens", "bigint"), ("stopword_ratio", "double"),
             ("avg_token_len", "double"), ("quality_score", "double"),
             ("lang_pred", "string"), ("fp", "string"),
+            ("top2_frac", "double"), ("top3_frac", "double"), ("top4_frac", "double"),
+            ("dup5_frac", "double"), ("repetitive", "boolean"),
         ],
         [
             ("quality", "text_quality"),
             ("lang", "lang_id"),
             ("fingerprint", "doc_fingerprint"),
+            ("repetition", "repetition_stats"),
         ],
     ),
     "multimodal_pipeline": (

@@ -472,3 +472,29 @@ def test_cc_star_matches_unionfind_and_propagation(spark, edge_list):
             for r in neardup_clusters(docs, pairs=pairs, algorithm=algo).collect()
         }
         assert got == want, f"{algo} disagrees with union-find"
+
+
+def test_repetition_stats_gopher_rules(spark):
+    """Top-ngram coverage needs the mode to occur at least twice; clean,
+    empty, and single-token docs are all unflagged; overlapping
+    occurrences may push a fraction past 1.0 (Gopher's definition)."""
+    from pygrametl_spark.functions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b a b"),
+            (1, "one two three four five six"),
+            (2, ""),
+            (3, "solo"),
+            (4, "the cat sat on the mat and the cat ran"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert out[0]["repetitive"] and out[0]["top2_frac"] == 1.0
+    # "a b a b a b a b": 3-grams are overlapping -> coverage > 1
+    assert out[0]["top3_frac"] > 1.0
+    assert not out[1]["repetitive"] and out[1]["top2_frac"] == 0.0
+    assert not out[2]["repetitive"] and not out[3]["repetitive"]
+    # "the cat" occurs twice: 6 chars * 2 / 29 alpha chars
+    assert out[4]["top2_frac"] == round(12 / 29, 6) and out[4]["repetitive"]
