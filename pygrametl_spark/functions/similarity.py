@@ -128,6 +128,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_clusters: int = 8,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: route each vector to its nearest centroid.
 
@@ -139,8 +140,13 @@ def ivf_assign(
     this is the cheapest possible routing pass; the earlier formulation
     (cross join + window over ``partitionBy(id)``) shuffled the whole
     corpus just to take a per-row argmax. Returns (id, cluster, vec).
+
+    ``centroids`` overrides the deterministic seed set with an external
+    (_cid, _cent, _cnorm) relation — e.g. :func:`kmeans_refine` output.
     """
-    cent_arr = _centroids(df, id_col, vec_col, n_clusters).agg(
+    if centroids is None:
+        centroids = _centroids(df, id_col, vec_col, n_clusters)
+    cent_arr = centroids.agg(
         F.collect_list(F.struct("_cid", "_cent", "_cnorm")).alias("_cents")
     )
     base = df.select(
@@ -164,6 +170,66 @@ def ivf_assign(
     )
 
 
+def kmeans_refine(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over cosine similarity (spherical
+    k-means): the production refinement of the deterministic IVF seed
+    centroids (:func:`_centroids` docstring). Returns the refined
+    (_cid, _cent, _cnorm) relation — a drop-in replacement anywhere the
+    seed centroids are used (``ivf_assign(centroids=...)``).
+
+    Per iteration:
+
+    - **assign** — the zero-shuffle broadcast in-row argmax of
+      :func:`ivf_assign`: one corpus scan, no data movement;
+    - **update** — ``posexplode`` each vector and take per-(cluster, dim)
+      means. HashAggregate's map-side partial aggregation collapses the
+      exploded rows *before* the exchange, so the shuffle carries only
+      O(n_clusters x dim x n_partitions) partial sums, never the corpus.
+      Per-dimension means are rounded to 6 decimals each round so the
+      DuckDB oracle (which unrolls the same fixed ``iters``) reproduces
+      the trajectory bit-for-bit; a cluster that loses all members keeps
+      its previous centroid.
+
+    Fixed iteration count (no convergence test) keeps the plan static
+    and the computation exactly SQL-expressible; IVF coarse quantizers
+    in practice train with a small fixed round budget anyway.
+    """
+    cent = _centroids(df, id_col, vec_col, n_clusters)
+    for _ in range(iters):
+        assigned = ivf_assign(
+            df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, centroids=cent
+        )
+        dims = (
+            assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("_pos", "_x"))
+            .groupBy("cluster", "_pos")
+            .agg(F.round(F.avg(F.col("_x").cast("double")), 6).alias("_m"))
+        )
+        new = (
+            dims.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm"))
+            .select(
+                F.col("cluster").alias("_cid"),
+                F.transform("_pm", lambda s: s["_m"]).alias("_new"),
+            )
+        )
+        cent = (
+            cent.join(new, cent["_cid"] == new["_cid"], "left")
+            .select(
+                cent["_cid"],
+                F.coalesce(new["_new"], cent["_cent"]).alias("_cent"),
+            )
+            .withColumn("_cnorm", F.sqrt(_dot_cols(F.col("_cent"), F.col("_cent"))))
+        )
+    return cent
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -173,9 +239,12 @@ def ivf_topk(
     n_clusters: int = 8,
     nprobe: int = 3,
     k: int = 5,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: scan only the ``nprobe`` clusters whose
     centroids are nearest each query, then exact cosine within them.
+    ``centroids`` plugs in an externally trained quantizer
+    (:func:`kmeans_refine`); default is the deterministic seed set.
 
     The scale story: the corpus is routed once (:func:`ivf_assign` —
     in practice written out partitioned by ``cluster``), and each query
@@ -183,8 +252,10 @@ def ivf_topk(
     doing the skipping. Both the centroid table and the probe set are
     broadcast; the corpus is never shuffled.
     """
-    assign = ivf_assign(df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters)
-    cent = _centroids(df, id_col, vec_col, n_clusters)
+    cent = centroids if centroids is not None else _centroids(df, id_col, vec_col, n_clusters)
+    assign = ivf_assign(
+        df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, centroids=cent
+    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     qc = q.crossJoin(F.broadcast(cent)).withColumn(
         "_cos",
@@ -220,17 +291,18 @@ def ivf_write_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_clusters: int = 8,
+    centroids: DataFrame | None = None,
 ) -> None:
     """Persist the IVF index: vectors written **partitioned by cluster**
     plus a small centroid sidecar. This materializes the scale story the
     in-memory :func:`ivf_topk` can only allude to — at 100 TB the
     routing pass runs once, and every probe afterwards reads only its
     ``nprobe`` cluster directories."""
-    cent = _centroids(df, id_col, vec_col, n_clusters)
+    cent = centroids if centroids is not None else _centroids(df, id_col, vec_col, n_clusters)
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
-    ivf_assign(df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters).write.mode(
-        "overwrite"
-    ).partitionBy("cluster").parquet(f"{path}/vectors")
+    ivf_assign(
+        df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, centroids=cent
+    ).write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/vectors")
 
 
 def ivf_topk_from_index(

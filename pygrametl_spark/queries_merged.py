@@ -91,6 +91,7 @@ PART_COLS: dict[str, list[str]] = {
     "multimodal_features": ["doc_id", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7"],
     "ann_lsh_buckets": ["vec_id", "bucket"],
     "ann_lsh_neardup": ["id_1", "id_2", "cosine"],
+    "ann_kmeans": ["vec_id", "cluster"],
     "scalar_helpers": ["p_partkey", "name", "size", "even", "dbstr", "sqlstr"],
     "datespan": ["dateid", "date", "monthname", "weekday", "year", "month", "day", "quarter"],
     "dataset_split": ["doc_id", "split"],
@@ -246,7 +247,11 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("vec_id", "bigint"), ("bucket", "int"),
             ("id_1", "bigint"), ("id_2", "bigint"), ("cosine", "double"),
         ],
-        [("buckets", "ann_lsh_buckets"), ("neardup", "ann_lsh_neardup")],
+        [
+            ("buckets", "ann_lsh_buckets"),
+            ("neardup", "ann_lsh_neardup"),
+            ("kmeans", "ann_kmeans"),
+        ],
     ),
     "helpers_suite": (
         [

@@ -473,6 +473,63 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_kmeans(spark, sf_dir):
+    """Spherical k-means centroid refinement (2 fixed Lloyd's rounds,
+    similarity.kmeans_refine) followed by a final zero-shuffle
+    assignment pass — the production IVF training step."""
+    from pygrametl_spark.functions import similarity as sim
+
+    emb = load_catalog(spark, sf_dir).embeddings
+    cent = sim.kmeans_refine(emb, n_clusters=8, iters=2)
+    return sim.ivf_assign(emb, n_clusters=8, centroids=cent).select("vec_id", "cluster")
+
+
+def _kmeans_oracle(iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd's trajectory: the fixed iteration count makes the
+    whole training run one static SQL expression the oracle replays —
+    per-dim means rounded to 6 each round, empty clusters keep their
+    previous centroid, assignment ties to the lowest cid."""
+    from pygrametl_spark.queries_data import _cos_sql
+
+    ctes = [
+        "cent0 AS (SELECT vec_id AS cid, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent "
+        "FROM embeddings ORDER BY vec_id LIMIT 8)"
+    ]
+    for it in range(1, iters + 1):
+        prev, cur = f"cent{it - 1}", f"cent{it}"
+        ctes.append(f"""a{it} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cent')} DESC, c.cid ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1
+)""")
+        ctes.append(f"""u{it} AS (
+  SELECT cid, i, ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS m
+  FROM a{it}, LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) _
+  GROUP BY cid, i
+)""")
+        ctes.append(f"""{cur} AS (
+  SELECT p.cid, COALESCE(n.cent, p.cent) AS cent
+  FROM {prev} p LEFT JOIN
+       (SELECT cid, list(m ORDER BY i) AS cent FROM u{it} GROUP BY cid) n
+  ON p.cid = n.cid
+)""")
+    return f"""
+WITH {", ".join(ctes)}
+SELECT vec_id, cluster FROM (
+  SELECT e.vec_id, c.cid AS cluster,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_cos_sql('e.embedding', 'c.cent')} DESC, c.cid ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cent{iters} c) WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Stateful streaming sessionization (net-new; SURVEY §2.11) — per-user
 # session windows via applyInPandasWithState, state carried across two
@@ -771,6 +828,7 @@ MORE_QUERIES = {
     "scd2_type1_latest_only": q_scd2_type1_latest_only,
     "events_sessionize": q_events_sessionize,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_kmeans": q_ann_kmeans,
     "ann_ivf_index": q_ann_ivf_index,
     "dim_getbykey": q_dim_getbykey,
     "transforming_source": q_transforming_source,
@@ -795,6 +853,7 @@ MORE_ORACLES = {
     "scd2_type1_latest_only": ORACLE_SCD2_T1_LATEST,
     "events_sessionize": ORACLE_SESSIONIZE,
     "ann_ivf_topk": _ivf_oracle(),
+    "ann_kmeans": _kmeans_oracle(),
     "ann_ivf_index": _ivf_oracle(),
     "dim_getbykey": ORACLE_GETBYKEY,
     "transforming_source": ORACLE_TRANSFORMING,

@@ -498,3 +498,29 @@ def test_repetition_stats_gopher_rules(spark):
     assert not out[2]["repetitive"] and not out[3]["repetitive"]
     # "the cat" occurs twice: 6 chars * 2 / 29 alpha chars
     assert out[4]["top2_frac"] == round(12 / 29, 6) and out[4]["repetitive"]
+
+
+def test_kmeans_refine_improves_objective(spark):
+    """Two Lloyd's rounds must not worsen the spherical k-means
+    objective (mean cosine of each vector to its assigned centroid),
+    and the refined relation drops into ivf_topk unchanged."""
+    from pygrametl_spark.catalog import read_parquet
+    from pygrametl_spark.functions.similarity import (
+        _centroids, cosine_expr, ivf_assign, ivf_topk, kmeans_refine,
+    )
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+
+    def objective(cent):
+        assigned = ivf_assign(emb, n_clusters=8, centroids=cent)
+        return (
+            assigned.join(cent, assigned["cluster"] == cent["_cid"])
+            .select(cosine_expr("embedding", "_cent").alias("c"))
+            .agg(F.avg("c")).first()[0]
+        )
+
+    seed = _centroids(emb, "vec_id", "embedding", 8)
+    refined = kmeans_refine(emb, n_clusters=8, iters=2)
+    assert objective(refined) >= objective(seed) - 1e-9
+    got = ivf_topk(emb, emb.filter("vec_id < 3"), k=3, centroids=refined).collect()
+    assert len(got) == 9 and all(r["neighbor_id"] != r["query_id"] for r in got)
