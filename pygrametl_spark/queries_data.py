@@ -152,6 +152,24 @@ def q_dedup_exact(spark, sf_dir):
 ORACLE_DEDUP_EXACT = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
+def q_dedup_streaming(spark, sf_dir):
+    """Incremental exact dedup over a live document stream: per-batch
+    fingerprint + anti-join against the accepted store (foreachBatch,
+    streaming/corpus.py). First-seen-wins over id-ordered batches ==
+    global MIN(doc_id) per fingerprint, the oracle's batch twin."""
+    from pygrametl_spark.streaming.corpus import stream_dedup_exact
+
+    return stream_dedup_exact(spark, sf_dir, n_files=2)
+
+
+ORACLE_DEDUP_STREAMING = r"""
+SELECT MIN(doc_id) AS doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+"""
+
+
 def q_minhash_signatures(spark, sf_dir):
     docs = spread(load_catalog(spark, sf_dir).documents)
     return dd.minhash_signatures_long(docs)
@@ -723,6 +741,7 @@ DATA_QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
+    "dedup_streaming": q_dedup_streaming,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "neardup_clusters": q_neardup_clusters,
@@ -751,6 +770,7 @@ DATA_ORACLES = {
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_streaming": ORACLE_DEDUP_STREAMING,
     "minhash_signatures": ORACLE_MINHASH,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,

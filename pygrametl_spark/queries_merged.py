@@ -98,6 +98,8 @@ PART_COLS: dict[str, list[str]] = {
     "stratified_sample": ["doc_id", "source"],
     "pack_tokens": ["doc_id", "source", "n_tokens", "pack_id"],
     "pii_scan": ["doc_id", "n_emails", "n_urls", "n_ips", "has_pii"],
+    "dedup_exact": ["doc_id"],
+    "dedup_streaming": ["doc_id", "fp"],
     "decontaminate": ["doc_id", "contaminated"],
 }
 
@@ -241,6 +243,10 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("frames", "multimodal_frames"),
             ("features", "multimodal_features"),
         ],
+    ),
+    "dedup_exact": (
+        [("doc_id", "bigint"), ("fp", "string")],
+        [("batch", "dedup_exact"), ("stream", "dedup_streaming")],
     ),
     "ann_lsh_neardup": (
         [
