@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 
 from pygrametl_spark.functions.dedup import hash32
 
-__all__ = ["hash_bucket", "hash_split", "hash_sample", "stratified_hash_sample", "pack_by_token_budget"]
+__all__ = [
+    "hash_bucket", "hash_split", "hash_sample", "stratified_hash_sample",
+    "pack_by_token_budget", "mixture_sample",
+]
 
 
 def hash_bucket(col, buckets: int = 100) -> Column:
@@ -90,3 +93,52 @@ def pack_by_token_budget(
         F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
     )
     return df.withColumn(out, F.floor(prefix / budget).cast("long"))
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    token_col: str,
+    target_tokens: int,
+) -> DataFrame:
+    """Data-mixture subsetting: divide a global token budget across
+    strata (sources/languages) by temperature-style weights
+    ``w_s = floor(sqrt(stratum_tokens))`` — the alpha=0.5 rule that
+    upweights small sources relative to proportional sampling — then
+    keep each stratum's documents in deterministic hash order until its
+    budget fills (a document straddling the boundary is kept, matching
+    :func:`pack_by_token_budget`'s prefix semantics).
+
+    Weights and budgets stay in *integer* arithmetic (floor-sqrt,
+    floor-division) so the allocation is bit-identical across engines —
+    a float ``pow``/sum would make budget boundaries 1-ulp ambiguous.
+    ``target_tokens * w_s`` must fit in int64 (fine up to ~1e12 targets).
+
+    Cost: one tiny groupBy for totals (broadcast back) + one window sort
+    per stratum. At extreme per-stratum sizes the sort is the bottleneck;
+    the constant-time degradation is hash_sample with fraction
+    budget/total per stratum, which this operator deliberately does not
+    silently substitute.
+    """
+    tot = df.groupBy(strata_col).agg(F.sum(token_col).alias("_tot"))
+    w = tot.withColumn("_w", F.floor(F.sqrt("_tot")).cast("long"))
+    budget = (
+        w.withColumn("_wsum", F.sum("_w").over(Window.partitionBy()))
+        .withColumn("_num", F.lit(int(target_tokens)).cast("long") * F.col("_w"))
+        # integer DIV, not `/`: long/long is double division in Spark, and
+        # doubles lose exactness past 2^53 — the budget must be exact
+        .withColumn("_budget", F.expr("_num DIV _wsum"))
+        .select(strata_col, "_budget")
+    )
+    order = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(F.col(id_col).cast("string"), 1 << 30), F.col(id_col)
+    )
+    prefix = F.coalesce(
+        F.sum(token_col).over(order.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return (
+        df.join(F.broadcast(budget), strata_col)
+        .withColumn("_prefix", prefix)
+        .filter(F.col("_prefix") < F.col("_budget"))
+        .drop("_prefix", "_budget")
+    )

@@ -103,6 +103,74 @@ FROM documents GROUP BY source
 """
 
 
+def q_corpus_report(spark, sf_dir):
+    """Per-source dataset-card statistics: doc/token totals, EXACT
+    interpolated token quantiles (percentile, not percentile_approx —
+    approximate sketches cannot be oracle-checked), char means, distinct
+    languages. The one-pass groupBy a dataset release report runs."""
+    docs = load_catalog(spark, sf_dir).documents
+    return (
+        docs.withColumn("_n", F.size(tx.tokens()).cast("long"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+            F.round(F.percentile("_n", F.lit(0.5)), 4).alias("p50_tokens"),
+            F.round(F.percentile("_n", F.lit(0.9)), 4).alias("p90_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+# Spark `percentile` and DuckDB `quantile_cont` both use the
+# (1-g)*x[k] + g*x[k+1] interpolation at rank p*(n-1): exact match.
+ORACLE_CORPUS_REPORT = rf"""
+WITH t AS (SELECT source, lang, n_chars, len({_TOKS}) AS n FROM documents)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
+       ROUND(quantile_cont(n, 0.5), 4) AS p50_tokens,
+       ROUND(quantile_cont(n, 0.9), 4) AS p90_tokens,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM t GROUP BY source
+"""
+
+
+_MIXTURE_TARGET = 8000
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Data-mixture subsetting (functions/sampling.py mixture_sample):
+    a global token budget split across sources by integer sqrt-weights,
+    each source filled in deterministic hash order."""
+    from pygrametl_spark.functions.sampling import mixture_sample
+
+    docs = load_catalog(spark, sf_dir).documents.withColumn(
+        "n_tokens", F.size(tx.tokens()).cast("long")
+    )
+    return mixture_sample(docs, "doc_id", "source", "n_tokens", _MIXTURE_TARGET).select(
+        "doc_id", "source", "n_tokens"
+    )
+
+
+_H32_DOC = dd.hash32_sql("CAST(doc_id AS VARCHAR)")
+ORACLE_MIXTURE = rf"""
+WITH t AS (SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+tot AS (SELECT source, SUM(n_tokens) AS tot FROM t GROUP BY source),
+w AS (SELECT source, CAST(FLOOR(SQRT(tot)) AS BIGINT) AS w FROM tot),
+b AS (SELECT source, ({_MIXTURE_TARGET} * w) // SUM(w) OVER () AS budget FROM w),
+o AS (
+  SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+         COALESCE(SUM(t.n_tokens) OVER (
+           PARTITION BY t.source
+           ORDER BY ({_H32_DOC}) % 1073741824, t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM t JOIN b USING (source)
+)
+SELECT doc_id, source, n_tokens FROM o WHERE prefix < budget
+"""
+
+
 def q_lang_id(spark, sf_dir):
     docs = load_catalog(spark, sf_dir).documents
     return tx.lang_id(docs).select("doc_id", "lang_pred")
@@ -738,6 +806,8 @@ DATA_QUERIES = {
     "text_quality": q_text_quality,
     "repetition_stats": q_repetition_stats,
     "token_count": q_token_count,
+    "corpus_report": q_corpus_report,
+    "mixture_sample": q_mixture_sample,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
@@ -767,6 +837,8 @@ DATA_ORACLES = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "repetition_stats": _repetition_oracle(),
     "token_count": ORACLE_TOKEN_COUNT,
+    "corpus_report": ORACLE_CORPUS_REPORT,
+    "mixture_sample": ORACLE_MIXTURE,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "dedup_exact": ORACLE_DEDUP_EXACT,

@@ -99,6 +99,12 @@ PART_COLS: dict[str, list[str]] = {
     "pack_tokens": ["doc_id", "source", "n_tokens", "pack_id"],
     "pii_scan": ["doc_id", "n_emails", "n_urls", "n_ips", "has_pii"],
     "dedup_exact": ["doc_id"],
+    "token_count": ["source", "n_docs", "total_tokens", "avg_tokens"],
+    "corpus_report": [
+        "source", "n_docs", "total_tokens", "p50_tokens", "p90_tokens",
+        "avg_chars", "n_langs",
+    ],
+    "mixture_sample": ["doc_id", "source", "n_tokens"],
     "dedup_streaming": ["doc_id", "fp"],
     "decontaminate": ["doc_id", "contaminated"],
 }
@@ -248,6 +254,14 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
         [("doc_id", "bigint"), ("fp", "string")],
         [("batch", "dedup_exact"), ("stream", "dedup_streaming")],
     ),
+    "token_count": (
+        [
+            ("source", "string"), ("n_docs", "bigint"), ("total_tokens", "bigint"),
+            ("avg_tokens", "double"), ("p50_tokens", "double"),
+            ("p90_tokens", "double"), ("avg_chars", "double"), ("n_langs", "bigint"),
+        ],
+        [("counts", "token_count"), ("report", "corpus_report")],
+    ),
     "ann_lsh_neardup": (
         [
             ("vec_id", "bigint"), ("bucket", "int"),
@@ -286,6 +300,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("split", "dataset_split"),
             ("stratified", "stratified_sample"),
             ("pack", "pack_tokens"),
+            ("mixture", "mixture_sample"),
         ],
     ),
 }
