@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 __all__ = [
-    "Table", "assertEqual", "assertDisjoint", "assertSubset",
+    "Table", "Variable", "assertEqual", "assertDisjoint", "assertSubset",
     "connectionwrapper",
 ]
 
@@ -46,6 +46,31 @@ _VARIABLE = re.compile(r"^\$(\w+|_!?)$")
 
 #: default PEP 249 test connection (ref dtt.connectionwrapper)
 _DEFAULT_CON = None
+
+
+class Variable:
+    """Programmatic handle for a drawing variable (ref drawntabletesting
+    Variable): ``Variable("key")`` stringifies to ``$key``, so drawings
+    can be built with f-strings instead of literal ``$`` tokens.
+    ``Variable("_")`` is the wildcard, ``Variable("_!")`` the
+    not-NULL wildcard."""
+
+    def __init__(self, name: str):
+        if not _VARIABLE.match(f"${name}"):
+            raise ValueError(f"invalid variable name: {name!r}")
+        self.name = name
+
+    def __str__(self) -> str:
+        return f"${self.name}"
+
+    def __repr__(self) -> str:
+        return f"Variable({self.name!r})"
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Variable) and other.name == self.name
+
+    def __hash__(self) -> int:
+        return hash(("dtt.Variable", self.name))
 
 
 def connectionwrapper(con=None):

@@ -19,9 +19,20 @@ __all__ = [
     "Step", "connectsteps", "MappingStep", "ValueMappingStep",
     "RenamingFromToStep", "RenamingToFromStep", "ConditionalStep", "CopyStep",
     "GarbageStep", "PrintStep", "SourceStep", "AggregatingStep",
-    "DimensionStep", "SCDimensionStep",
+    "AggregatedRow", "DimensionStep", "SCDimensionStep",
     "SumAggregator", "AvgAggregator", "MaxAggregator", "MinAggregator",
 ]
+
+
+class AggregatedRow(dict):
+    """Marker type for a finalized aggregate row (ref steps.py:467-468).
+
+    In the reference, pushing an ``AggregatedRow`` into an
+    ``AggregatingStep`` triggers the finalizer instead of the worker. In
+    the Spark engine aggregation finalization is the action boundary of
+    the aggregated DataFrame, so this is a pure API-parity type — it
+    still works as a plain dict for any user code that constructs one.
+    """
 
 
 class Step:
