@@ -24,6 +24,7 @@ __all__ = [
     "dot_expr", "norm_expr", "cosine_expr", "cosine_topk",
     "cosine_neardup_pairs", "lsh_bucket", "lsh_banded_neardup",
     "ivf_assign", "ivf_topk", "ivf_write_index", "ivf_topk_from_index",
+    "sq8_codes", "sq8_topk",
 ]
 
 
@@ -496,3 +497,97 @@ def _plane_weight(plane: int, index: int) -> float:
 
     h = hashlib.md5(f"plane{plane}:{index}".encode()).hexdigest()[:8]
     return int(h, 16) / float(2 ** 31) - 1.0
+
+
+def sq8_codes(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    out: str = "code",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization of an embedding.
+
+    ``scale = max(|x|) / 127``; ``code_i = floor(x_i / scale + 0.5)``,
+    so every component lands in [-127, 127]. This is the standard
+    memory/IO lever for vector search at scale: codes are 4x smaller
+    than float32, so a 100 TB embedding corpus scans (and caches) as
+    ~25 TB, and the quantized dot product is an integer fold the JIT
+    vectorizes. Quantization is pure in-row expression work — it runs
+    inside the scan stage with zero shuffle, and writing the codes out
+    instead of the raw vectors makes every downstream ANN pass cheaper.
+
+    Cosine over codes needs no dequantization: the per-vector scales
+    cancel, so ``cos_q = dot(ca, cb) / (|ca| * |cb|)`` on raw integer
+    codes approximates full-precision cosine (error < ~1% at int8 for
+    unit-norm-ish data). All-zero vectors quantize to all-zero codes.
+
+    ``floor(x + 0.5)`` (not round-half-even) keeps the rounding rule
+    identical across engines, so an oracle can replay it bit-exactly.
+    """
+    maxabs = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    code = F.when(
+        maxabs == 0.0,
+        F.transform(F.col(vec_col), lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * 127.0 / maxabs + F.lit(0.5)),
+        )
+    )
+    return df.withColumn(out, code)
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Integer dot product of two array<bigint> code columns (exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sq8_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k neighbors by int8-quantized cosine (approximate ANN).
+
+    Same plan shape as :func:`cosine_topk` — corpus scan-only, probe
+    side broadcast — but the score is computed over int8 codes: the
+    dot and both norms are exact integer folds (codes are <= 127, so a
+    4096-dim dot stays far below 2^53), with floating point entering
+    only at the final division. That makes the ranking bit-reproducible
+    across engines AND cuts per-candidate math to one integer
+    multiply-add per dimension. Ties break on (qcosine DESC, id ASC).
+
+    Returns (query_id, rank, neighbor_id, qcosine).
+    """
+    c = sq8_codes(df.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("_v")), vec_col="_v", out="_cc")
+    q = sq8_codes(queries.select(F.col(id_col).alias("query_id"),
+                                 F.col(vec_col).alias("_v")), vec_col="_v", out="_qc")
+    pairs = c.drop("_v").crossJoin(F.broadcast(q.drop("_v"))).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    qdot = _int_dot(F.col("_qc"), F.col("_cc"))
+    qn = F.sqrt(_int_dot(F.col("_qc"), F.col("_qc")).cast("double"))
+    cn = F.sqrt(_int_dot(F.col("_cc"), F.col("_cc")).cast("double"))
+    pairs = pairs.withColumn(
+        "qcosine", F.round(qdot.cast("double") / F.nullif(qn * cn, F.lit(0.0)), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "qcosine")
+    )

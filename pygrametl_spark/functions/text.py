@@ -20,6 +20,7 @@ __all__ = [
     "fingerprint", "STOPWORDS", "LANG_MARKERS",
     "pii_stats", "decontaminate", "PII_PATTERNS",
     "repetition_stats", "REPETITION_THRESHOLDS",
+    "char_entropy",
 ]
 
 # Tiny deterministic marker lists (the heuristic, not a model).
@@ -316,4 +317,50 @@ def decontaminate(
         df.select(id_col)
         .join(hits, id_col, "left")
         .select(id_col, F.coalesce("_hit", F.lit(False)).alias("contaminated"))
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    text: str = "text",
+    out: str = "char_entropy",
+) -> DataFrame:
+    """Shannon entropy of the character distribution, bits per char.
+
+    A cheap perplexity proxy for corpus quality filtering: natural text
+    sits around 4-4.5 bits/char; binary-ish noise saturates toward
+    log2(alphabet), and "aaaa..." spam collapses toward 0 — both tails
+    are what a pretraining filter drops.
+
+    Entirely in-row (zero shuffle, computed inside the scan stage):
+    characters are enumerated with a substring transform, the distinct
+    set is SORTED so the floating-point accumulation order is
+    deterministic across engines/partitions, and each character's count
+    comes from a length-difference (`len(text) - len(replace(text, c))`)
+    instead of an explode+groupBy that would shuffle one row per char.
+    Alphabet sizes are small (<=256 for real text), so the in-row
+    O(alphabet * len) scan beats a corpus-wide exchange by orders of
+    magnitude at 100 TB. Empty text gets entropy 0.
+    """
+    chars = F.expr(
+        f"transform(sequence(1, length({text})), i -> substring({text}, i, 1))"
+    )
+    distinct_sorted = F.array_sort(F.array_distinct(chars))
+    n = F.length(text).cast("double")
+    ent = F.aggregate(
+        distinct_sorted,
+        F.lit(0.0).cast("double"),
+        lambda acc, c: acc
+        - (
+            (F.length(text) - F.length(F.replace(F.col(text), c))).cast("double") / n
+        )
+        * F.log2(
+            (F.length(text) - F.length(F.replace(F.col(text), c))).cast("double") / n
+        ),
+    )
+    # + 0.0 collapses IEEE -0.0 (a one-char doc yields -1*log2(1) = -0.0)
+    # to 0.0 so value hashes agree across engines.
+    return df.withColumn(
+        out,
+        F.round(F.when(F.length(text) > 0, ent).otherwise(F.lit(0.0)), 6) + F.lit(0.0),
     )

@@ -238,6 +238,45 @@ GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
 """
 
 
+def q_events_dedup_watermark(spark, sf_dir):
+    """State-bounded streaming dedup via Spark's native
+    ``dropDuplicatesWithinWatermark`` (streaming/events.py): state is
+    purged as event time passes the watermark, so a perpetual ingest
+    dedups with memory proportional to the horizon, not to history.
+    Horizon spans the dataset here, so emitted keys == batch DISTINCT."""
+    from pygrametl_spark.streaming.events import stream_dedup_within_watermark
+
+    return stream_dedup_within_watermark(spark, sf_dir)
+
+
+ORACLE_EVENTS_DEDUP = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def q_char_entropy(spark, sf_dir):
+    """Character-entropy quality proxy (functions/text.py char_entropy):
+    bits/char Shannon entropy, computed fully in-row (sorted distinct
+    chars + length-difference counts; zero shuffle)."""
+    docs = load_catalog(spark, sf_dir).documents
+    return tx.char_entropy(docs).select("doc_id", "char_entropy")
+
+
+ORACLE_CHAR_ENTROPY = r"""
+SELECT doc_id,
+       ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         -list_aggregate(
+            list_transform(
+              list_sort(list_distinct(
+                list_transform(range(1, length(text) + 1), i -> text[i:i]))),
+              c -> ((length(text) - length(replace(text, c, ''))) /
+                    CAST(length(text) AS DOUBLE)) *
+                   log2((length(text) - length(replace(text, c, ''))) /
+                        CAST(length(text) AS DOUBLE))),
+            'sum')
+       END, 6) + 0.0 AS char_entropy
+FROM documents
+"""
+
+
 def q_minhash_signatures(spark, sf_dir):
     docs = spread(load_catalog(spark, sf_dir).documents)
     return dd.minhash_signatures_long(docs)
@@ -812,6 +851,8 @@ DATA_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_streaming": q_dedup_streaming,
+    "events_dedup_watermark": q_events_dedup_watermark,
+    "char_entropy": q_char_entropy,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "neardup_clusters": q_neardup_clusters,
@@ -843,6 +884,8 @@ DATA_ORACLES = {
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_streaming": ORACLE_DEDUP_STREAMING,
+    "events_dedup_watermark": ORACLE_EVENTS_DEDUP,
+    "char_entropy": ORACLE_CHAR_ENTROPY,
     "minhash_signatures": ORACLE_MINHASH,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,

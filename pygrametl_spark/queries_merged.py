@@ -92,6 +92,7 @@ PART_COLS: dict[str, list[str]] = {
     "ann_lsh_buckets": ["vec_id", "bucket"],
     "ann_lsh_neardup": ["id_1", "id_2", "cosine"],
     "ann_kmeans": ["vec_id", "cluster"],
+    "ann_sq8_topk": ["query_id", "rank", "neighbor_id", "qcosine"],
     "scalar_helpers": ["p_partkey", "name", "size", "even", "dbstr", "sqlstr"],
     "datespan": ["dateid", "date", "monthname", "weekday", "year", "month", "day", "quarter"],
     "dataset_split": ["doc_id", "split"],
@@ -106,6 +107,8 @@ PART_COLS: dict[str, list[str]] = {
     ],
     "mixture_sample": ["doc_id", "source", "n_tokens"],
     "dedup_streaming": ["doc_id", "fp"],
+    "events_dedup_watermark": ["user_id", "event_type"],
+    "char_entropy": ["doc_id", "char_entropy"],
     "decontaminate": ["doc_id", "contaminated"],
 }
 
@@ -226,12 +229,14 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("lang_pred", "string"), ("fp", "string"),
             ("top2_frac", "double"), ("top3_frac", "double"), ("top4_frac", "double"),
             ("dup5_frac", "double"), ("repetitive", "boolean"),
+            ("char_entropy", "double"),
         ],
         [
             ("quality", "text_quality"),
             ("lang", "lang_id"),
             ("fingerprint", "doc_fingerprint"),
             ("repetition", "repetition_stats"),
+            ("entropy", "char_entropy"),
         ],
     ),
     "multimodal_pipeline": (
@@ -251,8 +256,15 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
         ],
     ),
     "dedup_exact": (
-        [("doc_id", "bigint"), ("fp", "string")],
-        [("batch", "dedup_exact"), ("stream", "dedup_streaming")],
+        [
+            ("doc_id", "bigint"), ("fp", "string"),
+            ("user_id", "bigint"), ("event_type", "string"),
+        ],
+        [
+            ("batch", "dedup_exact"),
+            ("stream", "dedup_streaming"),
+            ("watermark", "events_dedup_watermark"),
+        ],
     ),
     "token_count": (
         [
@@ -264,13 +276,16 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
     ),
     "ann_lsh_neardup": (
         [
-            ("vec_id", "bigint"), ("bucket", "int"),
+            ("vec_id", "bigint"), ("bucket", "int"), ("cluster", "int"),
             ("id_1", "bigint"), ("id_2", "bigint"), ("cosine", "double"),
+            ("query_id", "bigint"), ("rank", "bigint"),
+            ("neighbor_id", "bigint"), ("qcosine", "double"),
         ],
         [
             ("buckets", "ann_lsh_buckets"),
             ("neardup", "ann_lsh_neardup"),
             ("kmeans", "ann_kmeans"),
+            ("sq8", "ann_sq8_topk"),
         ],
     ),
     "helpers_suite": (

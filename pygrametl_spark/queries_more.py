@@ -484,6 +484,63 @@ def q_ann_kmeans(spark, sf_dir):
     return sim.ivf_assign(emb, n_clusters=8, centroids=cent).select("vec_id", "cluster")
 
 
+def q_ann_sq8_topk(spark, sf_dir):
+    """Int8 scalar-quantized ANN top-k (similarity.sq8_topk): per-vector
+    symmetric max-abs quantization to [-127, 127] codes, integer-exact
+    dot/norm folds, floats only at the final division — 4x less
+    embedding IO and an integer inner loop at 100 TB scale."""
+    from pygrametl_spark.functions import similarity as sim
+
+    emb = load_catalog(spark, sf_dir).embeddings
+    queries = emb.filter("vec_id < 5")
+    out = sim.sq8_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "qcosine"
+    )
+
+
+# Quantization replayed in SQL: same max-abs scale, same floor(x+0.5)
+# rounding, integer dot products (codes <= 127 so exact), ties to id ASC.
+ORACLE_ANN_SQ8 = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS maxabs
+  FROM v
+),
+codes AS (
+  SELECT vec_id,
+         CASE WHEN maxabs = 0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT))
+         END AS code
+  FROM s
+),
+q AS (SELECT vec_id AS query_id, code AS qc FROM codes WHERE vec_id < 5),
+p AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(
+           CAST(list_dot_product(q.qc, c.code) AS DOUBLE) /
+           NULLIF(sqrt(CAST(list_dot_product(q.qc, q.qc) AS DOUBLE)) *
+                  sqrt(CAST(list_dot_product(c.code, c.code) AS DOUBLE)), 0.0),
+           6) AS qcosine
+  FROM codes c, q WHERE c.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, qcosine,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY qcosine DESC NULLS LAST, neighbor_id ASC
+         ) AS rank
+  FROM p
+)
+SELECT query_id, rank, neighbor_id, qcosine FROM r WHERE rank <= 5
+"""
+
+
 def _kmeans_oracle(iters: int = 2, dim: int = 64) -> str:
     """Unrolled Lloyd's trajectory: the fixed iteration count makes the
     whole training run one static SQL expression the oracle replays —
@@ -829,6 +886,7 @@ MORE_QUERIES = {
     "events_sessionize": q_events_sessionize,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_kmeans": q_ann_kmeans,
+    "ann_sq8_topk": q_ann_sq8_topk,
     "ann_ivf_index": q_ann_ivf_index,
     "dim_getbykey": q_dim_getbykey,
     "transforming_source": q_transforming_source,
@@ -854,6 +912,7 @@ MORE_ORACLES = {
     "events_sessionize": ORACLE_SESSIONIZE,
     "ann_ivf_topk": _ivf_oracle(),
     "ann_kmeans": _kmeans_oracle(),
+    "ann_sq8_topk": ORACLE_ANN_SQ8,
     "ann_ivf_index": _ivf_oracle(),
     "dim_getbykey": ORACLE_GETBYKEY,
     "transforming_source": ORACLE_TRANSFORMING,

@@ -282,3 +282,44 @@ def windowed_event_counts_batch(events: DataFrame, *, window: str = "1 hour") ->
             "sum_value",
         )
     )
+
+
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    keys: tuple = ("user_id", "event_type"),
+    watermark: str = "3650 days",
+) -> DataFrame:
+    """Streaming dedup with bounded state: Spark's native
+    ``dropDuplicatesWithinWatermark`` over the live event stream.
+
+    Unlike the foreachBatch fingerprint store (streaming/corpus.py),
+    whose accepted-set grows forever, this keeps only keys younger than
+    the watermark horizon — the state-bounded dedup a perpetual 100 TB/day
+    ingest needs (state is purged as event time advances, so memory is
+    proportional to the dedup window, not to history). The horizon is a
+    correctness/memory dial: duplicates farther apart than the watermark
+    can re-emit.
+
+    For the oracle-gated query the horizon spans the whole dataset, so
+    the emitted key set equals batch ``SELECT DISTINCT keys`` exactly;
+    only the keys are returned because which *row* survives within a
+    micro-batch is an implementation detail.
+    """
+    ev = _raw_events_stream(spark, sf_dir)
+    dd = (
+        ev.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+        .select(*keys)
+    )
+    name = f"events_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -524,3 +524,66 @@ def test_kmeans_refine_improves_objective(spark):
     assert objective(refined) >= objective(seed) - 1e-9
     got = ivf_topk(emb, emb.filter("vec_id < 3"), k=3, centroids=refined).collect()
     assert len(got) == 9 and all(r["neighbor_id"] != r["query_id"] for r in got)
+
+
+def test_sq8_codes_bounds_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r["code"] for r in sim.sq8_codes(df).collect()}
+    # max-abs component maps to +/-127; the rest scale linearly
+    assert rows[1] == [64, -127, 32]  # floor(1/2*127+.5)=64, floor(.5/2*127+.5)=32
+    assert rows[2] == [0, 0, 0]
+    assert all(-127 <= c <= 127 for code in rows.values() for c in code)
+
+
+def test_sq8_topk_approximates_exact_ranking(spark):
+    import random
+
+    rng = random.Random(7)
+    data = [(i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(40)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 3")
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sim.cosine_topk(df, queries, k=5).collect()
+    }
+    quant = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sim.sq8_topk(df, queries, k=5).collect()
+    }
+    # int8 quantization preserves most of the top-5 (recall >= 0.6 on
+    # random data; typically far higher on clustered real embeddings)
+    overlap = sum(
+        1 for q in (0, 1, 2)
+        for n in [set(v for k, v in exact.items() if k[0] == q)]
+        for _ in n & {v for k, v in quant.items() if k[0] == q}
+    )
+    assert overlap >= 9  # >= 3 of 5 per query on average
+
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, "aab")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["char_entropy"] for r in tx.char_entropy(df).collect()}
+    assert got[1] == 0.0 and str(got[1]) == "0.0"  # not -0.0
+    assert got[2] == 1.0
+    assert got[3] == 2.0
+    assert got[4] == 0.0
+    expected = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(got[5] - expected) < 1e-6
+
+
+def test_stream_dedup_within_watermark_equals_batch_distinct(spark):
+    from pygrametl_spark.streaming.events import stream_dedup_within_watermark
+
+    out = stream_dedup_within_watermark(spark, "/root/testdata/sf0.001")
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    assert_df_set_equal(out, [tuple(r) for r in batch.collect()])
