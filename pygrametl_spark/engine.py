@@ -31,6 +31,8 @@ class _Registration:
     partition_cols: list = field(default_factory=list)
     bucket_cols: list = field(default_factory=list)
     n_buckets: int = 0
+    sort_cols: list = field(default_factory=list)
+    n_ranges: int = 0
 
 
 class Engine:
@@ -42,7 +44,8 @@ class Engine:
         self._tables: dict[str, _Registration] = {}
 
     def register(self, table, *, dependson=(), path: str | None = None,
-                 partition_cols=(), bucket_cols=(), n_buckets: int = 0) -> object:
+                 partition_cols=(), bucket_cols=(), n_buckets: int = 0,
+                 sort_cols=(), n_ranges: int = 0) -> object:
         """Register a Dimension/FactTable for endload. ``dependson`` names
         tables that must persist first (FK targets).
 
@@ -53,7 +56,19 @@ class Engine:
         dimensions every load, the shuffle is paid once at write time
         instead of per query. Bucketed tables persist via
         ``saveAsTable`` (bucket metadata lives in the session catalog);
-        read them back with ``spark.table(name)``."""
+        read them back with ``spark.table(name)``.
+
+        ``sort_cols`` range-partitions (``n_ranges`` output files via
+        ``repartitionByRange``, default: session shuffle partitions) and
+        sorts within each file on those columns before writing — the
+        data-skipping layout: every file covers a disjoint ``sort_cols``
+        interval, so parquet min/max statistics let selective scans skip
+        whole files/row groups. For a fact table queried by time or key
+        range, this is the read-amplification lever at 100 TB (and is
+        the plain-parquet counterpart of table-format Z-ordering).
+        Mutually exclusive with ``bucket_cols``."""
+        if sort_cols and bucket_cols:
+            raise ValueError("sort_cols and bucket_cols are mutually exclusive")
         name = table.name
         self._tables[name] = _Registration(
             table=table,
@@ -62,6 +77,8 @@ class Engine:
             partition_cols=list(partition_cols),
             bucket_cols=list(bucket_cols),
             n_buckets=n_buckets,
+            sort_cols=list(sort_cols),
+            n_ranges=n_ranges,
         )
         return table
 
@@ -101,7 +118,17 @@ class Engine:
         for name in self._order():
             reg = self._tables[name]
             if parquet:
-                w = reg.table.df.write.mode(mode)
+                df = reg.table.df
+                if reg.sort_cols:
+                    # range layout: one disjoint sort_cols interval per
+                    # output file + in-file sort => parquet min/max stats
+                    # skip files/row groups on selective scans
+                    n = reg.n_ranges or int(
+                        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+                    )
+                    df = df.repartitionByRange(n, *reg.sort_cols) \
+                           .sortWithinPartitions(*reg.sort_cols)
+                w = df.write.mode(mode)
                 if reg.partition_cols:
                     w = w.partitionBy(*reg.partition_cols)
                 if reg.bucket_cols:

@@ -464,3 +464,54 @@ def test_scdimension_step_ensures_and_decorates(spark):
     assert scd.df.count() == 2
     newest = scd.current_versions().first()
     assert out2.first()["id"] == newest["id"] and newest["version"] == 2
+
+
+def test_engine_range_sorted_endload_skips_files(spark, tmp_path):
+    """sort_cols range layout: every output file covers a disjoint
+    interval of the sort column (parquet min/max stats verified via
+    pyarrow), so selective scans skip whole files/row groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pygrametl_spark.operators.facttable import FactTable
+
+    fact = FactTable(
+        "rfact", ["k"], ["amount"],
+        df=spark.createDataFrame(
+            [(i, float(i)) for i in range(1000)], "k long, amount double"
+        ),
+    )
+    eng = Engine(spark, str(tmp_path))
+    eng.register(fact, sort_cols=["k"], n_ranges=4)
+    eng.endload()
+
+    files = sorted(glob.glob(str(tmp_path / "rfact" / "*.parquet")))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        stats = [
+            md.row_group(i).column(0).statistics for i in range(md.num_row_groups)
+        ]
+        assert md.schema.column(0).name == "k"
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    # disjoint, totally ordered intervals -> a filter like k = X can
+    # only match one file's [min, max]
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    # round-trips intact
+    assert spark.read.parquet(str(tmp_path / "rfact")).count() == 1000
+
+
+def test_engine_sort_and_bucket_are_exclusive(spark, tmp_path):
+    from pygrametl_spark.operators.facttable import FactTable
+
+    fact = FactTable(
+        "xfact", ["k"], ["m"],
+        df=spark.createDataFrame([(1, 2)], "k long, m long"),
+    )
+    eng = Engine(spark, str(tmp_path))
+    with pytest.raises(ValueError):
+        eng.register(fact, sort_cols=["k"], bucket_cols=["k"], n_buckets=4)
