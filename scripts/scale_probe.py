@@ -1,0 +1,108 @@
+"""Scaling evidence: replicate the sf0.1 tables K times (ids shifted so
+keys stay unique) and measure how the heavy operators' runtimes grow.
+
+An operator whose plan is scale-clean (scan-shaped work, bounded
+shuffles, no quadratic joins) should grow ~linearly in rows on fixed
+hardware; anything superlinear here would blow up 1000x harder at
+100 TB. Run: python scripts/scale_probe.py [K ...]  (default 1 2 4 8)
+
+Prints one JSON line per K with per-operator seconds, then a ratio
+table vs K=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(spark, table: str, k: int, id_cols: list[str], out_root: str) -> str:
+    """Union k shifted copies of a table; write once, reuse across runs."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(out_root, f"{table}_x{k}.parquet")
+    if os.path.isdir(path):
+        return path
+    df = spark.read.parquet(f"{BASE}/{table}.parquet")
+    n = df.count()
+    copies = []
+    for i in range(k):
+        c = df
+        for col in id_cols:
+            c = c.withColumn(col, F.col(col) + F.lit(i * n * 10))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
+def probe(spark, docs_path: str, emb_path: str, ev_path: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from pygrametl_spark.functions import dedup as dd
+    from pygrametl_spark.functions import similarity as sim
+    from pygrametl_spark.functions import text as tx
+    from pygrametl_spark.operators.scd import scd2_from_history
+
+    docs = spark.read.parquet(docs_path)
+    emb = spark.read.parquet(emb_path)
+    ev = spark.read.parquet(ev_path)
+
+    ops = {
+        "minhash_lsh": lambda: dd.minhash_lsh_pairs(docs, threshold=0.5).count(),
+        "ngram_jaccard": lambda: dd.ngram_jaccard_pairs(docs, threshold=0.2).count(),
+        "simhash": lambda: dd.simhash32(docs).count(),
+        "char_entropy": lambda: tx.char_entropy(docs).agg(F.sum("char_entropy")).count(),
+        "quality_lang": lambda: tx.lang_id(tx.quality_score(docs)).count(),
+        "lsh_banded_neardup": lambda: sim.lsh_banded_neardup(emb, threshold=0.45).count(),
+        "sq8_topk": lambda: sim.sq8_topk(emb, emb.filter("vec_id < 5"), k=5).count(),
+        "scd2_build": lambda: scd2_from_history(
+            ev.select("user_id", "event_type", "ts"),
+            ["user_id"], ["event_type"], "ts",
+        ).count(),
+    }
+    times = {}
+    for name, fn in ops.items():
+        fn()  # warm-up: codegen/JIT out of the measurement
+        t0 = time.time()
+        fn()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    out_root = "/tmp/pygrametl_spark_scaleprobe"
+    os.makedirs(out_root, exist_ok=True)
+
+    from pygrametl_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.range(1).count()
+
+    results = {}
+    for k in ks:
+        docs = replicate(spark, "documents", k, ["doc_id"], out_root)
+        emb = replicate(spark, "embeddings", k, ["vec_id"], out_root)
+        ev = replicate(spark, "events", k, ["event_id", "user_id"], out_root)
+        times = probe(spark, docs, emb, ev)
+        results[k] = times
+        print(json.dumps({"k": k, "times": times}))
+
+    base = results[ks[0]]
+    print("\nratio vs K=%d (linear => ratio ~= K):" % ks[0])
+    for k in ks[1:]:
+        row = {op: round(results[k][op] / max(base[op], 1e-9), 2) for op in base}
+        print(f"K={k}: {row}")
+
+
+if __name__ == "__main__":
+    main()

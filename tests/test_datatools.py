@@ -587,3 +587,37 @@ def test_stream_dedup_within_watermark_equals_batch_distinct(spark):
         .distinct()
     )
     assert_df_set_equal(out, [tuple(r) for r in batch.collect()])
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across restarts: a checkpointed file-source stream
+    stopped after the first batch and restarted after more data arrives
+    processes each input row exactly once — the recovery contract a
+    production ingest (streaming SCD2 maintenance, incremental dedup)
+    relies on."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_available():
+        q = (
+            spark.readStream.schema("id long, v long").parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v").coalesce(1) \
+        .write.mode("append").parquet(src)
+    run_available()
+    first = spark.read.parquet(out).count()
+    assert first == 100
+
+    spark.range(100, 250).selectExpr("id", "id * 2 AS v").coalesce(1) \
+        .write.mode("append").parquet(src)
+    run_available()
+
+    got = spark.read.parquet(out)
+    assert got.count() == 250  # nothing reprocessed, nothing lost
+    assert got.select(F.sum("v")).first()[0] == sum(2 * i for i in range(250))
