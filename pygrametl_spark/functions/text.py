@@ -151,6 +151,50 @@ def fingerprint(df: DataFrame, text: str = "text", out: str = "fp") -> DataFrame
     return df.withColumn(out, F.md5(norm))
 
 
+def chunk_by_tokens(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding token-window chunking — the splitting step every
+    training/RAG pipeline runs before tokenization or embedding.
+
+    Chunk *i* covers tokens ``[i*stride, i*stride + size)`` with
+    ``stride = size - overlap``; the last chunk is the first whose end
+    reaches the document's end (so coverage is total, consecutive
+    chunks share ``overlap`` tokens, and no tail chunk is fully
+    contained in its predecessor).
+
+    Entirely in-row (``sequence`` -> ``transform`` -> ``explode``): a
+    100 TB corpus chunks inside the scan stage with no shuffle and no
+    Python. Emits ``chunk_fp`` (md5) instead of the chunk text so
+    downstream exact-dedup of chunks needs only the 32-byte digest;
+    callers needing the text can re-slice or drop the md5.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+    toks = tokens(text)
+    n = F.size(toks)
+    last = F.when(n <= size, F.lit(0)).otherwise(
+        F.ceil((n - F.lit(size)) / F.lit(stride))
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), last),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.least(F.lit(size), n - i * stride).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.array_join(F.slice(toks, i * stride + 1, size), " ")).alias("chunk_fp"),
+        ),
+    )
+    return (
+        df.select(id_col, F.explode(chunks).alias("_c"))
+        .select(id_col, "_c.chunk_id", "_c.n_chunk_tokens", "_c.chunk_fp")
+    )
+
+
 # Gopher-style repetition thresholds (Rae et al. 2021, table A1,
 # adapted): fraction of non-space characters covered by the single most
 # frequent word n-gram, and the fraction of 5-gram instances whose

@@ -103,6 +103,30 @@ FROM documents GROUP BY source
 """
 
 
+def q_doc_chunks(spark, sf_dir):
+    docs = load_catalog(spark, sf_dir).documents
+    return tx.chunk_by_tokens(docs, size=64, overlap=16)
+
+
+# DuckDB list slicing toks[a:b] is 1-based and inclusive of both ends,
+# so chunk i (0-based) of size 64 / stride 48 is toks[i*48+1 : i*48+64].
+ORACLE_DOC_CHUNKS = rf"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+c AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0,
+             CASE WHEN n <= 64 THEN 0
+                  ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) END)) AS chunk_id
+  FROM n
+)
+SELECT doc_id, chunk_id,
+       CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) AS chunk_fp
+FROM c
+"""
+
+
 def q_corpus_report(spark, sf_dir):
     """Per-source dataset-card statistics: doc/token totals, EXACT
     interpolated token quantiles (percentile, not percentile_approx —
@@ -846,6 +870,7 @@ DATA_QUERIES = {
     "repetition_stats": q_repetition_stats,
     "token_count": q_token_count,
     "corpus_report": q_corpus_report,
+    "doc_chunks": q_doc_chunks,
     "mixture_sample": q_mixture_sample,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -879,6 +904,7 @@ DATA_ORACLES = {
     "repetition_stats": _repetition_oracle(),
     "token_count": ORACLE_TOKEN_COUNT,
     "corpus_report": ORACLE_CORPUS_REPORT,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
     "mixture_sample": ORACLE_MIXTURE,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_FINGERPRINT,

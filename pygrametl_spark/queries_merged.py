@@ -106,6 +106,7 @@ PART_COLS: dict[str, list[str]] = {
         "avg_chars", "n_langs",
     ],
     "mixture_sample": ["doc_id", "source", "n_tokens"],
+    "doc_chunks": ["doc_id", "chunk_id", "n_chunk_tokens", "chunk_fp"],
     "dedup_streaming": ["doc_id", "fp"],
     "events_dedup_watermark": ["user_id", "event_type"],
     "char_entropy": ["doc_id", "char_entropy"],
@@ -271,8 +272,14 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("source", "string"), ("n_docs", "bigint"), ("total_tokens", "bigint"),
             ("avg_tokens", "double"), ("p50_tokens", "double"),
             ("p90_tokens", "double"), ("avg_chars", "double"), ("n_langs", "bigint"),
+            ("doc_id", "bigint"), ("chunk_id", "bigint"),
+            ("n_chunk_tokens", "bigint"), ("chunk_fp", "string"),
         ],
-        [("counts", "token_count"), ("report", "corpus_report")],
+        [
+            ("counts", "token_count"),
+            ("report", "corpus_report"),
+            ("chunks", "doc_chunks"),
+        ],
     ),
     "ann_lsh_neardup": (
         [

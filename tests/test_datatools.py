@@ -621,3 +621,33 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 250  # nothing reprocessed, nothing lost
     assert got.select(F.sum("v")).first()[0] == sum(2 * i for i in range(250))
+
+
+def test_chunk_by_tokens_coverage_and_overlap(spark):
+    # 100 tokens, size 10, overlap 4 -> stride 6; last chunk is the first
+    # whose end reaches token 100: ceil((100-10)/6) = 15 -> 16 chunks.
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words), (2, "a b c"), (3, "")], "doc_id long, text string")
+    out = tx.chunk_by_tokens(df, size=10, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert len(c1) == 16
+    assert [r.n_chunk_tokens for r in c1[:-1]] == [10] * 15
+    assert c1[-1].n_chunk_tokens == 100 - 15 * 6  # tail covers through the end
+    # consecutive chunks share `overlap` tokens: starts advance by stride
+    assert [r.chunk_id for r in c1] == list(range(16))
+    # short doc -> one chunk of its full length; empty doc -> one token ('')
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 3
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_chunk_tokens == 1
+    # chunk_fp matches md5 of the joined token slice
+    import hashlib
+    exp = hashlib.md5(" ".join(f"w{i}" for i in range(10)).encode()).hexdigest()
+    assert c1[0].chunk_fp == exp
+
+
+def test_chunk_by_tokens_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        tx.chunk_by_tokens(df, size=8, overlap=8)
