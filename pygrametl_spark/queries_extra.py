@@ -221,8 +221,34 @@ FROM allk
 """
 
 
+# ---------------------------------------------------------------------------
+# Skew-salted join (plans/joins.py salted_join): the explicit tool for
+# single-key skew AQE cannot split. Result must equal the plain
+# equi-join exactly — which is what the oracle computes.
+# ---------------------------------------------------------------------------
+
+def q_salted_join(spark, sf_dir):
+    from pygrametl_spark.plans.joins import salted_join
+
+    cat = load_catalog(spark, sf_dir)
+    li = cat.lineitem.select(
+        F.col("l_partkey").alias("pk"), "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    pt = cat.part.select(F.col("p_partkey").alias("pk"), F.col("p_brand").alias("brand"))
+    return salted_join(li, pt, "pk", salt=8).select(
+        "l_orderkey", "l_linenumber", "pk", "brand", "l_quantity"
+    )
+
+
+ORACLE_SALTED_JOIN = """
+SELECT l_orderkey, l_linenumber, l_partkey AS pk, p_brand AS brand, l_quantity
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
 EXTRA_QUERIES = {
     "rollup_agg": q_rollup_agg,
+    "salted_join": q_salted_join,
     "cube_agg": q_cube_agg,
     "csv_source_roundtrip": q_csv_source_roundtrip,
     "pandas_source": q_pandas_source,
@@ -232,6 +258,7 @@ EXTRA_QUERIES = {
 
 EXTRA_ORACLES = {
     "rollup_agg": ORACLE_ROLLUP,
+    "salted_join": ORACLE_SALTED_JOIN,
     "cube_agg": ORACLE_CUBE,
     "csv_source_roundtrip": ORACLE_CSV,
     "pandas_source": ORACLE_PANDAS,

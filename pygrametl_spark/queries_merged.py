@@ -53,6 +53,7 @@ PART_COLS: dict[str, list[str]] = {
     "transforming_source": ["s_suppkey", "name", "band"],
     "dynamic_foreach_source": ["n_nationkey", "n_name", "n_regionkey"],
     "round_robin_source": ["s_suppkey", "s_name"],
+    "salted_join": ["l_orderkey", "l_linenumber", "pk", "brand", "l_quantity"],
     "union_source": ["name", "acctbal", "segment"],
     "valuemapping_step": ["o_orderkey", "status_name"],
     "conditional_step": ["o_orderkey", "branch"],
@@ -132,8 +133,13 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("l_orderkey", "bigint"), ("l_linenumber", "int"),
             ("part_name", "string"), ("brand", "string"), ("price", "double"),
             ("o_orderkey", "bigint"), ("customer", "string"), ("totalprice", "double"),
+            ("pk", "bigint"), ("l_quantity", "double"),
         ],
-        [("hash", "hash_joining_source"), ("merge", "merge_joining_source")],
+        [
+            ("hash", "hash_joining_source"),
+            ("merge", "merge_joining_source"),
+            ("salted", "salted_join"),
+        ],
     ),
     "sources_roundtrip": (
         [
