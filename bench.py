@@ -30,8 +30,11 @@ HEADLINE = [
     "dim_ensure",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "neardup_clusters",
+    "embedding_neardup",
     "simhash",
     "text_analysis",
+    "token_count",
     "ann_topk",
     "ann_ivf_index",
     "pep249_source",

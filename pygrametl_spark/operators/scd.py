@@ -94,6 +94,7 @@ class SlowlyChangingDimension(Dimension):
         minfrom=None,
         orderingatt: str | None = None,
         type1attsupdateall: bool = True,
+        versionondatechange: bool = False,
         **kw,
     ):
         super().__init__(name, key, attributes, lookupatts, **kw)
@@ -105,6 +106,15 @@ class SlowlyChangingDimension(Dimension):
         self.maxto = maxto
         self.minfrom = minfrom
         self.type1attsupdateall = type1attsupdateall
+        # Reference parity knob (ref tables.py:1340-1365, the fromatt
+        # branch): with srcdateatt set, the reference's scdensure makes
+        # a NEW version whenever the incoming source date differs from
+        # the newest version's fromatt — even when no tracked attribute
+        # changed (observed: every distinctly-dated reading becomes a
+        # version, i.e. snapshot-per-date). The engine's default is
+        # conventional change-only SCD2; set versionondatechange=True
+        # to replicate the reference exactly.
+        self.versionondatechange = versionondatechange and srcdateatt is not None
         # ref :1029-1040: ordering defaults to versionatt, else toatt, else fromatt
         self.orderingatt = orderingatt or versionatt or toatt or fromatt
         if self.orderingatt is None:
@@ -212,7 +222,12 @@ class SlowlyChangingDimension(Dimension):
         # incoming change dated equal to the current version lands after it.
         order = [F.col("_src").asc(), F.col("_ver").asc_nulls_first(), F.col("_from").asc_nulls_first()]
         w = Window.partitionBy(*self.lookupatts).orderBy(*order)
-        tracked_struct = F.struct(*[F.col(a) for a in self.trackedatts])
+        cmp_cols = [F.col(a) for a in self.trackedatts]
+        if self.versionondatechange:
+            # ref :1340-1365: a differing source date alone forces a new
+            # version, so the date participates in the change comparison
+            cmp_cols.append(F.col("_from"))
+        tracked_struct = F.struct(*cmp_cols)
         stacked = stacked.withColumn("_prev", F.lag(tracked_struct).over(w)).withColumn(
             "_changed",
             F.col("_prev").isNull() | ~tracked_struct.eqNullSafe(F.col("_prev")),
@@ -393,6 +408,7 @@ def scd2_from_history(
     fromatt: str = "fromdate",
     toatt: str = "todate",
     tiebreak: list[str] | None = None,
+    version_on_datechange: bool = False,
 ) -> DataFrame:
     """Build a full SCD2 dimension from a change-event history in one job.
 
@@ -404,12 +420,18 @@ def scd2_from_history(
     version's timestamp (NULL = current), and a 1-based version counter.
     Surrogate keys are dense over (lookupatts, version).
 
+    ``version_on_datechange=True`` replicates the reference's srcdateatt
+    behavior exactly (tables.py:1340-1365): a differing event date alone
+    creates a new version even when no tracked attribute changed, so
+    only exact (attributes, timestamp) repeats are suppressed.
+
     One shuffle (by lookupatts) feeds every window; Catalyst reuses the
     sort across lag/row_number/lead.
     """
     order = [F.col(ts).asc(), *[F.col(c).asc() for c in (tiebreak or [])]]
     w = Window.partitionBy(*lookupatts).orderBy(*order)
-    tracked = F.struct(*[F.col(a) for a in trackedatts])
+    cmp = [*trackedatts, ts] if version_on_datechange else trackedatts
+    tracked = F.struct(*[F.col(a) for a in cmp])
     changes = (
         events.withColumn("_prev", F.lag(tracked).over(w))
         .filter(F.col("_prev").isNull() | ~tracked.eqNullSafe(F.col("_prev")))

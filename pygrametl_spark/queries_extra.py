@@ -246,9 +246,53 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD2 with version-on-datechange (exact reference srcdateatt semantics,
+# ref tables.py:1340-1365): a differing event date ALONE creates a new
+# version; only exact (attributes, ts) repeats are suppressed.
+# ---------------------------------------------------------------------------
+
+def q_scd2_datechange(spark, sf_dir):
+    events = load_catalog(spark, sf_dir).events
+    dim = scd2_from_history(
+        events, ["user_id"], ["event_type"], "ts", key="id",
+        tiebreak=["event_id"], version_on_datechange=True,
+    )
+    return dim.select(
+        "id", "user_id", "event_type", "version",
+        _fmt_ts("fromdate").alias("fromdate"), _fmt_ts("todate").alias("todate"),
+    )
+
+
+ORACLE_SCD2_DATECHANGE = """
+WITH changes AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_t, lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), kept AS (
+  SELECT user_id, event_type, ts, event_id FROM changes
+  WHERE prev_t IS NULL OR prev_t <> event_type OR prev_ts <> ts
+), v AS (
+  SELECT user_id, event_type, ts AS fromdate,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS todate,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+  FROM kept
+), dim AS (
+  SELECT CAST(row_number() OVER (ORDER BY user_id, version) AS BIGINT) AS id, *
+  FROM v
+)
+SELECT id, user_id, event_type, version,
+       strftime(fromdate, '{f}') AS fromdate,
+       strftime(todate, '{f}') AS todate
+FROM dim
+""".format(f=TS_FMT_DUCK)
+
+
 EXTRA_QUERIES = {
     "rollup_agg": q_rollup_agg,
     "salted_join": q_salted_join,
+    "scd2_datechange": q_scd2_datechange,
     "cube_agg": q_cube_agg,
     "csv_source_roundtrip": q_csv_source_roundtrip,
     "pandas_source": q_pandas_source,
@@ -259,6 +303,7 @@ EXTRA_QUERIES = {
 EXTRA_ORACLES = {
     "rollup_agg": ORACLE_ROLLUP,
     "salted_join": ORACLE_SALTED_JOIN,
+    "scd2_datechange": ORACLE_SCD2_DATECHANGE,
     "cube_agg": ORACLE_CUBE,
     "csv_source_roundtrip": ORACLE_CSV,
     "pandas_source": ORACLE_PANDAS,

@@ -69,6 +69,7 @@ PART_COLS: dict[str, list[str]] = {
         "id", "user_id", "event_type", "version", "fromdate", "todate", "latest_value",
     ],
     "scd2_build": ["id", "user_id", "event_type", "version", "fromdate", "todate"],
+    "scd2_datechange": ["id", "user_id", "event_type", "version", "fromdate", "todate"],
     "scd_closecurrent": ["id", "user_id", "version", "todate"],
     "fact_ensure": ["o_orderkey", "o_custkey", "o_totalprice"],
     "fact_lookup": ["o_orderkey", "o_custkey", "o_totalprice"],
@@ -200,7 +201,11 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("id", "bigint"), ("user_id", "bigint"), ("event_type", "string"),
             ("version", "bigint"), ("fromdate", "string"), ("todate", "string"),
         ],
-        [("build", "scd2_build"), ("close", "scd_closecurrent")],
+        [
+            ("build", "scd2_build"),
+            ("close", "scd_closecurrent"),
+            ("datechange", "scd2_datechange"),
+        ],
     ),
     "fact_suite": (
         [

@@ -219,3 +219,60 @@ def test_scd2_from_history_matches_sequential_replay(spark, raw):
     }
     assert got == _scd2_reference(uniq)
 
+
+
+def test_version_on_datechange_reference_semantics(spark):
+    from pyspark.sql import functions as F
+
+    # ref tables.py:1340-1365: with srcdateatt, a new date ALONE creates a
+    # new version; exact (attrs, ts) repeats are suppressed.
+    from pygrametl_spark.operators.scd import scd2_from_history
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "a", "2024-01-01 00:00:00"),
+            (2, 10, "a", "2024-01-02 00:00:00"),  # same attrs, new date
+            (3, 10, "a", "2024-01-02 00:00:00"),  # exact repeat -> suppressed
+            (4, 10, "b", "2024-01-03 00:00:00"),  # attr change
+        ],
+        "event_id long, user_id long, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    plain = scd2_from_history(ev, ["user_id"], ["event_type"], "ts", tiebreak=["event_id"])
+    assert plain.count() == 2  # change-only: a, b
+
+    dated = scd2_from_history(
+        ev, ["user_id"], ["event_type"], "ts",
+        tiebreak=["event_id"], version_on_datechange=True,
+    )
+    rows = sorted(dated.collect(), key=lambda r: r.version)
+    assert [r.event_type for r in rows] == ["a", "a", "b"]
+    assert [r.version for r in rows] == [1, 2, 3]
+
+
+def test_scdensure_versionondatechange_merge(spark):
+    from pyspark.sql import functions as F
+
+    from pygrametl_spark.operators.scd import SlowlyChangingDimension
+
+    empty = spark.createDataFrame(
+        [], "id long, user_id long, event_type string, version long, "
+            "fromdate timestamp, todate timestamp"
+    )
+    scd = SlowlyChangingDimension(
+        "t", "id", ["user_id", "event_type", "version", "fromdate", "todate"],
+        ["user_id"], versionatt="version", fromatt="fromdate", toatt="todate",
+        srcdateatt="ts", versionondatechange=True, df=empty,
+    )
+    batch = spark.createDataFrame(
+        [(10, "a", "2024-01-01 00:00:00"), (10, "a", "2024-01-02 00:00:00")],
+        "user_id long, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    scd.scdensure(batch)
+    assert scd.df.count() == 2  # same attrs, two dates -> two versions
+    # Re-merging the same batch is NOT idempotent in this mode — exactly
+    # like the reference: each incoming row is compared against the
+    # NEWEST version's fromatt (ref tables.py:1340-1365), so a date that
+    # differs from the newest one (even an older date) spawns a version.
+    scd.scdensure(batch)
+    assert scd.df.count() == 4
