@@ -276,3 +276,65 @@ def test_scdensure_versionondatechange_merge(spark):
     # differs from the newest one (even an older date) spawns a version.
     scd.scdensure(batch)
     assert scd.df.count() == 4
+
+
+# ---------------------------------------------------------------------------
+# Property test for the datechange mode (change-only mode is covered by
+# test_scd2_from_history_matches_sequential_replay above): version
+# boundaries must match a pure-Python sequential replay of the
+# reference's srcdateatt rules (ref tables.py:1340-1365), where a
+# differing date ALONE opens a version.
+# ---------------------------------------------------------------------------
+
+def _replay_datechange(events):
+    """Per member in (ts, event_id) order: new version when the type OR
+    the date differs from the newest version's; exact repeats suppressed."""
+    versions = {}
+    for user, etype, ts in events:
+        cur = versions.setdefault(user, [])
+        if not cur or cur[-1] != (etype, ts):
+            cur.append((etype, ts))
+    return sorted(
+        (u, e, ver, ts)
+        for u, vs in versions.items()
+        for ver, (e, ts) in enumerate(vs, start=1)
+    )
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # user_id
+            st.sampled_from(["a", "b"]),             # event_type
+            st.integers(min_value=0, max_value=4),   # day offset (dup-prone)
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_scd2_datechange_matches_sequential_replay(spark, raw):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, user, etype, f"2024-01-0{day + 1} 00:00:00")
+        for i, (user, etype, day) in enumerate(raw)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    dim = scd2_from_history(
+        ev, ["user_id"], ["event_type"], "ts",
+        tiebreak=["event_id"], version_on_datechange=True,
+    )
+    got = sorted(
+        (r.user_id, r.event_type, r.version, r.fromdate.strftime("%Y-%m-%d %H:%M:%S"))
+        for r in dim.collect()
+    )
+    # stable sort on ts == the engine's (ts, event_id) ordering, since
+    # event_id is the input position
+    ordered = sorted(
+        ((u, e, f"2024-01-0{d + 1} 00:00:00") for (u, e, d) in raw),
+        key=lambda t: t[2],
+    )
+    assert got == _replay_datechange(ordered)
