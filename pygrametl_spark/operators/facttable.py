@@ -126,8 +126,32 @@ class FactTable:
         new = b.join(self.df.select(*self.keyrefs), on=self.keyrefs, how="left_anti")
         self._set_state(self.df.unionByName(new.dropDuplicates(self.keyrefs)))
 
-    def write(self, path: str, mode: str = "append", partition_cols: list[str] | None = None) -> None:
-        w = self.df.write.mode(mode)
+    def write(
+        self,
+        path: str,
+        mode: str = "append",
+        partition_cols: list[str] | None = None,
+        *,
+        dynamic_overwrite: bool = False,
+    ) -> None:
+        """Persist the fact table.
+
+        ``dynamic_overwrite=True`` (requires ``partition_cols``) makes
+        the write an idempotent incremental load: only the partitions
+        present in the current DataFrame are replaced, every other
+        partition on disk is untouched. This is the daily-ingest
+        pattern at scale — re-running one day's load replaces exactly
+        that day's directory instead of rewriting (or duplicating into)
+        a 100 TB table.
+        """
+        if dynamic_overwrite:
+            if not partition_cols:
+                raise ValueError("dynamic_overwrite requires partition_cols")
+            w = self.df.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            )
+        else:
+            w = self.df.write.mode(mode)
         if partition_cols:
             w = w.partitionBy(*partition_cols)
         w.parquet(path)

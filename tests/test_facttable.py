@@ -144,3 +144,27 @@ def test_accumulating_snapshot_matches_sequential_replay(spark, batches):
         fact.ensure(bdf)
     got = {r["k"]: (r["r"], r["m"]) for r in fact.df.collect()}
     assert got == state
+
+
+def test_write_dynamic_partition_overwrite(spark, tmp_path):
+    from pygrametl_spark.operators.facttable import FactTable
+
+    path = str(tmp_path / "fact")
+    full = spark.createDataFrame(
+        [(1, 20240101, 10.0), (2, 20240101, 11.0), (3, 20240102, 12.0)],
+        "k long, day int, m double",
+    )
+    FactTable("f", ["k", "day"], ["m"], df=full).write(
+        path, partition_cols=["day"], dynamic_overwrite=True
+    )
+    # re-load ONLY day 20240102 with corrected measures
+    fix = spark.createDataFrame([(3, 20240102, 99.0)], "k long, day int, m double")
+    FactTable("f", ["k", "day"], ["m"], df=fix).write(
+        path, partition_cols=["day"], dynamic_overwrite=True
+    )
+    got = {(r.k, r.day): r.m for r in spark.read.parquet(path).collect()}
+    # day 01 untouched, day 02 replaced (not appended)
+    assert got == {(1, 20240101): 10.0, (2, 20240101): 11.0, (3, 20240102): 99.0}
+
+    with pytest.raises(ValueError):
+        FactTable("f", ["k", "day"], ["m"], df=fix).write(path, dynamic_overwrite=True)
