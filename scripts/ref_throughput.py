@@ -196,9 +196,12 @@ def engine_scd2(spark, sf_dir: str) -> dict:
     def run():
         events = spark.read.parquet(f"{sf_dir}/events.parquet")
         n_in = events.count()
+        # version_on_datechange replicates the reference's srcdateatt
+        # semantics exactly (a new date alone opens a version), so both
+        # sides build the same number of version rows
         dim = scd2_from_history(
             events, ["user_id"], ["event_type"], "ts", key="id",
-            tiebreak=["event_id"],
+            tiebreak=["event_id"], version_on_datechange=True,
         )
         dim.write.mode("overwrite").parquet(f"{out_dir}/user_scd")
         return n_in
