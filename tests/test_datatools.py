@@ -651,3 +651,25 @@ def test_chunk_by_tokens_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         tx.chunk_by_tokens(df, size=8, overlap=8)
+
+
+def test_lsh_scorer_variants_bit_identical(spark):
+    # the three per-pair scorers (JVM expression, per-pair Arrow UDF,
+    # per-bucket Arrow groups) must produce BIT-IDENTICAL pairs+cosines:
+    # float32 products are exact in float64 and all three accumulate
+    # left-to-right (see similarity.pair_dot_arrow docstring)
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 64)
+    vecs = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    for j in range(6):
+        vecs.append((200 + j, [float(x + 0.005 * j) for x in base[j]]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    outs = {
+        s: sorted(map(tuple, sim.lsh_banded_neardup(emb, threshold=0.3, scorer=s).collect()))
+        for s in ("expr", "arrow", "grouped")
+    }
+    assert outs["expr"] == outs["arrow"] == outs["grouped"]
+    assert len(outs["expr"]) >= 6  # the planted near-dups are found
