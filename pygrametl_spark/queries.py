@@ -653,6 +653,37 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 """
 
 
+def q_topk_pergroup(spark, sf_dir):
+    """Top-3 orders per priority — the windowed top-N-per-group staple.
+    Shuffles once on the group key; the per-partition sort is bounded by
+    the rank cutoff (Spark pushes the limit into the window sort), so no
+    global ordering ever materializes — the shape that survives 100 TB.
+    Deterministic under ties via the o_orderkey tiebreak."""
+    orders = load_catalog(spark, sf_dir).orders
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_orderpriority", "rk", "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+ORACLE_TOPK_PERGROUP = """
+SELECT o_orderpriority, rk, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
 def q_union_source(spark, sf_dir):
     cat = load_catalog(spark, sf_dir)
     c = cat.customer.select(
@@ -735,6 +766,7 @@ ALL_QUERIES = {
     "datespan": q_datespan,
     "newest_version": q_newest_version,
     "topk": q_topk,
+    "topk_pergroup": q_topk_pergroup,
     "union_source": q_union_source,
     "sql_transforming": q_sql_transforming,
     **DATA_QUERIES,
@@ -768,6 +800,7 @@ ALL_ORACLES = {
     "datespan": ORACLE_DATESPAN,
     "newest_version": ORACLE_NEWEST,
     "topk": ORACLE_TOPK,
+    "topk_pergroup": ORACLE_TOPK_PERGROUP,
     "union_source": ORACLE_UNION,
     "sql_transforming": ORACLE_Q5,
     **DATA_ORACLES,

@@ -78,6 +78,8 @@ PART_COLS: dict[str, list[str]] = {
         "l_extendedprice",
     ],
     "rollup_agg": ["priority", "status", "total", "n"],
+    "topk": ["o_orderkey", "o_totalprice"],
+    "topk_pergroup": ["o_orderpriority", "rk", "o_orderkey", "o_totalprice"],
     "cube_agg": ["priority", "status", "total"],
     "countdistinct_agg": ["o_orderpriority", "n", "ncust", "minprice", "maxprice", "avgprice"],
     "custom_udaf": ["o_orderpriority", "median_price"],
@@ -305,6 +307,13 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("kmeans", "ann_kmeans"),
             ("sq8", "ann_sq8_topk"),
         ],
+    ),
+    "topk": (
+        [
+            ("o_orderkey", "bigint"), ("o_totalprice", "double"),
+            ("o_orderpriority", "string"), ("rk", "bigint"),
+        ],
+        [("global", "topk"), ("pergroup", "topk_pergroup")],
     ),
     "helpers_suite": (
         [
