@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
-    "dot_expr", "norm_expr", "cosine_expr", "cosine_topk",
+    "dot_expr", "norm_expr", "cosine_expr", "pair_dot_arrow", "cosine_topk",
     "cosine_neardup_pairs", "lsh_bucket", "lsh_banded_neardup",
     "ivf_assign", "ivf_topk", "ivf_write_index", "ivf_topk_from_index",
     "sq8_codes", "sq8_topk",

@@ -20,7 +20,7 @@ __all__ = [
     "fingerprint", "STOPWORDS", "LANG_MARKERS",
     "pii_stats", "decontaminate", "PII_PATTERNS",
     "repetition_stats", "REPETITION_THRESHOLDS",
-    "char_entropy",
+    "char_entropy", "chunk_by_tokens",
 ]
 
 # Tiny deterministic marker lists (the heuristic, not a model).
