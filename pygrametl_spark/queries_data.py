@@ -865,6 +865,20 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_stream_enriched(spark, sf_dir):
+    from pygrametl_spark.streaming.events import stream_enriched_event_counts
+
+    return stream_enriched_event_counts(spark, sf_dir)
+
+
+ORACLE_EVENTS_ENRICHED = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       n_name, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events JOIN nation ON (user_id % 25) = n_nationkey
+GROUP BY 1, 2
+"""
+
+
 DATA_QUERIES = {
     "text_quality": q_text_quality,
     "repetition_stats": q_repetition_stats,
@@ -897,6 +911,7 @@ DATA_QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_features": q_multimodal_features,
     "events_stream_windows": q_events_stream_windows,
+    "events_stream_enriched": q_events_stream_enriched,
 }
 
 DATA_ORACLES = {
@@ -931,4 +946,5 @@ DATA_ORACLES = {
     "multimodal_frames": ORACLE_MM_FRAMES,
     "multimodal_features": _mm_features_oracle(),
     "events_stream_windows": ORACLE_EVENTS_STREAM,
+    "events_stream_enriched": ORACLE_EVENTS_ENRICHED,
 }

@@ -115,6 +115,8 @@ PART_COLS: dict[str, list[str]] = {
     "events_dedup_watermark": ["user_id", "event_type"],
     "char_entropy": ["doc_id", "char_entropy"],
     "decontaminate": ["doc_id", "contaminated"],
+    "events_stream_windows": ["window_start", "event_type", "n_events", "sum_value"],
+    "events_stream_enriched": ["window_start", "n_name", "n_events", "sum_value"],
 }
 
 # merged name -> (schema [(col, spark_type)], parts [(tag, part_query_name)])
@@ -332,6 +334,16 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("contaminated", "boolean"),
         ],
         [("pii", "pii_scan"), ("decontam", "decontaminate")],
+    ),
+    "events_stream_windows": (
+        [
+            ("window_start", "string"), ("event_type", "string"),
+            ("n_name", "string"), ("n_events", "bigint"), ("sum_value", "double"),
+        ],
+        [
+            ("windows", "events_stream_windows"),
+            ("enriched", "events_stream_enriched"),
+        ],
     ),
     "sampling_suite": (
         [

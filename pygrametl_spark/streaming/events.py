@@ -76,6 +76,53 @@ def stream_windowed_event_counts(
     )
 
 
+def stream_enriched_event_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment: the live event stream joined to a
+    static dimension before the windowed aggregation.
+
+    The static side (the nation dimension, keyed through a synthetic
+    ``user_id % 25`` FK) is re-read per micro-batch and joined with a
+    broadcast hash join — no stream-side shuffle, no state: the
+    standard shape for enriching a 100 TB/day event stream with
+    dimension attributes. Watermark + event-time window then aggregate
+    per (window, nation).
+    """
+    ev = _raw_events_stream(spark, sf_dir)
+    nation = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select(F.col("n_nationkey").cast("long").alias("nkey"), "n_name")
+    )
+    enriched = ev.withColumn("nkey", F.pmod(F.col("user_id"), F.lit(25))).join(
+        F.broadcast(nation), "nkey"
+    )
+    agg = (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "n_name")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    name = f"events_enriched_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_name",
+        "n_events",
+        "sum_value",
+    )
+
+
 def _stage_time_sliced(spark: SparkSession, sf_dir: str, n_files: int, tag: str):
     """Stage the event history as ``n_files`` time-ordered parquet files
     (one per micro-batch with ``maxFilesPerTrigger=1``) — every batch's

@@ -673,3 +673,28 @@ def test_lsh_scorer_variants_bit_identical(spark):
     }
     assert outs["expr"] == outs["arrow"] == outs["grouped"]
     assert len(outs["expr"]) >= 6  # the planted near-dups are found
+
+
+def test_stream_enriched_matches_batch_join(spark):
+    # stream-static enrichment (broadcast dim join inside the stream)
+    # must equal the same join + agg done in batch
+    from pygrametl_spark.catalog import read_parquet
+    from pygrametl_spark.streaming.events import stream_enriched_event_counts
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = stream_enriched_event_counts(spark, sf_dir)
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("nkey"), "n_name"
+    )
+    want = (
+        ev.withColumn("nkey", F.pmod(F.col("user_id"), F.lit(25)))
+        .join(nation, "nkey")
+        .groupBy(F.window("ts", "1 day").alias("w"), "n_name")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_name", "n_events", "sum_value",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
