@@ -879,6 +879,21 @@ GROUP BY 1, 2
 """
 
 
+def q_events_stream_ssjoin(spark, sf_dir):
+    from pygrametl_spark.streaming.events import stream_click_to_purchase_join
+
+    return stream_click_to_purchase_join(spark, sf_dir)
+
+
+ORACLE_EVENTS_SSJOIN = """
+SELECT c.event_id AS click_id, b.event_id AS buy_id
+FROM events c JOIN events b
+  ON c.user_id = b.user_id
+ AND c.event_type = 'click' AND b.event_type = 'purchase'
+ AND c.ts <= b.ts AND c.ts >= b.ts - INTERVAL 1 DAY
+"""
+
+
 DATA_QUERIES = {
     "text_quality": q_text_quality,
     "repetition_stats": q_repetition_stats,
@@ -912,6 +927,7 @@ DATA_QUERIES = {
     "multimodal_features": q_multimodal_features,
     "events_stream_windows": q_events_stream_windows,
     "events_stream_enriched": q_events_stream_enriched,
+    "events_stream_ssjoin": q_events_stream_ssjoin,
 }
 
 DATA_ORACLES = {
@@ -947,4 +963,5 @@ DATA_ORACLES = {
     "multimodal_features": _mm_features_oracle(),
     "events_stream_windows": ORACLE_EVENTS_STREAM,
     "events_stream_enriched": ORACLE_EVENTS_ENRICHED,
+    "events_stream_ssjoin": ORACLE_EVENTS_SSJOIN,
 }

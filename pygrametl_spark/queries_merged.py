@@ -117,6 +117,7 @@ PART_COLS: dict[str, list[str]] = {
     "decontaminate": ["doc_id", "contaminated"],
     "events_stream_windows": ["window_start", "event_type", "n_events", "sum_value"],
     "events_stream_enriched": ["window_start", "n_name", "n_events", "sum_value"],
+    "events_stream_ssjoin": ["click_id", "buy_id"],
 }
 
 # merged name -> (schema [(col, spark_type)], parts [(tag, part_query_name)])
@@ -339,10 +340,12 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
         [
             ("window_start", "string"), ("event_type", "string"),
             ("n_name", "string"), ("n_events", "bigint"), ("sum_value", "double"),
+            ("click_id", "bigint"), ("buy_id", "bigint"),
         ],
         [
             ("windows", "events_stream_windows"),
             ("enriched", "events_stream_enriched"),
+            ("ssjoin", "events_stream_ssjoin"),
         ],
     ),
     "sampling_suite": (

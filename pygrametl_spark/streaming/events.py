@@ -123,6 +123,56 @@ def stream_enriched_event_counts(
     )
 
 
+def stream_click_to_purchase_join(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    lookback: str = "1 DAY",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream event-time interval join: each purchase matched to
+    the same user's clicks within ``lookback`` before it.
+
+    Both sides carry watermarks and the join condition bounds event
+    time, so the state store retains only rows inside the watermark +
+    lookback horizon — the attribution-join shape that runs unbounded
+    on a live stream with bounded state. ``availableNow`` drains the
+    history; emitted pairs equal the equivalent batch interval join.
+    """
+    ev = _raw_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("cu"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", watermark)
+    )
+    buys = (
+        ev.filter("event_type = 'purchase'")
+        .select(F.col("event_id").alias("buy_id"), "user_id", F.col("ts").alias("bts"))
+        .withWatermark("bts", watermark)
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("cts") <= F.col("bts"))
+        & (F.col("cts") >= F.col("bts") - F.expr(f"INTERVAL {lookback}")),
+    )
+    name = f"events_ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.select("click_id", "buy_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _stage_time_sliced(spark: SparkSession, sf_dir: str, n_files: int, tag: str):
     """Stage the event history as ``n_files`` time-ordered parquet files
     (one per micro-batch with ``maxFilesPerTrigger=1``) — every batch's
