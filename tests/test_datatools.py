@@ -698,3 +698,27 @@ def test_stream_enriched_matches_batch_join(spark):
         )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    # the watermarked stream-stream interval join must emit exactly the
+    # batch interval-join pairs once the stream drains
+    from pygrametl_spark.catalog import read_parquet
+    from pygrametl_spark.streaming.events import stream_click_to_purchase_join
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, stream_click_to_purchase_join(spark, sf_dir).collect()))
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    c = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    b = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("buy_id"), "user_id", F.col("ts").alias("bts")
+    )
+    want = sorted(map(tuple, (
+        c.join(b, (F.col("cu") == F.col("user_id"))
+               & (F.col("cts") <= F.col("bts"))
+               & (F.col("cts") >= F.col("bts") - F.expr("INTERVAL 1 DAY")))
+        .select("click_id", "buy_id").collect()
+    )))
+    assert got == want and len(got) > 0
