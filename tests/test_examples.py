@@ -37,3 +37,26 @@ def test_book_sales_etl_roundtrip(spark, tmp_path):
     # dimension dedup: Nineteen Eighty-Four sold twice -> one member
     assert con.execute("SELECT COUNT(*) FROM book").fetchone()[0] == 3
     con.close()
+
+
+def test_product_scd2_etl_history(spark, tmp_path):
+    import product_scd2_etl as ex
+
+    wh = str(tmp_path / "scdwh.duckdb")
+    dim = ex.run_etl(spark, lambda: duckdb.connect(wh))
+
+    # 6 members, 8 version rows (Calvin has 3 price versions)
+    assert dim.df.count() == 8
+    con = duckdb.connect(wh)
+    hist = con.execute(
+        "SELECT version, price, validfrom, validto FROM product "
+        "WHERE name = 'Calvin and Hobbes' ORDER BY version"
+    ).fetchall()
+    assert [(v, p) for v, p, *_ in hist] == [(1, 20), (2, 10), (3, 20)]
+    # each closed version's validto == successor's validfrom; tail open
+    assert hist[0][3] == hist[1][2] and hist[1][3] == hist[2][2]
+    assert hist[2][3] is None
+    assert con.execute(
+        "SELECT COUNT(DISTINCT name) FROM product"
+    ).fetchone()[0] == 6
+    con.close()
