@@ -127,6 +127,51 @@ FROM c
 """
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """Chunk-level exact dedup: across the whole corpus, keep one owner
+    per distinct chunk fingerprint (lowest (doc_id, chunk_id) wins) —
+    the chunk-granularity dedup a training pipeline runs after
+    splitting, so boilerplate shared across documents is dropped even
+    when whole-document dedup keeps both. One groupBy on the 32-byte
+    fingerprint; chunk text never shuffles."""
+    docs = load_catalog(spark, sf_dir).documents
+    chunks = tx.chunk_by_tokens(docs, size=64, overlap=16)
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.min(F.struct("doc_id", "chunk_id")).alias("_k"),
+            F.count("*").alias("n_copies"),
+        )
+        .select(
+            F.col("_k.doc_id").alias("doc_id"),
+            F.col("_k.chunk_id").alias("chunk_id"),
+            "chunk_fp",
+            "n_copies",
+        )
+    )
+
+
+ORACLE_CHUNK_DEDUP = rf"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+c AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0,
+             CASE WHEN n <= 64 THEN 0
+                  ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) END)) AS chunk_id
+  FROM n
+), ch AS (
+  SELECT doc_id, chunk_id,
+         md5(array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) AS chunk_fp
+  FROM c
+)
+SELECT FIRST(doc_id ORDER BY doc_id, chunk_id) AS doc_id,
+       FIRST(chunk_id ORDER BY doc_id, chunk_id) AS chunk_id,
+       chunk_fp, COUNT(*) AS n_copies
+FROM ch GROUP BY chunk_fp
+"""
+
+
 def q_corpus_report(spark, sf_dir):
     """Per-source dataset-card statistics: doc/token totals, EXACT
     interpolated token quantiles (percentile, not percentile_approx —
@@ -900,6 +945,7 @@ DATA_QUERIES = {
     "token_count": q_token_count,
     "corpus_report": q_corpus_report,
     "doc_chunks": q_doc_chunks,
+    "chunk_dedup": q_chunk_dedup,
     "mixture_sample": q_mixture_sample,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -936,6 +982,7 @@ DATA_ORACLES = {
     "token_count": ORACLE_TOKEN_COUNT,
     "corpus_report": ORACLE_CORPUS_REPORT,
     "doc_chunks": ORACLE_DOC_CHUNKS,
+    "chunk_dedup": ORACLE_CHUNK_DEDUP,
     "mixture_sample": ORACLE_MIXTURE,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_FINGERPRINT,

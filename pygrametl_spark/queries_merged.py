@@ -111,6 +111,7 @@ PART_COLS: dict[str, list[str]] = {
     ],
     "mixture_sample": ["doc_id", "source", "n_tokens"],
     "doc_chunks": ["doc_id", "chunk_id", "n_chunk_tokens", "chunk_fp"],
+    "chunk_dedup": ["doc_id", "chunk_id", "chunk_fp", "n_copies"],
     "dedup_streaming": ["doc_id", "fp"],
     "events_dedup_watermark": ["user_id", "event_type"],
     "char_entropy": ["doc_id", "char_entropy"],
@@ -290,11 +291,13 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("p90_tokens", "double"), ("avg_chars", "double"), ("n_langs", "bigint"),
             ("doc_id", "bigint"), ("chunk_id", "bigint"),
             ("n_chunk_tokens", "bigint"), ("chunk_fp", "string"),
+            ("n_copies", "bigint"),
         ],
         [
             ("counts", "token_count"),
             ("report", "corpus_report"),
             ("chunks", "doc_chunks"),
+            ("chunkdedup", "chunk_dedup"),
         ],
     ),
     "ann_lsh_neardup": (
