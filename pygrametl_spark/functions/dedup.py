@@ -378,6 +378,40 @@ def _cc_star_labels(edges: DataFrame, max_iter: int) -> DataFrame:
     )
 
 
+def _cc_driver_labels(edge_rows) -> "list[tuple]":
+    """Exact union-find (union by min root + path compression) over a
+    collected edge list. O(E α(E)) time, O(V) memory — the driver-side
+    fast path of ``neardup_clusters(algorithm="auto")``. Returns
+    (node, component-min) for every NON-ROOT node; roots label
+    themselves downstream via the left-join coalesce."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min id becomes the root, so labels match the distributed path
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return [(x, find(x)) for x in parent]
+
+
+# Edge sets below this collect to the driver for union-find; above it the
+# distributed star contraction runs. Same philosophy as AQE's broadcast
+# threshold: the LSH pair graph is orders of magnitude smaller than the
+# corpus, and when it fits comfortably on the driver, one collect beats
+# O(log n) rounds of two-shuffle jobs. 2M edges ≈ tens of MB collected.
+_CC_DRIVER_EDGE_THRESHOLD = 2_000_000
+
+
 def neardup_clusters(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -386,7 +420,8 @@ def neardup_clusters(
     threshold: float = 0.5,
     pairs: DataFrame | None = None,
     max_iter: int = 50,
-    algorithm: str = "star",
+    algorithm: str = "auto",
+    driver_edge_threshold: int = _CC_DRIVER_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS + canonical keep decision.
 
@@ -397,19 +432,47 @@ def neardup_clusters(
     (id, cluster_id = min id of its component, keep = is the canonical
     representative). Documents in no pair are their own cluster.
 
-    Implementation: ``algorithm="star"`` (default) runs the alternating
-    large-star/small-star contraction (:func:`_cc_star_labels`) — O(log n)
-    rounds on any graph shape, the web-scale formulation.
-    ``algorithm="propagation"`` keeps plain iterative min-label
-    propagation — ``label(v) <- min(label(v), min label of v's
-    neighbors)`` until a fixpoint, O(graph diameter) rounds; each round
-    is one join + one groupBy on the (small) edge relation, with labels
-    pinned via lazy localCheckpoint so lineage stays O(1) across rounds.
-    Both are exact; they must (and, property-tested, do) agree.
+    Implementation: ``algorithm="auto"`` (default) is adaptive, the way
+    AQE picks join strategies at runtime: the pair graph is materialized
+    once (it is needed in full either way), and if it has at most
+    ``driver_edge_threshold`` edges — after LSH, the duplicate graph is
+    orders of magnitude smaller than the corpus — the components come
+    from one driver-side union-find over a single collect instead of
+    O(log n) rounds of two-shuffle jobs. Bigger graphs fall through to
+    ``"star"``: the alternating large-star/small-star contraction
+    (:func:`_cc_star_labels`) — O(log n) rounds on any graph shape, the
+    web-scale formulation. ``algorithm="propagation"`` keeps plain
+    iterative min-label propagation — ``label(v) <- min(label(v), min
+    label of v's neighbors)`` until a fixpoint, O(graph diameter)
+    rounds; each round is one join + one groupBy on the (small) edge
+    relation, with labels pinned via lazy localCheckpoint so lineage
+    stays O(1) across rounds. All are exact; they must (and,
+    property-tested, do) agree.
     """
     if pairs is None:
         pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold)
     edges = pairs.select(F.col("id_1").alias("_a"), F.col("id_2").alias("_b"))
+    if algorithm == "auto":
+        edges = edges.localCheckpoint(eager=False)
+        if edges.limit(driver_edge_threshold + 1).count() <= driver_edge_threshold:
+            spark = df.sparkSession
+            lab = _cc_driver_labels([(r["_a"], r["_b"]) for r in edges.collect()])
+            id_type = dict(df.dtypes)[id_col]
+            labels = (
+                spark.createDataFrame(lab, schema=f"_id {id_type}, _label {id_type}")
+                if lab
+                else spark.createDataFrame([], schema=f"_id {id_type}, _label {id_type}")
+            )
+            out = df.select(id_col).join(
+                F.broadcast(labels.withColumnRenamed("_id", id_col)), id_col, "left"
+            )
+            cluster = F.coalesce(F.col("_label"), F.col(id_col))
+            return out.select(
+                id_col,
+                cluster.alias("cluster_id"),
+                (cluster == F.col(id_col)).alias("keep"),
+            )
+        algorithm = "star"
     if algorithm == "star":
         labels = _cc_star_labels(edges, max_iter)
         out = df.select(id_col).join(

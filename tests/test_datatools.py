@@ -466,7 +466,7 @@ def test_cc_star_matches_unionfind_and_propagation(spark, edge_list):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
 
-    for algo in ("star", "propagation"):
+    for algo in ("auto", "star", "propagation"):
         got = {
             r["doc_id"]: r["cluster_id"]
             for r in neardup_clusters(docs, pairs=pairs, algorithm=algo).collect()
