@@ -17,7 +17,7 @@ from pygrametl_spark.functions.dedup import hash32
 
 __all__ = [
     "hash_bucket", "hash_split", "hash_sample", "stratified_hash_sample",
-    "pack_by_token_budget", "mixture_sample",
+    "cluster_split", "pack_by_token_budget", "mixture_sample",
 ]
 
 
@@ -44,6 +44,45 @@ def hash_split(
     for name, (lo, hi) in reversed(list(splits.items())):
         expr = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(expr)
     return df.withColumn(out, expr)
+
+
+def cluster_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    clusters: DataFrame | None = None,
+    splits: dict[str, tuple[int, int]] | None = None,
+    buckets: int = 100,
+    out: str = "split",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: hash the near-duplicate
+    CLUSTER id, not the document id, so near-duplicates always land in
+    the same split.
+
+    A plain per-document :func:`hash_split` silently leaks evaluation
+    data — two near-identical documents can straddle train and test, and
+    the model is then scored on (a paraphrase of) its own training data.
+    Splitting on the connected-component id of the duplicate graph
+    (``dedup.neardup_clusters``) closes that hole: the whole cluster
+    moves as one unit. Pass a precomputed ``clusters`` frame
+    (id, cluster_id) to reuse pair generation across pipeline stages.
+    Cost on top of clustering: one join against the (id, cluster_id)
+    relation — tiny next to the corpus — and the same zero-shuffle hash
+    projection.
+    """
+    if clusters is None:
+        from pygrametl_spark.functions.dedup import neardup_clusters
+
+        clusters = neardup_clusters(df, id_col, text_col, threshold=threshold)
+    labeled = df.join(clusters.select(id_col, "cluster_id"), id_col)
+    b = hash_bucket(F.col("cluster_id"), buckets)
+    splits = splits or {"train": (0, 98), "val": (98, 99), "test": (99, 100)}
+    expr = F.lit(None).cast("string")
+    for name, (lo, hi) in reversed(list(splits.items())):
+        expr = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(expr)
+    return labeled.withColumn(out, expr)
 
 
 def hash_sample(df: DataFrame, id_col: str, fraction: float, *, buckets: int = 10000) -> DataFrame:

@@ -454,6 +454,34 @@ FROM documents
 """
 
 
+def q_cluster_split(spark, sf_dir):
+    """Leakage-safe split: near-duplicate clusters move between splits as
+    one unit (sampling.cluster_split over dedup.neardup_clusters)."""
+    from pygrametl_spark.functions.sampling import cluster_split
+
+    docs = spread(load_catalog(spark, sf_dir).documents)
+    return cluster_split(docs, "doc_id", "text", threshold=0.5).select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
+_CBUCKET_SQL = "(" + dd.hash32_sql("CAST(cluster_id AS VARCHAR)") + " % 100)"
+ORACLE_CLUSTER_SPLIT = (
+    _cluster_oracle(final=False)
+    + f""",
+lab AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clus c ON d.doc_id = c.id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN {_CBUCKET_SQL} >= 99 THEN 'test'
+            WHEN {_CBUCKET_SQL} >= 98 THEN 'val'
+            ELSE 'train' END AS split
+FROM lab
+"""
+)
+
+
 def q_stratified_sample(spark, sf_dir):
     from pygrametl_spark.functions.sampling import stratified_hash_sample
 
@@ -957,6 +985,7 @@ DATA_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "neardup_clusters": q_neardup_clusters,
     "dataset_split": q_dataset_split,
+    "cluster_split": q_cluster_split,
     "stratified_sample": q_stratified_sample,
     "pack_tokens": q_pack_tokens,
     "corpus_curation": q_corpus_curation,
@@ -994,6 +1023,7 @@ DATA_ORACLES = {
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "dataset_split": ORACLE_DATASET_SPLIT,
+    "cluster_split": ORACLE_CLUSTER_SPLIT,
     "stratified_sample": ORACLE_STRATIFIED,
     "pack_tokens": ORACLE_PACK_TOKENS,
     "corpus_curation": _curation_oracle(),

@@ -100,6 +100,7 @@ PART_COLS: dict[str, list[str]] = {
     "scalar_helpers": ["p_partkey", "name", "size", "even", "dbstr", "sqlstr"],
     "datespan": ["dateid", "date", "monthname", "weekday", "year", "month", "day", "quarter"],
     "dataset_split": ["doc_id", "split"],
+    "cluster_split": ["doc_id", "cluster_id", "split"],
     "stratified_sample": ["doc_id", "source"],
     "pack_tokens": ["doc_id", "source", "n_tokens", "pack_id"],
     "pii_scan": ["doc_id", "n_emails", "n_urls", "n_ips", "has_pii"],
@@ -355,9 +356,11 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
         [
             ("doc_id", "bigint"), ("split", "string"), ("source", "string"),
             ("n_tokens", "bigint"), ("pack_id", "bigint"),
+            ("cluster_id", "bigint"),
         ],
         [
             ("split", "dataset_split"),
+            ("clustersplit", "cluster_split"),
             ("stratified", "stratified_sample"),
             ("pack", "pack_tokens"),
             ("mixture", "mixture_sample"),

@@ -312,6 +312,42 @@ def test_neardup_clusters_transitive_chain(spark):
     assert out == {1: (1, True), 2: (1, False), 3: (1, False), 9: (9, True)}
 
 
+def test_cluster_split_keeps_neardups_in_one_split(spark):
+    """Leakage guard: every member of a near-dup cluster gets the SAME
+    split, and the split is the hash of the cluster id, so it matches
+    hash_split applied to the canonical representative."""
+    from pygrametl_spark.functions.dedup import neardup_clusters
+    from pygrametl_spark.functions.sampling import cluster_split, hash_bucket
+
+    import pyspark.sql.functions as SF
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(40)], "doc_id long, text string"
+    )
+    # two multi-doc clusters + singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_1 long, id_2 long"
+    )
+    clusters = neardup_clusters(docs, pairs=pairs)
+    out = cluster_split(docs, clusters=clusters).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert {r["cluster_id"] for r in out if r["doc_id"] in (0, 1, 2)} == {0}
+    # split equals the hash-bucket rule applied to cluster_id
+    want = {
+        r["cluster_id"]: r["b"]
+        for r in clusters.select(
+            "cluster_id", hash_bucket(SF.col("cluster_id")).alias("b")
+        ).collect()
+    }
+    for r in out:
+        b = want[r["cluster_id"]]
+        expect = "test" if b >= 99 else "val" if b >= 98 else "train"
+        assert r["split"] == expect
+
+
 def test_ivf_index_roundtrip_prunes_partitions(spark, tmp_path):
     """A persisted IVF index returns the same top-k as the in-memory
     path, and the probe scan prunes to the probed clusters via dynamic
