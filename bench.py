@@ -72,9 +72,27 @@ def main() -> None:
     # a global warm-up sweep evicts earlier plans' generated classes
     # from the codegen cache (~100 entries), which made the timed runs
     # SLOWER than no warm-up at all (measured 12.6 s vs 6.1 s on LSH).
+    def _session_hygiene() -> None:
+        """Reset leaked session state between queries so each measurement
+        starts clean: streaming drains register uuid-named memory-sink
+        temp views that pin their results, the StreamingQueryManager
+        keeps terminated-query metadata, and localCheckpoint blocks are
+        only released when the driver GCs the Python references."""
+        import gc
+
+        try:
+            for t in spark.catalog.listTables():
+                if t.isTemporary:
+                    spark.catalog.dropTempView(t.name)
+            spark.streams.resetTerminated()
+        except Exception:  # noqa: BLE001 — hygiene must never fail the bench
+            pass
+        gc.collect()
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
+        _session_hygiene()
         fn = ALL_QUERIES[name] if name in PREFER_PART else (
             QUERIES.get(name) or ALL_QUERIES[name]
         )

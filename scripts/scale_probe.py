@@ -64,6 +64,7 @@ def probe(spark, docs_path: str, emb_path: str, ev_path: str) -> dict[str, float
         "quality_lang": lambda: tx.lang_id(tx.quality_score(docs)).count(),
         "lsh_banded_neardup": lambda: sim.lsh_banded_neardup(emb, threshold=0.45).count(),
         "sq8_topk": lambda: sim.sq8_topk(emb, emb.filter("vec_id < 5"), k=5).count(),
+        "neardup_clusters": lambda: dd.neardup_clusters(docs, threshold=0.5).count(),
         "scd2_build": lambda: scd2_from_history(
             ev.select("user_id", "event_type", "ts"),
             ["user_id"], ["event_type"], "ts",
