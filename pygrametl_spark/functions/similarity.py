@@ -23,8 +23,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "dot_expr", "norm_expr", "cosine_expr", "pair_dot_arrow", "cosine_topk",
     "cosine_neardup_pairs", "lsh_bucket", "lsh_banded_neardup",
-    "ivf_assign", "ivf_topk", "ivf_write_index", "ivf_topk_from_index",
-    "sq8_codes", "sq8_topk",
+    "ivf_assign", "ivf_topk", "ivf_write_index", "ivf_append_index",
+    "ivf_topk_from_index", "sq8_codes", "sq8_topk",
+    "kmeans_refine",
 ]
 
 
@@ -342,6 +343,34 @@ def ivf_write_index(
     ivf_assign(
         df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, centroids=cent
     ).write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/vectors")
+
+
+def ivf_append_index(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted IVF index
+    (:func:`ivf_write_index`) without touching the existing corpus.
+
+    The production maintenance path for a daily embedding ingest: the
+    new batch is routed with the index's OWN stored centroids (one
+    broadcast + one scan of only the new vectors — the existing
+    partitions are never read or rewritten) and appended into the
+    cluster directories. Probes see the union immediately; because
+    routing uses identical centroids, append-then-probe is
+    bit-identical to rebuilding the whole index from the unioned
+    corpus (test-verified). Centroids drift as the distribution grows —
+    periodically re-train (:func:`kmeans_refine`) and rewrite, the same
+    rebuild cadence every production IVF system has.
+    """
+    spark = df.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids")
+    ivf_assign(
+        df, id_col=id_col, vec_col=vec_col, centroids=cent
+    ).write.mode("append").partitionBy("cluster").parquet(f"{path}/vectors")
 
 
 def ivf_topk_from_index(

@@ -372,6 +372,34 @@ def test_ivf_index_roundtrip_prunes_partitions(spark, tmp_path):
     assert len(pf) == 2 and "dynamicpruning" in pf[1][:200]
 
 
+def test_ivf_append_matches_full_rebuild(spark, tmp_path):
+    """Appending a new batch to a persisted IVF index (routed with the
+    index's stored centroids) probes bit-identically to rebuilding the
+    index from the unioned corpus with the same centroids."""
+    from pygrametl_spark.catalog import read_parquet
+    from pygrametl_spark.functions.similarity import (
+        ivf_append_index,
+        ivf_topk_from_index,
+        ivf_write_index,
+    )
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter("vec_id % 5 != 0")
+    new = emb.filter("vec_id % 5 = 0")
+    queries = emb.orderBy("vec_id").limit(3)
+
+    inc = str(tmp_path / "ivf_inc")
+    ivf_write_index(old, inc, n_clusters=4)
+    ivf_append_index(new, inc)
+    got = ivf_topk_from_index(spark, inc, queries, nprobe=2, k=5)
+
+    full = str(tmp_path / "ivf_full")
+    cent = spark.read.parquet(f"{inc}/centroids")  # same quantizer
+    ivf_write_index(emb, full, centroids=cent)
+    want = ivf_topk_from_index(spark, full, queries, nprobe=2, k=5)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
 def test_pii_stats_counts(spark):
     df = spark.createDataFrame(
         [
