@@ -1,0 +1,55 @@
+"""Plan-regression guard: scale-critical physical-plan properties.
+
+Every case pins a property that makes the operator viable at 100 TB —
+no corpus-sized cartesian products, dimension joins staying broadcast,
+filters reaching the parquet scan. A refactor that silently flips a
+broadcast join to sort-merge or reintroduces an all-pairs product
+fails HERE, at sf0.001, instead of in a cluster bill.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pygrametl_spark.plans.explain import formatted_plan, plan_stats
+
+SF = "/root/testdata/sf0.001"
+
+# query name -> (forbidden physical operators, required plan properties)
+CASES = {
+    # TPC-H Q1: the shipdate filter must be pushed to the parquet scan.
+    "q01_pricing_summary": (["CartesianProduct"], {"pushed_filters": 1}),
+    # TPC-H Q5 shape: all five dims broadcast; lineitem never shuffles
+    # into a sort-merge join.
+    "sql_transforming": (
+        ["CartesianProduct", "SortMergeJoin"],
+        {"broadcast_joins": 4},
+    ),
+    # star ETL: dimension lookups broadcast.
+    "etl_star_load": (["CartesianProduct"], {"broadcast_joins": 1}),
+    # dedup family: bucket formulations — an all-pairs product (plain or
+    # broadcast-nested-loop) must never reappear.
+    "dedup_minhash_lsh": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
+    "dedup_ngram_jaccard": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
+    "embedding_neardup": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
+    "simhash": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
+    "neardup_clusters": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
+    "corpus_curation": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
+    # SCD as-of interval join: member-key equi-join, never a range-only
+    # product over the history.
+    "scd_lookupasof": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_plan_properties(spark, name):
+    from pygrametl_spark.queries import ALL_QUERIES
+
+    df = ALL_QUERIES[name](spark, SF)
+    plan = formatted_plan(df)
+    stats = plan_stats(df)
+    forbidden, required = CASES[name]
+    for op in forbidden:
+        assert f") {op}" not in plan, f"{name}: plan contains {op}"
+    for key, minimum in required.items():
+        assert stats[key] >= minimum, f"{name}: {key}={stats[key]} < {minimum}"
