@@ -20,7 +20,7 @@ __all__ = [
     "fingerprint", "STOPWORDS", "LANG_MARKERS",
     "pii_stats", "decontaminate", "PII_PATTERNS",
     "repetition_stats", "REPETITION_THRESHOLDS",
-    "char_entropy", "chunk_by_tokens",
+    "char_entropy", "chunk_by_tokens", "remove_boilerplate_lines",
 ]
 
 # Tiny deterministic marker lists (the heuristic, not a model).
@@ -361,6 +361,62 @@ def decontaminate(
         df.select(id_col)
         .join(hits, id_col, "left")
         .select(id_col, F.coalesce("_hit", F.lit(False)).alias("contaminated"))
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    out: str = "clean_text",
+) -> DataFrame:
+    """Corpus-frequency line filtering (the C4/RefinedWeb boilerplate
+    rule): drop every line whose trimmed content occurs in at least
+    ``min_docs`` DISTINCT documents — cookie banners, nav menus, license
+    footers — and rebuild each document from its surviving lines in
+    order. Blank lines are never counted as boilerplate (structure is
+    preserved). Returns (id, n_lines, n_dropped, clean_text).
+
+    Scale shape: two corpus-wide exchanges, both unavoidable for the
+    semantics — the per-line distinct-document count (one row per
+    non-blank line; map-side partial aggregation collapses within-doc
+    repeats of a line before the shuffle), and the per-document
+    reassembly groupBy. The boilerplate line set itself is tiny relative
+    to the line vocabulary (only lines shared by >= min_docs documents),
+    so AQE turns the anti-join into a broadcast at runtime; nothing
+    corpus-sized is ever broadcast by construction.
+    """
+    lines = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line")
+    )
+    boiler = (
+        lines.filter(F.length(F.trim("_line")) > 0)
+        .groupBy(F.trim("_line").alias("_bt"))
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_bt")
+    )
+    kept = lines.join(boiler, F.trim(F.col("_line")) == F.col("_bt"), "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("_clean"),
+        F.count("*").alias("_kept"),
+    )
+    totals = df.select(
+        id_col, F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("_kept", F.lit(0))).cast("long").alias("n_dropped"),
+        F.coalesce("_clean", F.lit("")).alias(out),
     )
 
 

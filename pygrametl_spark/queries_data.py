@@ -604,6 +604,43 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 
+def q_line_clean(spark, sf_dir):
+    """C4-style boilerplate line removal: lines whose trimmed content
+    occurs in >= 3 distinct documents are dropped and each document is
+    rebuilt from its surviving lines (functions/text.py
+    remove_boilerplate_lines)."""
+    docs = spread(load_catalog(spark, sf_dir).documents)
+    return tx.remove_boilerplate_lines(docs, min_docs=3)
+
+
+ORACLE_LINE_CLEAN = """
+WITH lines AS (
+  SELECT doc_id, pos, ls[pos] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+       LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS pos) u
+),
+boiler AS (
+  SELECT trim(line) AS bt FROM lines
+  WHERE length(trim(line)) > 0
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lines l
+  WHERE trim(l.line) NOT IN (SELECT bt FROM boiler)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(string_split(d.text, chr(10))) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+"""
+
+
 def q_corpus_curation(spark, sf_dir):
     from pygrametl_spark.functions.sampling import hash_split
 
@@ -991,6 +1028,7 @@ DATA_QUERIES = {
     "corpus_curation": q_corpus_curation,
     "pii_scan": q_pii_scan,
     "decontaminate": q_decontaminate,
+    "line_clean": q_line_clean,
     "simhash": q_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
@@ -1029,6 +1067,7 @@ DATA_ORACLES = {
     "corpus_curation": _curation_oracle(),
     "pii_scan": ORACLE_PII,
     "decontaminate": ORACLE_DECONTAM,
+    "line_clean": ORACLE_LINE_CLEAN,
     "simhash": ORACLE_SIMHASH,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "embedding_neardup": ORACLE_EMB_NEARDUP,

@@ -104,6 +104,7 @@ PART_COLS: dict[str, list[str]] = {
     "stratified_sample": ["doc_id", "source"],
     "pack_tokens": ["doc_id", "source", "n_tokens", "pack_id"],
     "pii_scan": ["doc_id", "n_emails", "n_urls", "n_ips", "has_pii"],
+    "line_clean": ["doc_id", "n_lines", "n_dropped", "clean_text"],
     "dedup_exact": ["doc_id"],
     "token_count": ["source", "n_docs", "total_tokens", "avg_tokens"],
     "corpus_report": [
@@ -337,8 +338,14 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("doc_id", "bigint"), ("n_emails", "bigint"), ("n_urls", "bigint"),
             ("n_ips", "bigint"), ("has_pii", "boolean"),
             ("contaminated", "boolean"),
+            ("n_lines", "bigint"), ("n_dropped", "bigint"),
+            ("clean_text", "string"),
         ],
-        [("pii", "pii_scan"), ("decontam", "decontaminate")],
+        [
+            ("pii", "pii_scan"),
+            ("decontam", "decontaminate"),
+            ("lineclean", "line_clean"),
+        ],
     ),
     "events_stream_windows": (
         [

@@ -400,6 +400,26 @@ def test_ivf_append_matches_full_rebuild(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
 
 
+def test_remove_boilerplate_lines(spark):
+    """Lines in >=3 distinct docs are dropped wherever they appear;
+    blank lines are preserved; a doc made entirely of boilerplate
+    rebuilds as the empty string; within-doc repetition alone does not
+    make a line boilerplate (distinct-document count)."""
+    rows = [
+        (1, "keep me\ncookie banner\n\nunique tail"),
+        (2, "cookie banner\nother text"),
+        (3, "cookie banner"),
+        (4, "solo\nsolo\nsolo"),  # 3 copies but ONE doc: not boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tx.remove_boilerplate_lines(df).collect()}
+    assert got[1]["clean_text"] == "keep me\n\nunique tail"
+    assert (got[1]["n_lines"], got[1]["n_dropped"]) == (4, 1)
+    assert got[2]["clean_text"] == "other text"
+    assert got[3]["clean_text"] == "" and got[3]["n_dropped"] == 1
+    assert got[4]["clean_text"] == "solo\nsolo\nsolo" and got[4]["n_dropped"] == 0
+
+
 def test_pii_stats_counts(spark):
     df = spark.createDataFrame(
         [
