@@ -39,6 +39,7 @@ HEADLINE = [
     "ann_topk",
     "ann_ivf_index",
     "pep249_source",
+    "curation_guard",
     "events_stream_windows",
     "events_stream_ssjoin",
 ]

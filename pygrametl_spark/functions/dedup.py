@@ -224,14 +224,22 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_shingle_freq: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """Exact n-gram-set jaccard for all pairs above ``threshold``.
+    """Exact n-gram-set similarity for all pairs above ``threshold``.
 
     Scalable formulation: join documents on *shared shingles* and count
     intersections — |A∩B| via groupBy(pair), |A∪B| = |A|+|B|-|A∩B|.
     Never builds the doc×doc cross product. ``max_shingle_freq`` drops
     shingles shared by more than N docs (stop-shingles), the standard
     guard against join blowup on a 100 TB corpus.
+
+    ``metric="jaccard"`` scores |A∩B|/|A∪B|; ``metric="containment"``
+    scores |A∩B|/min(|A|,|B|) — the asymmetric rule that catches a short
+    document embedded in a long one (quotations, syndicated reposts),
+    which symmetric jaccard dilutes toward 0 as the size gap grows.
+    Both come free from the same pair relation (sizes already ride each
+    pair); the score column is named after the metric.
     """
     arr = with_distinct_shingles(df, id_col, text_col, n)
     # The per-doc set size rides ALONG each exploded row (one extra long
@@ -288,13 +296,14 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("inter"))
     )
+    if metric == "containment":
+        score = F.round(F.col("inter") / F.least("n1", "n2"), 6)
+    else:
+        score = F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6)
     return (
-        inter.withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_1", "id_2", "jaccard")
+        inter.withColumn(metric, score)
+        .filter(F.col(metric) >= threshold)
+        .select("id_1", "id_2", metric)
     )
 
 

@@ -750,6 +750,30 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_pairs(docs, threshold=0.2)
 
 
+def q_ngram_containment(spark, sf_dir):
+    """Asymmetric containment pairs |A∩B|/min(|A|,|B|) — catches a short
+    doc embedded in a long one, which jaccard dilutes (dedup.py
+    ngram_jaccard_pairs(metric='containment'))."""
+    docs = load_catalog(spark, sf_dir).documents
+    return dd.ngram_jaccard_pairs(docs, threshold=0.5, metric="containment")
+
+
+ORACLE_NGRAM_CONTAINMENT = _SHINGLE_CTE + """,
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2,
+       ROUND(inter::DOUBLE / least(z1.n_sh, z2.n_sh), 6) AS containment
+FROM inter
+JOIN sizes z1 ON z1.doc_id = id_1
+JOIN sizes z2 ON z2.doc_id = id_2
+WHERE ROUND(inter::DOUBLE / least(z1.n_sh, z2.n_sh), 6) >= 0.5
+"""
+
+
 ORACLE_NGRAM_JACCARD = _SHINGLE_CTE + """,
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
@@ -1031,6 +1055,7 @@ DATA_QUERIES = {
     "line_clean": q_line_clean,
     "simhash": q_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "ngram_containment": q_ngram_containment,
     "embedding_neardup": q_embedding_neardup,
     "ann_topk": q_ann_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -1070,6 +1095,7 @@ DATA_ORACLES = {
     "line_clean": ORACLE_LINE_CLEAN,
     "simhash": ORACLE_SIMHASH,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "ngram_containment": ORACLE_NGRAM_CONTAINMENT,
     "embedding_neardup": ORACLE_EMB_NEARDUP,
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_lsh_buckets": ORACLE_ANN_LSH_BUCKETS,

@@ -106,6 +106,8 @@ PART_COLS: dict[str, list[str]] = {
     "pii_scan": ["doc_id", "n_emails", "n_urls", "n_ips", "has_pii"],
     "line_clean": ["doc_id", "n_lines", "n_dropped", "clean_text"],
     "dedup_exact": ["doc_id"],
+    "dedup_ngram_jaccard": ["id_1", "id_2", "jaccard"],
+    "ngram_containment": ["id_1", "id_2", "containment"],
     "token_count": ["source", "n_docs", "total_tokens", "avg_tokens"],
     "corpus_report": [
         "source", "n_docs", "total_tokens", "p50_tokens", "p90_tokens",
@@ -332,6 +334,18 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("quarter", "int"),
         ],
         [("scalar", "scalar_helpers"), ("datespan", "datespan")],
+    ),
+    # same registered name as the individual jaccard query it replaces:
+    # the merge adds the containment part without spending a registry slot
+    "dedup_ngram_jaccard": (
+        [
+            ("id_1", "bigint"), ("id_2", "bigint"),
+            ("jaccard", "double"), ("containment", "double"),
+        ],
+        [
+            ("jaccard", "dedup_ngram_jaccard"),
+            ("containment", "ngram_containment"),
+        ],
     ),
     "curation_guard": (
         [

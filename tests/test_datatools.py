@@ -400,6 +400,20 @@ def test_ivf_append_matches_full_rebuild(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
 
 
+def test_ngram_containment_catches_subset_docs(spark):
+    """A short doc fully embedded in a long one scores containment 1.0
+    even when jaccard (diluted by the size gap) is below threshold."""
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    cont = dd.ngram_jaccard_pairs(df, threshold=0.9, metric="containment").collect()
+    assert [(r["id_1"], r["id_2"], r["containment"]) for r in cont] == [(1, 2, 1.0)]
+    jac = dd.ngram_jaccard_pairs(df, threshold=0.9).collect()
+    assert jac == []  # symmetric jaccard misses the same pair
+
+
 def test_remove_boilerplate_lines(spark):
     """Lines in >=3 distinct docs are dropped wherever they appear;
     blank lines are preserved; a doc made entirely of boilerplate
