@@ -23,8 +23,9 @@ from pygrametl_spark.functions.text import tokens, with_distinct_shingles
 
 __all__ = [
     "MINHASH_P", "MINHASH_A", "MINHASH_B",
-    "hash32", "exact_dedup", "minhash_signatures", "minhash_signatures_long",
-    "minhash_lsh_pairs", "simhash32", "ngram_jaccard_pairs",
+    "hash32", "exact_dedup", "dedup_against", "minhash_signatures",
+    "minhash_signatures_long", "minhash_lsh_pairs",
+    "minhash_lsh_pairs_between", "simhash32", "ngram_jaccard_pairs",
     "neardup_clusters",
 ]
 
@@ -67,6 +68,110 @@ def exact_dedup(df: DataFrame, id_col: str, on) -> DataFrame:
     one shuffle on the dedup key)."""
     cols = [on] if isinstance(on, str) else list(on)
     return df.groupBy(*cols).agg(F.min(id_col).alias(id_col)).select(id_col, *cols)
+
+
+def dedup_against(
+    new_df: DataFrame, corpus_df: DataFrame, id_col: str = "doc_id", on="text"
+) -> DataFrame:
+    """Incremental exact dedup: the batch shape of accepting a new crawl
+    into an existing corpus. Keeps new rows that (a) are the minimum-id
+    representative of their duplicate group WITHIN the batch and (b) do
+    not exactly duplicate anything already accepted. One shuffle on the
+    dedup key per side; the corpus contributes only its distinct keys to
+    the anti-join (never its full rows)."""
+    cols = [on] if isinstance(on, str) else list(on)
+    survivors = exact_dedup(new_df, id_col, cols)
+    return survivors.join(
+        corpus_df.select(*cols).dropDuplicates(), cols, "left_anti"
+    ).select(id_col, *cols)
+
+
+def minhash_lsh_pairs_between(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross-set near-duplicate pairs: each NEW document against the
+    EXISTING corpus, never corpus x corpus.
+
+    The incremental counterpart of :func:`minhash_lsh_pairs`: when a
+    daily crawl lands next to a 100 TB accepted corpus, re-enumerating
+    the corpus's internal pairs would dwarf the actual question ("is
+    anything in the batch a near-dup of what we already have?"). Both
+    sides go through the same banded-LSH bucketing with a side tag; the
+    in-row pair enumeration then crosses ONLY new x old members of each
+    bucket, so bucket work is |new_in_bucket| * |old_in_bucket| instead
+    of the full quadratic bucket product. Returns
+    (new_id, corpus_id, est_jaccard).
+    """
+    rows_per_band = MINHASH_K // bands
+
+    def tagged(df: DataFrame, tag: int) -> DataFrame:
+        wide = minhash_signatures(df, id_col, text_col)
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+        sig = wide.select(id_col, *[F.col(f"mh{i}") for i in range(MINHASH_K)], *band_cols)
+        return sig.select(
+            F.col(id_col),
+            F.lit(tag).alias("_side"),
+            F.array(*[F.col(f"mh{i}") for i in range(MINHASH_K)]).alias("sig"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("bidx"), F.col(f"band{b}").alias("bhash"))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(id_col, "_side", "sig", "bb.bidx", "bb.bhash")
+
+    both = tagged(new_df, 1).unionByName(tagged(corpus_df, 0))
+    grouped = (
+        both.groupBy("bidx", "bhash")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("_side").alias("t"), F.col("sig").alias("sig"))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ms") <= max_bucket_size)
+    news = F.filter("ms", lambda m: m["t"] == 1)
+    olds = F.filter("ms", lambda m: m["t"] == 0)
+    pair_arr = F.flatten(
+        F.transform(news, lambda a: F.transform(olds, lambda b: F.struct(a.alias("a"), b.alias("b"))))
+    )
+    pairs = (
+        grouped.filter((F.size(news) >= 1) & (F.size(olds) >= 1))
+        .select(F.explode(pair_arr).alias("p"))
+        .select(
+            F.col("p.a.id").alias("new_id"),
+            F.col("p.b.id").alias("corpus_id"),
+            F.col("p.a.sig").alias("sig_a"),
+            F.col("p.b.sig").alias("sig_b"),
+        )
+    )
+    eq = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return (
+        pairs.select(
+            "new_id", "corpus_id",
+            F.round(eq / F.lit(float(MINHASH_K)), 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
 
 
 def minhash_signatures(

@@ -289,6 +289,23 @@ def q_dedup_exact(spark, sf_dir):
 ORACLE_DEDUP_EXACT = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Batch-vs-corpus exact dedup: accept from the new batch
+    (doc_id % 10 < 3) only docs that survive within-batch dedup AND do
+    not duplicate the already-accepted corpus (dedup.dedup_against)."""
+    docs = load_catalog(spark, sf_dir).documents
+    new = docs.filter("doc_id % 10 < 3")
+    corpus = docs.filter("doc_id % 10 >= 3")
+    return dd.dedup_against(new, corpus).select("doc_id")
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+SELECT MIN(doc_id) AS doc_id FROM documents WHERE doc_id % 10 < 3
+GROUP BY text
+HAVING text NOT IN (SELECT text FROM documents WHERE doc_id % 10 >= 3)
+"""
+
+
 def q_dedup_streaming(spark, sf_dir):
     """Incremental exact dedup over a live document stream: per-batch
     fingerprint + anti-join against the accepted store (foreachBatch,
@@ -1039,6 +1056,7 @@ DATA_QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_streaming": q_dedup_streaming,
     "events_dedup_watermark": q_events_dedup_watermark,
     "char_entropy": q_char_entropy,
@@ -1079,6 +1097,7 @@ DATA_ORACLES = {
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_streaming": ORACLE_DEDUP_STREAMING,
     "events_dedup_watermark": ORACLE_EVENTS_DEDUP,
     "char_entropy": ORACLE_CHAR_ENTROPY,

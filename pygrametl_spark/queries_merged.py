@@ -106,6 +106,7 @@ PART_COLS: dict[str, list[str]] = {
     "pii_scan": ["doc_id", "n_emails", "n_urls", "n_ips", "has_pii"],
     "line_clean": ["doc_id", "n_lines", "n_dropped", "clean_text"],
     "dedup_exact": ["doc_id"],
+    "dedup_incremental": ["doc_id"],
     "dedup_ngram_jaccard": ["id_1", "id_2", "jaccard"],
     "ngram_containment": ["id_1", "id_2", "containment"],
     "token_count": ["source", "n_docs", "total_tokens", "avg_tokens"],
@@ -284,6 +285,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
         ],
         [
             ("batch", "dedup_exact"),
+            ("incremental", "dedup_incremental"),
             ("stream", "dedup_streaming"),
             ("watermark", "events_dedup_watermark"),
         ],

@@ -400,6 +400,42 @@ def test_ivf_append_matches_full_rebuild(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
 
 
+def test_minhash_lsh_pairs_between_is_cross_set_restriction(spark):
+    """Cross-set LSH pairs equal the full pair enumeration restricted to
+    (new, corpus) pairs — no corpus x corpus or new x new pair is ever
+    produced, and nothing crossing is missed."""
+    from pygrametl_spark.catalog import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter("doc_id % 10 < 3")
+    corpus = docs.filter("doc_id % 10 >= 3")
+    got = {
+        (r["new_id"], r["corpus_id"], r["est_jaccard"])
+        for r in dd.minhash_lsh_pairs_between(new, corpus, threshold=0.5).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    want = set()
+    for r in dd.minhash_lsh_pairs(docs, threshold=0.5).collect():
+        a, b = r["id_1"], r["id_2"]
+        if (a in new_ids) != (b in new_ids):
+            n, c = (a, b) if a in new_ids else (b, a)
+            want.add((n, c, r["est_jaccard"]))
+    assert got == want and got  # non-empty on the synthetic dup corpus
+
+
+def test_dedup_against_batch_vs_corpus(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (10, "y"), (11, "z")],
+        "doc_id long, text string",
+    )
+    new = df.filter("doc_id < 10")
+    corpus = df.filter("doc_id >= 10")
+    got = sorted(r["doc_id"] for r in dd.dedup_against(new, corpus).collect())
+    # 1 survives (min of the x-group, x not in corpus); 2 loses in-batch;
+    # 3 exact-duplicates corpus text y
+    assert got == [1]
+
+
 def test_ngram_containment_catches_subset_docs(spark):
     """A short doc fully embedded in a long one scores containment 1.0
     even when jaccard (diluted by the size gap) is below threshold."""
