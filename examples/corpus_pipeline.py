@@ -1,0 +1,102 @@
+"""End-to-end training-data curation pipeline (net-new surface).
+
+The LLM-corpus counterpart of the warehouse quickstarts: one lineage
+from a raw document crawl to packed, split, sharded training data —
+every stage an operator this engine ships, each scale-shaped for a
+100 TB corpus (see PERF.md for the per-operator plan audits):
+
+1. hygiene   — C4-style boilerplate line removal, rebuilt in order
+2. filtering — language ID + quality score + repetition gates
+3. dedup     — exact (hash-groupBy) then near-dup clusters over the
+               MinHash-LSH pair graph; one canonical doc per cluster
+4. leakage   — benchmark decontamination (broadcast eval shingles) and
+               a cluster-aware split so near-dups never straddle splits
+5. packing   — token-budget sequence packing per source shard
+6. export    — parquet partitioned by (split, pack shard)
+
+Run: python examples/corpus_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pygrametl_spark import get_spark
+from pygrametl_spark.catalog import load_catalog, spread
+from pygrametl_spark.functions import dedup as dd
+from pygrametl_spark.functions import text as tx
+from pygrametl_spark.functions.sampling import cluster_split, pack_by_token_budget
+
+
+def run_pipeline(spark, sf_dir: str, out_dir: str):
+    """Returns (curated DataFrame, stage-count dict) and writes the
+    sharded corpus under ``out_dir``."""
+    docs = spread(load_catalog(spark, sf_dir).documents)
+    counts = {"raw": docs.count()}
+
+    # 1. hygiene: drop corpus-frequent lines, rebuild documents
+    cleaned = (
+        tx.remove_boilerplate_lines(docs, min_docs=3)
+        .filter(F.length("clean_text") > 0)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    counts["after_lineclean"] = cleaned.count()
+
+    # 2. filtering: language + quality + repetition gates
+    # (repetition_stats returns only its per-doc stats; join the flag back)
+    scored = tx.quality_score(tx.lang_id(cleaned))
+    rep_ok = tx.repetition_stats(cleaned).filter(~F.col("repetitive")).select("doc_id")
+    kept = (
+        scored.filter((F.col("quality_score") >= 0.2) & (F.col("lang_pred") != "und"))
+        .join(rep_ok, "doc_id")
+        .select("doc_id", "text", "source", "lang_pred", "quality_score")
+    )
+    counts["after_quality"] = kept.count()
+
+    # 3. dedup: exact first (cheap), then near-dup clusters; keep the
+    # canonical representative of every cluster
+    exact = dd.exact_dedup(kept, "doc_id", "text").select("doc_id")
+    kept = kept.join(exact, "doc_id")
+    clusters = dd.neardup_clusters(kept, threshold=0.5)
+    kept = kept.join(clusters, "doc_id").filter("keep").drop("keep")
+    counts["after_dedup"] = kept.count()
+
+    # 4. leakage guards: decontaminate vs the held-out eval slice, then
+    # split by near-dup CLUSTER so paraphrases cannot straddle splits
+    bench = load_catalog(spark, sf_dir).documents.filter("doc_id % 50 = 0")
+    flags = tx.decontaminate(kept, bench, n=8)
+    kept = kept.join(flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id")
+    split = cluster_split(kept, clusters=clusters).select("doc_id", "split")
+    counts["after_decontam"] = kept.count()
+
+    # 5. packing: token budgets per source shard
+    packed = pack_by_token_budget(
+        kept.withColumn("n_tokens", F.size(tx.tokens()).cast("long")),
+        "n_tokens", 512, order_by="doc_id", partition_by="source",
+    ).join(split, "doc_id")
+
+    # 6. export: one directory per (split, source, pack) — the layout a
+    # training loader streams shard-by-shard
+    out = packed.select(
+        "doc_id", "source", "split", "lang_pred", "n_tokens", "pack_id", "text"
+    )
+    out.write.mode("overwrite").partitionBy("split", "source").parquet(out_dir)
+    counts["exported"] = out.count()
+    return out, counts
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        tempfile.gettempdir(), "pygrametl_spark_corpus_out"
+    )
+    spark = get_spark("corpus-pipeline")
+    _, counts = run_pipeline(spark, sf, dst)
+    print({**counts, "out": dst})

@@ -72,11 +72,14 @@ def cluster_split(
     relation — tiny next to the corpus — and the same zero-shuffle hash
     projection.
     """
-    if clusters is None:
-        from pygrametl_spark.functions.dedup import neardup_clusters
+    if "cluster_id" in df.columns:
+        labeled = df  # input already labeled (e.g. mid-pipeline after dedup)
+    else:
+        if clusters is None:
+            from pygrametl_spark.functions.dedup import neardup_clusters
 
-        clusters = neardup_clusters(df, id_col, text_col, threshold=threshold)
-    labeled = df.join(clusters.select(id_col, "cluster_id"), id_col)
+            clusters = neardup_clusters(df, id_col, text_col, threshold=threshold)
+        labeled = df.join(clusters.select(id_col, "cluster_id"), id_col)
     b = hash_bucket(F.col("cluster_id"), buckets)
     splits = splits or {"train": (0, 98), "val": (98, 99), "test": (99, 100)}
     expr = F.lit(None).cast("string")

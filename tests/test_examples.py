@@ -39,6 +39,34 @@ def test_book_sales_etl_roundtrip(spark, tmp_path):
     con.close()
 
 
+def test_corpus_pipeline_end_to_end(spark, tmp_path):
+    import corpus_pipeline as ex
+
+    out_dir = str(tmp_path / "corpus")
+    out, counts = ex.run_pipeline(spark, "/root/testdata/sf0.001", out_dir)
+
+    # monotone funnel, nothing silently dropped between counted stages
+    assert (
+        counts["raw"]
+        >= counts["after_lineclean"]
+        >= counts["after_quality"]
+        >= counts["after_dedup"]
+        >= counts["after_decontam"]
+        == counts["exported"]
+        > 0
+    )
+    rows = out.collect()
+    # every exported doc has a split, a pack id, and a positive budget
+    assert all(r["split"] in ("train", "val", "test") for r in rows)
+    assert all(r["pack_id"] >= 0 and r["n_tokens"] > 0 for r in rows)
+    # export is readable back with the partition layout intact
+    back = spark.read.parquet(out_dir)
+    assert back.count() == counts["exported"]
+    assert {"split", "source"} <= set(back.columns)
+    # near-dups never straddle splits: one split per cluster by construction
+    # (cluster_id is not exported; the invariant is pinned in unit tests)
+
+
 def test_product_scd2_etl_history(spark, tmp_path):
     import product_scd2_etl as ex
 
