@@ -49,6 +49,10 @@ def test_plan_properties(spark, name):
     plan = formatted_plan(df)
     stats = plan_stats(df)
     forbidden, required = CASES[name]
+    # row-at-a-time Python is never acceptable in a hot path — the only
+    # Python execution anywhere is Arrow-batched (ArrowEvalPython /
+    # FlatMapGroupsInPandas), and none of the guarded queries need even that
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     for op in forbidden:
         assert f") {op}" not in plan, f"{name}: plan contains {op}"
     for key, minimum in required.items():
