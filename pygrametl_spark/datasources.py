@@ -12,6 +12,7 @@ from pygrametl_spark.sources.sources import (  # noqa: F401
     DynamicForEachSource,
     FilteringSource,
     HashJoiningSource,
+    JSONLSource,
     JoiningSource,
     MappingSource,
     MergeJoiningSource,
@@ -28,7 +29,7 @@ from pygrametl_spark.sources.sources import (  # noqa: F401
 
 __all__ = [
     "CSVSource", "CrossTabbingSource", "DynamicForEachSource",
-    "FilteringSource", "HashJoiningSource", "JoiningSource",
+    "FilteringSource", "HashJoiningSource", "JSONLSource", "JoiningSource",
     "MappingSource", "MergeJoiningSource", "PEP249Source", "PandasSource",
     "ProcessSource", "RoundRobinSource", "SQLSource",
     "SQLTransformingSource", "TransformingSource", "TypedCSVSource",

@@ -19,7 +19,7 @@ from pygrametl_spark.catalog import load_catalog, read_parquet
 from pygrametl_spark.functions import similarity as sim
 from pygrametl_spark.operators.scd import SlowlyChangingDimension, scd2_from_history
 from pygrametl_spark.queries import TS_FMT_DUCK, _fmt_ts
-from pygrametl_spark.sources.sources import PandasSource, TypedCSVSource
+from pygrametl_spark.sources.sources import JSONLSource, PandasSource, TypedCSVSource
 
 # ---------------------------------------------------------------------------
 # Grouping sets (net-new surface the reference lacks; free in Spark)
@@ -83,6 +83,25 @@ def q_csv_source_roundtrip(spark, sf_dir):
 
 
 ORACLE_CSV = "SELECT c_custkey, c_name, c_mktsegment FROM customer"
+
+
+def q_jsonl_source(spark, sf_dir):
+    """documents -> JSONL file -> JSONLSource scan with a pinned schema
+    (no inference pass) -> same relation, embedded newlines and all."""
+    docs = load_catalog(spark, sf_dir).documents.select(
+        "doc_id", "text", "lang", "source"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"pygrametl_jsonl_{abs(hash(sf_dir)) % 10**8}.jsonl"
+    )
+    if not os.path.exists(path):
+        docs.toPandas().to_json(path, orient="records", lines=True, force_ascii=False)
+    return JSONLSource(
+        spark, path, schema="doc_id long, text string, lang string, source string"
+    ).select("doc_id", "text", "lang", "source")
+
+
+ORACLE_JSONL = "SELECT doc_id, text, lang, source FROM documents"
 
 
 def q_pandas_source(spark, sf_dir):
@@ -295,6 +314,7 @@ EXTRA_QUERIES = {
     "scd2_datechange": q_scd2_datechange,
     "cube_agg": q_cube_agg,
     "csv_source_roundtrip": q_csv_source_roundtrip,
+    "jsonl_source": q_jsonl_source,
     "pandas_source": q_pandas_source,
     "ann_lsh_neardup": q_ann_lsh_neardup,
     "scd2_incremental_merge": q_scd2_incremental_merge,
@@ -306,6 +326,7 @@ EXTRA_ORACLES = {
     "scd2_datechange": ORACLE_SCD2_DATECHANGE,
     "cube_agg": ORACLE_CUBE,
     "csv_source_roundtrip": ORACLE_CSV,
+    "jsonl_source": ORACLE_JSONL,
     "pandas_source": ORACLE_PANDAS,
     "ann_lsh_neardup": ORACLE_LSH_NEARDUP,
     "scd2_incremental_merge": ORACLE_SCD2_INCREMENTAL,

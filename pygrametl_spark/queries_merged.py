@@ -49,6 +49,7 @@ PART_COLS: dict[str, list[str]] = {
     "hash_joining_source": ["l_orderkey", "l_linenumber", "part_name", "brand", "price"],
     "merge_joining_source": ["o_orderkey", "customer", "totalprice"],
     "csv_source_roundtrip": ["c_custkey", "c_name", "c_mktsegment"],
+    "jsonl_source": ["doc_id", "text", "lang", "source"],
     "pandas_source": ["r_regionkey", "r_name"],
     "transforming_source": ["s_suppkey", "name", "band"],
     "dynamic_foreach_source": ["n_nationkey", "n_name", "n_regionkey"],
@@ -160,9 +161,12 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("s_suppkey", "bigint"), ("name", "string"), ("band", "string"),
             ("n_nationkey", "bigint"), ("n_name", "string"), ("n_regionkey", "bigint"),
             ("s_name", "string"), ("acctbal", "double"), ("segment", "string"),
+            ("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
+            ("source", "string"),
         ],
         [
             ("csv", "csv_source_roundtrip"),
+            ("jsonl", "jsonl_source"),
             ("pandas", "pandas_source"),
             ("transforming", "transforming_source"),
             ("foreach", "dynamic_foreach_source"),

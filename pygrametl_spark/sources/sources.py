@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pygrametl_spark.functions.aggregators import crosstab
 
 __all__ = [
-    "CSVSource", "TypedCSVSource", "SQLSource", "PEP249Source",
+    "CSVSource", "TypedCSVSource", "JSONLSource", "SQLSource", "PEP249Source",
     "PandasSource",
     "ProcessSource", "DynamicForEachSource", "HashJoiningSource",
     "JoiningSource", "MergeJoiningSource", "FilteringSource",
@@ -63,6 +63,25 @@ def TypedCSVSource(
         else:
             df = df.withColumn(c, F.col(c).try_cast(t))
     return df
+
+
+def JSONLSource(
+    spark: SparkSession,
+    path: str | list,
+    *,
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """JSON-lines scan — the interchange format LLM corpora actually
+    ship in (one JSON object per line). Net-new surface (the reference
+    has no JSON source). Pass ``schema`` (DDL string) to skip the
+    inference pass: at 100 TB, schema inference is a full extra read of
+    the data — production readers always pin the schema.
+    """
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
 
 
 def SQLSource(
