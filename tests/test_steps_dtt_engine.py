@@ -257,6 +257,25 @@ def test_ddl_for_maps_types_and_rejects_arrays(spark):
         ddl_for(arr, "t")
 
 
+def test_jsonl_sink_roundtrips_through_jsonl_source(spark, tmp_path):
+    """jsonl_sink -> JSONLSource round-trips exactly, honoring the
+    partition layout and the per-file record cap."""
+    import glob
+
+    from pygrametl_spark.sinks import jsonl_sink
+    from pygrametl_spark.sources.sources import JSONLSource
+
+    df = spark.createDataFrame(
+        [(i, f"line1\nline2-{i}", "train" if i % 2 else "test") for i in range(20)],
+        "doc_id long, text string, split string",
+    )
+    out = str(tmp_path / "jl")
+    jsonl_sink(df, out, partition_by=["split"], max_records_per_file=4)
+    back = JSONLSource(spark, out, schema="doc_id long, text string, split string")
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+    assert len(glob.glob(f"{out}/split=train/*.json")) >= 3  # 10 rows / cap 4
+
+
 def test_pep249_sink_sqlite_roundtrip(spark, tmp_path):
     import sqlite3
 
