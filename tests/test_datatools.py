@@ -400,6 +400,38 @@ def test_ivf_append_matches_full_rebuild(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
 
 
+def test_write_wds_shards_roundtrip(spark, tmp_path):
+    """Tar shards are deterministic, carry payload + json sidecar per
+    sample, and the manifest accounts for every sample."""
+    import tarfile
+
+    from pygrametl_spark.functions.multimodal import to_binary_payload, write_wds_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"payload-{i}", f"s{i % 2}") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    payloads = to_binary_payload(docs, "text")
+    out = str(tmp_path / "wds")
+    manifest = write_wds_shards(
+        payloads, out, meta_cols=("source",), n_shards=3
+    ).collect()
+    assert sum(r["n_samples"] for r in manifest) == 20
+    assert {r["shard"] for r in manifest} <= {f"shard-{i:05d}.tar" for i in range(3)}
+    # open one shard: members come in (key.bin, key.json) pairs, payload intact
+    with tarfile.open(f"{out}/{manifest[0]['shard']}") as tar:
+        names = tar.getnames()
+        assert len(names) == 2 * manifest[0]["n_samples"]
+        key = names[0].split(".")[0]
+        data = tar.extractfile(f"{key}.bin").read()
+        assert data == f"payload-{int(key)}".encode()
+        assert b'"source"' in tar.extractfile(f"{key}.json").read()
+    # determinism: re-running produces byte-identical tars
+    first = open(f"{out}/{manifest[0]['shard']}", "rb").read()
+    write_wds_shards(payloads, out, meta_cols=("source",), n_shards=3).collect()
+    assert open(f"{out}/{manifest[0]['shard']}", "rb").read() == first
+
+
 def test_minhash_lsh_pairs_between_is_cross_set_restriction(spark):
     """Cross-set LSH pairs equal the full pair enumeration restricted to
     (new, corpus) pairs — no corpus x corpus or new x new pair is ever
