@@ -15,7 +15,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
-    "tokens", "shingles", "shingles_of_tokens", "with_shingle_rows",
+    "tokens", "tokens_bpe", "BPE_SPLIT_REGEX",
+    "shingles", "shingles_of_tokens", "with_shingle_rows",
     "token_stats", "quality_score", "lang_id",
     "fingerprint", "STOPWORDS", "LANG_MARKERS",
     "pii_stats", "decontaminate", "PII_PATTERNS",
@@ -37,6 +38,23 @@ def tokens(text: str | Column = "text") -> Column:
     """Whitespace tokenization: ``split(trim(text), '\\s+')``."""
     c = F.col(text) if isinstance(text, str) else text
     return F.split(F.trim(c), r"\s+")
+
+
+# GPT-2-style pre-tokenizer pattern: contractions, space-prefixed letter
+# runs, digit runs, punctuation runs. Restricted to RE2-compatible syntax
+# (no lookahead) so the DuckDB oracle replays the matches bit-for-bit;
+# both engines' \p{L}/\p{N} classes are Unicode.
+BPE_SPLIT_REGEX = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def tokens_bpe(text: str | Column = "text") -> Column:
+    """BPE-ish pre-tokenization (the GPT-2 split rule): the token count
+    that tracks what an LLM tokenizer would produce far better than
+    whitespace words — punctuation and contractions count, long words
+    still count once. In-row ``regexp_extract_all``: zero shuffle,
+    computed inside the scan stage."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_SPLIT_REGEX), 0)
 
 
 def shingles(text: str | Column = "text", n: int = 3) -> Column:

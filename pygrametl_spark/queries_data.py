@@ -103,6 +103,31 @@ FROM documents GROUP BY source
 """
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """Per-source BPE-ish token counts (GPT-2 split rule,
+    text.tokens_bpe) — the budget metric an LLM pipeline actually plans
+    with; whitespace words undercount punctuation and contractions."""
+    docs = load_catalog(spark, sf_dir).documents
+    return (
+        docs.withColumn("_n", F.size(tx.tokens_bpe()).cast("long"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+            F.round(F.avg("_n"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+_BPE_SQL = tx.BPE_SPLIT_REGEX.replace("'", "''")
+ORACLE_BPE_COUNT = rf"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL}'))) AS BIGINT) AS total_tokens,
+       ROUND(AVG(len(regexp_extract_all(text, '{_BPE_SQL}'))), 4) AS avg_tokens
+FROM documents GROUP BY source
+"""
+
+
 def q_doc_chunks(spark, sf_dir):
     docs = load_catalog(spark, sf_dir).documents
     return tx.chunk_by_tokens(docs, size=64, overlap=16)
@@ -1049,6 +1074,7 @@ DATA_QUERIES = {
     "text_quality": q_text_quality,
     "repetition_stats": q_repetition_stats,
     "token_count": q_token_count,
+    "bpe_token_count": q_bpe_token_count,
     "corpus_report": q_corpus_report,
     "doc_chunks": q_doc_chunks,
     "chunk_dedup": q_chunk_dedup,
@@ -1090,6 +1116,7 @@ DATA_ORACLES = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "repetition_stats": _repetition_oracle(),
     "token_count": ORACLE_TOKEN_COUNT,
+    "bpe_token_count": ORACLE_BPE_COUNT,
     "corpus_report": ORACLE_CORPUS_REPORT,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "chunk_dedup": ORACLE_CHUNK_DEDUP,

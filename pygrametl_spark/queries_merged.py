@@ -111,6 +111,7 @@ PART_COLS: dict[str, list[str]] = {
     "dedup_ngram_jaccard": ["id_1", "id_2", "jaccard"],
     "ngram_containment": ["id_1", "id_2", "containment"],
     "token_count": ["source", "n_docs", "total_tokens", "avg_tokens"],
+    "bpe_token_count": ["source", "n_docs", "total_tokens", "avg_tokens"],
     "corpus_report": [
         "source", "n_docs", "total_tokens", "p50_tokens", "p90_tokens",
         "avg_chars", "n_langs",
@@ -305,6 +306,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
         ],
         [
             ("counts", "token_count"),
+            ("bpe", "bpe_token_count"),
             ("report", "corpus_report"),
             ("chunks", "doc_chunks"),
             ("chunkdedup", "chunk_dedup"),
