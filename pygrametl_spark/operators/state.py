@@ -71,3 +71,43 @@ class StatePersistence:
             raise ValueError(f"no persisted state under {self.path}")
         self.version = latest
         return spark.read.parquet(os.path.join(self.path, f"v{latest}"))
+
+    def read_version(self, spark: SparkSession, version: int) -> DataFrame:
+        """A specific retained version (within the ``keep`` window)."""
+        target = os.path.join(self.path, f"v{version}")
+        if not os.path.isdir(target):
+            raise ValueError(
+                f"version v{version} not retained under {self.path} "
+                f"(kept: {self._versions()})"
+            )
+        return spark.read.parquet(target)
+
+    def diff(
+        self,
+        spark: SparkSession,
+        v_old: int | None = None,
+        v_new: int | None = None,
+    ) -> DataFrame:
+        """Load audit between two retained versions: one row per changed
+        row, tagged ``change`` = 'added' (in new, not old) or 'removed'
+        (in old, not new) with multiset semantics (``exceptAll`` both
+        ways — an update shows as one removed + one added row). Defaults
+        to the previous-vs-latest pair the rollback window retains.
+        Distributed end to end; the diff is two anti-semijoins over the
+        two parquet snapshots, nothing collects.
+        """
+        from pyspark.sql import functions as F
+
+        vs = self._versions()
+        if len(vs) < 2 and (v_old is None or v_new is None):
+            raise ValueError(f"need two retained versions to diff (kept: {vs})")
+        v_old = vs[-2] if v_old is None else v_old
+        v_new = vs[-1] if v_new is None else v_new
+        old = self.read_version(spark, v_old)
+        new = self.read_version(spark, v_new)
+        return (
+            new.exceptAll(old).select(F.lit("added").alias("change"), "*")
+            .unionByName(
+                old.exceptAll(new).select(F.lit("removed").alias("change"), "*")
+            )
+        )

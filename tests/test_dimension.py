@@ -146,6 +146,25 @@ def test_durable_state_survives_fresh_session_reload(spark, tmp_path):
     assert len(versions) <= 2
 
 
+def test_durable_state_version_diff(spark, tmp_path):
+    """StatePersistence.diff audits what a load changed: an update shows
+    as one removed + one added row; pure inserts as added only."""
+    from pygrametl_spark.operators.state import StatePersistence
+
+    sp = StatePersistence(str(tmp_path / "st"), keep=2)
+    sp.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    sp.write(spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "id long, v string"))
+    got = sorted(tuple(r) for r in sp.diff(spark).collect())
+    assert got == [
+        ("added", 2, "B"), ("added", 3, "c"), ("removed", 2, "b"),
+    ]
+    # explicit out-of-window version raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not retained"):
+        sp.read_version(spark, 99)
+
+
 def test_dimension_survives_endload_and_reload(spark, tmp_path):
     """The engine-level durability path: endload persists the dimension
     to the warehouse dir; a fresh session reloads identical contents."""
