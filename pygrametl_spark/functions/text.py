@@ -22,6 +22,7 @@ __all__ = [
     "pii_stats", "decontaminate", "PII_PATTERNS",
     "repetition_stats", "REPETITION_THRESHOLDS",
     "char_entropy", "chunk_by_tokens", "remove_boilerplate_lines",
+    "tfidf_topk",
 ]
 
 # Tiny deterministic marker lists (the heuristic, not a model).
@@ -379,6 +380,51 @@ def decontaminate(
         df.select(id_col)
         .join(hits, id_col, "left")
         .select(id_col, F.coalesce("_hit", F.lit(False)).alias("contaminated"))
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` distinctive terms per document by TF-IDF
+    (``tf * ln(N/df)``) — the classic corpus-analysis primitive for
+    keyword extraction and topic labeling. Returns
+    (id, rank, term, tfidf), ties broken by term.
+
+    Scale shape: the exploded (doc, token) relation is collapsed by
+    map-side partial aggregation BEFORE each exchange, so the shuffles
+    carry distinct (doc, term) pairs, not token occurrences; document
+    frequencies ride the same relation; N arrives as one broadcast row
+    (no driver action). The per-doc top-k is an in-row
+    ``slice(array_sort(...))`` inside the final groupBy — no extra
+    window shuffle over the corpus.
+    """
+    tok = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("_t"))
+    tf = tok.groupBy(id_col, "_t").agg(F.count("*").alias("_tf"))
+    dfreq = tf.groupBy("_t").agg(F.count("*").alias("_df"))
+    n = df.agg(F.count("*").cast("double").alias("_n"))
+    scored = (
+        tf.join(dfreq, "_t")
+        .crossJoin(F.broadcast(n))
+        .withColumn("_s", F.round(F.col("_tf") * F.log(F.col("_n") / F.col("_df")), 6))
+    )
+    topk = scored.groupBy(id_col).agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct((-F.col("_s")).alias("_neg"), F.col("_t"), F.col("_s")))),
+            1, k,
+        ).alias("_top")
+    )
+    return topk.select(
+        id_col, F.posexplode("_top").alias("_i", "_e")
+    ).select(
+        id_col,
+        (F.col("_i") + 1).cast("long").alias("rank"),
+        F.col("_e._t").alias("term"),
+        F.col("_e._s").alias("tfidf"),
     )
 
 

@@ -646,6 +646,33 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Top-3 distinctive terms per document by TF-IDF (text.tfidf_topk):
+    keyword extraction with distinct-(doc, term) shuffles and an in-row
+    per-doc top-k."""
+    docs = spread(load_catalog(spark, sf_dir).documents)
+    return tx.tfidf_topk(docs, k=3)
+
+
+ORACLE_TFIDF = rf"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT doc_id, t, ROUND(tf * ln(n.n / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (t) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, t, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, t ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, t AS term, tfidf
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_line_clean(spark, sf_dir):
     """C4-style boilerplate line removal: lines whose trimmed content
     occurs in >= 3 distinct documents are dropped and each document is
@@ -1097,6 +1124,7 @@ DATA_QUERIES = {
     "pii_scan": q_pii_scan,
     "decontaminate": q_decontaminate,
     "line_clean": q_line_clean,
+    "tfidf_topk": q_tfidf_topk,
     "simhash": q_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ngram_containment": q_ngram_containment,
@@ -1139,6 +1167,7 @@ DATA_ORACLES = {
     "pii_scan": ORACLE_PII,
     "decontaminate": ORACLE_DECONTAM,
     "line_clean": ORACLE_LINE_CLEAN,
+    "tfidf_topk": ORACLE_TFIDF,
     "simhash": ORACLE_SIMHASH,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "ngram_containment": ORACLE_NGRAM_CONTAINMENT,

@@ -90,6 +90,7 @@ PART_COLS: dict[str, list[str]] = {
     ],
     "lang_id": ["doc_id", "lang_pred"],
     "doc_fingerprint": ["doc_id", "fp"],
+    "tfidf_topk": ["doc_id", "rank", "term", "tfidf"],
     "multimodal_decode": ["doc_id", "byte_len", "width", "height", "format"],
     "multimodal_resize": ["doc_id", "out_w", "out_h", "resized_md5"],
     "multimodal_frames": ["doc_id", "frame_idx", "ts_ms", "frame_md5"],
@@ -258,6 +259,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("top2_frac", "double"), ("top3_frac", "double"), ("top4_frac", "double"),
             ("dup5_frac", "double"), ("repetitive", "boolean"),
             ("char_entropy", "double"),
+            ("rank", "bigint"), ("term", "string"), ("tfidf", "double"),
         ],
         [
             ("quality", "text_quality"),
@@ -265,6 +267,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("fingerprint", "doc_fingerprint"),
             ("repetition", "repetition_stats"),
             ("entropy", "char_entropy"),
+            ("tfidf", "tfidf_topk"),
         ],
     ),
     "multimodal_pipeline": (
