@@ -888,3 +888,43 @@ def test_stream_stream_interval_join_matches_batch(spark):
         .select("click_id", "buy_id").collect()
     )))
     assert got == want and len(got) > 0
+
+
+_lines_strategy = st.lists(
+    st.lists(st.sampled_from(["spam", "nav menu", "alpha", "beta", "", "  "]),
+             min_size=0, max_size=5),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(doc_lines=_lines_strategy)
+def test_remove_boilerplate_lines_matches_python_oracle(spark, doc_lines):
+    """Random multi-doc corpora: the Spark plan equals a line-by-line
+    Python reference (trimmed-line distinct-doc counting, blank lines
+    exempt, in-order rebuild)."""
+    from pygrametl_spark.functions.text import remove_boilerplate_lines
+
+    docs = [(i, "\n".join(ls)) for i, ls in enumerate(doc_lines)]
+    # python reference
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for i, text in docs:
+        for line in text.split("\n"):
+            if line.strip():
+                seen[line.strip()].add(i)
+    boiler = {t for t, ds in seen.items() if len(ds) >= 2}
+    want = {}
+    for i, text in docs:
+        lines = text.split("\n")
+        kept = [l for l in lines if l.strip() not in boiler or not l.strip()]
+        want[i] = (len(lines), len(lines) - len(kept), "\n".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_dropped"], r["clean_text"])
+        for r in remove_boilerplate_lines(df, min_docs=2).collect()
+    }
+    assert got == want

@@ -146,6 +146,22 @@ def test_durable_state_survives_fresh_session_reload(spark, tmp_path):
     assert len(versions) <= 2
 
 
+def test_distributed_dense_keys_match_window_path(spark):
+    """The two-phase distributed key plan (range partition + per-partition
+    offsets — the >1M-row branch) numbers rows identically to the
+    single-window plan: dense, contiguous, ordered by the business key."""
+    from pygrametl_spark.plans.keys import assign_dense_keys
+
+    rows = [(f"m{i:04d}", i % 7) for i in range(500)]
+    sdf = spark.createDataFrame(rows, "name string, grp long").repartition(13)
+    small = assign_dense_keys(sdf, ["name"], "id", 100)
+    big = assign_dense_keys(sdf, ["name"], "id", 100, approx_count=2_000_000)
+    want = {r["name"]: r["id"] for r in small.collect()}
+    got = {r["name"]: r["id"] for r in big.collect()}
+    assert got == want
+    assert sorted(got.values()) == list(range(101, 601))
+
+
 def test_durable_state_version_diff(spark, tmp_path):
     """StatePersistence.diff audits what a load changed: an update shows
     as one removed + one added row; pure inserts as added only."""
