@@ -26,6 +26,7 @@ __all__ = [
     "ivf_assign", "ivf_topk", "ivf_write_index", "ivf_append_index",
     "ivf_topk_from_index", "sq8_codes", "sq8_topk",
     "kmeans_refine",
+    "pq_train", "pq_codes", "pq_topk",
 ]
 
 
@@ -749,4 +750,218 @@ def sq8_topk(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "qcosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the FAISS-style compression path. A D-dim
+# vector becomes m sub-codes (one per D/m-dim subspace, each the id of
+# the nearest of k trained sub-centroids): 64 float32 dims (256 B)
+# become m=8 codes (8 B) — 32x less IO than raw and 8x less than sq8,
+# which is what makes exhaustive re-ranking of IVF candidate lists
+# affordable at 100 TB. Scoring is ADC (asymmetric distance
+# computation): the query stays full-precision and each candidate's
+# score is m codebook lookups, never a reconstruction.
+# ---------------------------------------------------------------------------
+
+
+def _pq3_lit(books: "list[list[list[float]]]") -> Column:
+    """Codebooks as ONE 3-level nested array literal through the SQL
+    parser (same rationale as :func:`_planes_lit`: F.lit would pay py4j
+    per element; the whole m x k x d constant parses in milliseconds)."""
+
+    def d(v: float) -> str:
+        s = repr(float(v))
+        return s if ("e" in s or "E" in s) else s + "E0"
+
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(
+                "array(" + ",".join(d(v) for v in cent) + ")" for cent in sub
+            ) + ")" for sub in books
+        ) + ")"
+    )
+
+
+def _pq_assign_codes(vec_col: str, books_col: Column, m: int, d: int) -> Column:
+    """array<bigint> of length m: per subspace, the index of the nearest
+    centroid by squared L2 (tie -> lowest code), computed fully in-row —
+    one argmin over k per subspace inside the scan stage, zero shuffle."""
+    def sub_code(i):
+        sv = F.slice(F.col(vec_col), i * d + 1, d)
+        cents = F.element_at(books_col, i + 1)
+        best = F.array_max(
+            F.transform(
+                F.sequence(F.lit(0), F.size(cents) - 1),
+                lambda j: F.struct(
+                    (-F.aggregate(
+                        F.zip_with(
+                            sv, F.element_at(cents, j + 1),
+                            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                        ),
+                        F.lit(0.0).cast("double"),
+                        lambda acc, v: acc + v,
+                    )).alias("nd"),
+                    (-j).alias("nc"),
+                ),
+            )
+        )
+        return (-best["nc"]).cast("bigint")
+
+    return F.array(*[sub_code(i) for i in range(m)])
+
+
+def pq_train(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+) -> "list[list[list[float]]]":
+    """Train PQ codebooks: ``m`` subspaces x ``k`` centroids each, by
+    fixed-round Lloyd's over squared L2 per subspace (the per-subspace
+    analogue of :func:`kmeans_refine`). Returns the nested python
+    codebooks ``[sub][code][dim]`` — tiny (m*k*D/m doubles), the same
+    "train returns index parameters" shape FAISS has.
+
+    Seeding is deterministic (subvectors of the first ``k`` vectors by
+    id); every round is one corpus scan with in-row assignment (broadcast
+    codebook literal, zero shuffle) plus one exchange carrying only
+    per-(sub, code, dim) partial sums after map-side combine. Means are
+    rounded to 6 decimals per round, so retraining reproduces the same
+    codebooks bit-for-bit; a centroid that loses all members keeps its
+    previous value.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    seed_rows = df.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"need >= k={k} vectors to train, have {len(seed_rows)}")
+    books = [
+        [[round(float(r[0][i * d + j]), 6) for j in range(d)] for r in seed_rows]
+        for i in range(m)
+    ]
+    for _ in range(iters):
+        lit = _pq3_lit(books)
+        coded = df.select(
+            _pq_assign_codes(vec_col, lit, m, d).alias("_codes"), F.col(vec_col)
+        )
+        sums = (
+            coded.select(
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(m - 1)),
+                        lambda i: F.struct(
+                            F.element_at("_codes", i + 1).alias("code"),
+                            F.slice(F.col(vec_col), i * d + 1, d).alias("sv"),
+                        ),
+                    )
+                ).alias("_sub", "_e")
+            )
+            .select("_sub", "_e.code", F.posexplode(F.col("_e.sv")).alias("_pos", "_x"))
+            .groupBy("_sub", "code", "_pos")
+            .agg(F.round(F.avg(F.col("_x").cast("double")), 6).alias("_mean"))
+            .collect()
+        )
+        new = [[list(c) for c in sub] for sub in books]
+        for r in sums:
+            new[r["_sub"]][r["code"]][r["_pos"]] = r["_mean"]
+        books = new
+    return books
+
+
+def pq_codes(
+    df: DataFrame,
+    books: "list[list[list[float]]]",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "codes",
+) -> DataFrame:
+    """Encode vectors with trained codebooks: (id, codes array<bigint>
+    of length m). Pure in-row expression work in the scan stage — this
+    is the relation you persist instead of raw embeddings (m bytes of
+    information per vector vs 4*D)."""
+    m = len(books)
+    d = len(books[0][0])
+    return df.select(
+        id_col, _pq_assign_codes(vec_col, _pq3_lit(books), m, d).alias(out)
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    books: "list[list[list[float]]]",
+    *,
+    id_col: str = "vec_id",
+    code_col: str = "codes",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k: full-precision queries against PQ codes.
+
+    Score = sum over subspaces of dot(query_subvector, centroid[code]),
+    normalized by |q| and the reconstruction norm — the asymmetric
+    cosine estimate. Per candidate the work is m array lookups + m
+    d-dim dots, all in-row over the (tiny) codes relation; the corpus'
+    raw vectors are never read. Same plan shape as every top-k here:
+    codes scan-only, probe side broadcast, per-query window. Ties break
+    on (score DESC, id ASC). Returns (query_id, rank, neighbor_id,
+    adc_score).
+    """
+    m = len(books)
+    d = len(books[0][0])
+    csq = [
+        [round(sum(v * v for v in cent), 6) for cent in sub] for sub in books
+    ]
+    lit = _pq3_lit(books)
+    csq_lit = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(repr(float(v)) + "E0" for v in row) + ")"
+            for row in csq
+        ) + ")"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.sqrt(_dot_cols(F.col(vec_col), F.col(vec_col))).alias("_qn"),
+    )
+    pairs = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("_codes")
+    ).crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+
+    def sub_dot(i):
+        sv = F.slice(F.col("_qv"), i * d + 1, d)
+        cent = F.element_at(
+            F.element_at(lit, i + 1), F.element_at("_codes", i + 1).cast("int") + 1
+        )
+        return F.aggregate(
+            F.zip_with(sv, cent, lambda x, y: x.cast("double") * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    def sub_csq(i):
+        return F.element_at(
+            F.element_at(csq_lit, i + 1), F.element_at("_codes", i + 1).cast("int") + 1
+        )
+
+    adc_dot = sum([sub_dot(i) for i in range(m)], F.lit(0.0).cast("double"))
+    rec_n = F.sqrt(sum([sub_csq(i) for i in range(m)], F.lit(0.0).cast("double")))
+    pairs = pairs.withColumn(
+        "adc_score",
+        F.round(adc_dot / F.nullif(F.col("_qn") * rec_n, F.lit(0.0)), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_score")
     )

@@ -928,3 +928,36 @@ def test_remove_boilerplate_lines_matches_python_oracle(spark, doc_lines):
         for r in remove_boilerplate_lines(df, min_docs=2).collect()
     }
     assert got == want
+
+
+def test_pq_train_codes_topk(spark):
+    """PQ: deterministic training, compact codes, and ADC recall — the
+    planted near-identical pair must surface as its query's top-1, and
+    general top-1 recall vs exact cosine stays high on random data."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 64)
+    base[39] = base[0] + 0.001  # planted near-dup of vector 0
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+
+    books = sim.pq_train(emb, m=8, k=16, iters=2)
+    assert len(books) == 8 and all(len(s) == 16 for s in books)
+    assert all(len(c) == 8 for s in books for c in s)
+    assert books == sim.pq_train(emb, m=8, k=16, iters=2)  # deterministic
+
+    codes = sim.pq_codes(emb, books)
+    crow = codes.filter("vec_id = 0").first()["codes"]
+    assert len(crow) == 8 and all(0 <= c < 16 for c in crow)
+
+    queries = emb.filter("vec_id IN (0, 7, 21)")
+    got = sim.pq_topk(codes, queries, books, k=3).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    assert top1[0] == 39  # the planted twin wins by reconstruction too
+    exact = sim.cosine_topk(emb, queries, k=1).collect()
+    want1 = {r["query_id"]: r["neighbor_id"] for r in exact}
+    hits = sum(1 for qid in want1 if top1.get(qid) == want1[qid])
+    assert hits >= 2  # top-1 recall >= 2/3 on random 64-dim data
