@@ -27,6 +27,7 @@ __all__ = [
     "ivf_topk_from_index", "sq8_codes", "sq8_topk",
     "kmeans_refine",
     "pq_train", "pq_codes", "pq_topk",
+    "ivfpq_write_index", "ivfpq_topk",
 ]
 
 
@@ -964,4 +965,135 @@ def pq_topk(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_score")
+    )
+
+
+def ivfpq_write_index(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    centroids: DataFrame | None = None,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    books: "list[list[list[float]]] | None" = None,
+) -> "list[list[list[float]]]":
+    """Persist an IVF-PQ index — the canonical two-level ANN layout
+    (FAISS ``IVFx,PQm``): vectors are routed to their coarse cluster
+    (:func:`ivf_assign`) and stored as PQ CODES partitioned by cluster,
+    plus the centroid sidecar and the codebooks (JSON sidecar). The
+    index holds m bytes of payload per vector instead of 4*D: at 100 TB
+    of raw embeddings the index directory is ~3 TB, probes read only
+    their ``nprobe`` cluster directories, and each candidate costs m
+    lookups — coarse pruning AND compression composed, which is what
+    exhaustive-at-scale vector search actually ships. Returns the
+    trained (or passed-through) codebooks.
+    """
+    import json
+    import os
+
+    cent = centroids if centroids is not None else _centroids(df, id_col, vec_col, n_clusters)
+    if books is None:
+        books = pq_train(df, id_col=id_col, vec_col=vec_col, m=m, k=k, iters=iters)
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    d = len(books[0][0])
+    assigned = ivf_assign(df, id_col=id_col, vec_col=vec_col, centroids=cent)
+    coded = assigned.select(
+        id_col, "cluster",
+        _pq_assign_codes(vec_col, _pq3_lit(books), len(books), d).alias("codes"),
+    )
+    coded.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/codes")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/codebooks.json", "w") as fh:
+        json.dump(books, fh)
+    return books
+
+
+def ivfpq_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index (:func:`ivfpq_write_index`).
+
+    Same routing as :func:`ivf_topk_from_index` — queries pick their
+    ``nprobe`` closest coarse centroids and dynamic partition pruning
+    turns the candidate join into a directory skip — but candidates are
+    scored by ADC over their stored codes: the raw corpus vectors are
+    never read at probe time. Returns (query_id, rank, neighbor_id,
+    adc_score).
+    """
+    import json
+
+    with open(f"{path}/codebooks.json") as fh:
+        books = json.load(fh)
+    cent = spark.read.parquet(f"{path}/centroids")
+    codes = spark.read.parquet(f"{path}/codes")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    qc = q.crossJoin(F.broadcast(cent)).withColumn(
+        "_cos",
+        F.round(
+            _dot_cols(F.col("_qv"), F.col("_cent"))
+            / (F.sqrt(_dot_cols(F.col("_qv"), F.col("_qv"))) * F.col("_cnorm")),
+            6,
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qv", F.col("_cid").alias("cluster"))
+    )
+    cand = codes.join(F.broadcast(probes), "cluster").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    m = len(books)
+    d = len(books[0][0])
+    lit = _pq3_lit(books)
+    csq = [[round(sum(v * v for v in c), 6) for c in sub] for sub in books]
+    csq_lit = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(repr(float(v)) + "E0" for v in row) + ")"
+            for row in csq
+        ) + ")"
+    )
+
+    def sub_dot(i):
+        sv = F.slice(F.col("_qv"), i * d + 1, d)
+        c = F.element_at(F.element_at(lit, i + 1), F.element_at("codes", i + 1).cast("int") + 1)
+        return F.aggregate(
+            F.zip_with(sv, c, lambda x, y: x.cast("double") * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    def sub_csq(i):
+        return F.element_at(
+            F.element_at(csq_lit, i + 1), F.element_at("codes", i + 1).cast("int") + 1
+        )
+
+    adc_dot = sum([sub_dot(i) for i in range(m)], F.lit(0.0).cast("double"))
+    rec_n = F.sqrt(sum([sub_csq(i) for i in range(m)], F.lit(0.0).cast("double")))
+    qn = F.sqrt(_dot_cols(F.col("_qv"), F.col("_qv")))
+    scored = cand.withColumn(
+        "adc_score", F.round(adc_dot / F.nullif(qn * rec_n, F.lit(0.0)), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"),
+            F.col(id_col).alias("neighbor_id"), "adc_score",
+        )
     )

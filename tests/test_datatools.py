@@ -961,3 +961,37 @@ def test_pq_train_codes_topk(spark):
     want1 = {r["query_id"]: r["neighbor_id"] for r in exact}
     hits = sum(1 for qid in want1 if top1.get(qid) == want1[qid])
     assert hits >= 2  # top-1 recall >= 2/3 on random 64-dim data
+
+
+def test_ivfpq_index_roundtrip(spark, tmp_path):
+    """The persisted IVF-PQ index probes with dynamic partition pruning,
+    finds the planted near-twin, and agrees with pure-ADC top-1 on most
+    queries (coarse pruning only restricts candidates)."""
+    import numpy as np
+
+    from pygrametl_spark.plans.explain import formatted_plan
+
+    rng = np.random.RandomState(13)
+    base = rng.randn(40, 64)
+    base[39] = base[3] + 0.001
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivfpq")
+    books = sim.ivfpq_write_index(emb, path, n_clusters=4, m=8, k=16)
+    queries = emb.filter("vec_id IN (3, 11)")
+    got = sim.ivfpq_topk(spark, path, queries, nprobe=4, k=3)
+    rows = got.collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in rows if r["rank"] == 1}
+    assert top1[3] == 39  # planted twin found through the index
+    # nprobe=4 of 4 clusters = no pruning: must equal flat ADC exactly
+    codes = sim.pq_codes(emb, books)
+    flat = sim.pq_topk(codes, queries, books, k=3).collect()
+    assert {(r["query_id"], r["rank"], r["neighbor_id"]) for r in rows} == {
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in flat
+    }
+    # probe plan prunes partitions via a dynamicpruning subquery
+    plan = formatted_plan(got)
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "dynamicpruning" in pf[1][:200]
