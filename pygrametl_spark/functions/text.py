@@ -22,7 +22,7 @@ __all__ = [
     "pii_stats", "decontaminate", "PII_PATTERNS",
     "repetition_stats", "REPETITION_THRESHOLDS",
     "char_entropy", "chunk_by_tokens", "remove_boilerplate_lines",
-    "tfidf_topk",
+    "tfidf_topk", "winnow_fingerprints",
 ]
 
 # Tiny deterministic marker lists (the heuristic, not a model).
@@ -168,6 +168,51 @@ def fingerprint(df: DataFrame, text: str = "text", out: str = "fp") -> DataFrame
     whitespace collapsed). Byte-identical across engines."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text))), r"\s+", " ")
     return df.withColumn(out, F.md5(norm))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    out: str = "wfp",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    algorithm): rolling k-gram hashes with the minimum of each
+    w-hash window selected, distinct per document. Robust local
+    fingerprints — two documents sharing any sufficiently long run of
+    tokens are guaranteed to share a fingerprint, which plain whole-doc
+    hashing (:func:`fingerprint`) cannot promise — the standard
+    primitive for partial-overlap / plagiarism-style detection.
+
+    Entirely in-row: the token k-gram hash array, the window minima
+    (``transform`` over window starts + ``array_min(slice(...))``), and
+    the distinct-set collapse all run inside the scan stage; the only
+    rows that leave are the (id, fingerprint) pairs after the explode.
+    Documents shorter than k tokens produce no fingerprints.
+    """
+    from pygrametl_spark.functions.dedup import hash32
+
+    toks = tokens(F.col(text_col))
+    grams = shingles_of_tokens(toks, k)
+    harr = F.transform(grams, lambda g: hash32(g))
+    n = F.size(harr)
+    mins = F.when(
+        n < w,
+        F.when(n >= 1, F.array(F.array_min(harr))).otherwise(
+            F.array().cast("array<bigint>")
+        ),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - w),
+            lambda i: F.array_min(F.slice(harr, i + 1, w)),
+        )
+    )
+    return df.select(
+        id_col, F.explode(F.array_distinct(mins)).alias(out)
+    )
 
 
 def chunk_by_tokens(

@@ -646,6 +646,32 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing fingerprints (MOSS rolling k-gram window minima,
+    text.winnow_fingerprints): shared-run detection primitives, k=5 w=4."""
+    docs = spread(load_catalog(spark, sf_dir).documents)
+    return tx.winnow_fingerprints(docs, k=5, w=4)
+
+
+ORACLE_WINNOW = rf"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, i, {dd.hash32_sql("array_to_string(toks[i:i+4], ' ')")} AS h
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 4)) AS i) _
+),
+agg AS (SELECT doc_id, list(h ORDER BY i) AS harr FROM g GROUP BY doc_id),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(harr) < 4 THEN [list_min(harr)]
+              ELSE list_transform(generate_series(1, len(harr) - 3),
+                                  i -> list_min(harr[i:i+3]))
+         END AS mins
+  FROM agg
+)
+SELECT DISTINCT doc_id, CAST(unnest(mins) AS BIGINT) AS wfp FROM m
+"""
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Top-3 distinctive terms per document by TF-IDF (text.tfidf_topk):
     keyword extraction with distinct-(doc, term) shuffles and an in-row
@@ -1125,6 +1151,7 @@ DATA_QUERIES = {
     "decontaminate": q_decontaminate,
     "line_clean": q_line_clean,
     "tfidf_topk": q_tfidf_topk,
+    "winnow_fp": q_winnow_fp,
     "simhash": q_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ngram_containment": q_ngram_containment,
@@ -1168,6 +1195,7 @@ DATA_ORACLES = {
     "decontaminate": ORACLE_DECONTAM,
     "line_clean": ORACLE_LINE_CLEAN,
     "tfidf_topk": ORACLE_TFIDF,
+    "winnow_fp": ORACLE_WINNOW,
     "simhash": ORACLE_SIMHASH,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "ngram_containment": ORACLE_NGRAM_CONTAINMENT,

@@ -91,6 +91,7 @@ PART_COLS: dict[str, list[str]] = {
     "lang_id": ["doc_id", "lang_pred"],
     "doc_fingerprint": ["doc_id", "fp"],
     "tfidf_topk": ["doc_id", "rank", "term", "tfidf"],
+    "winnow_fp": ["doc_id", "wfp"],
     "multimodal_decode": ["doc_id", "byte_len", "width", "height", "format"],
     "multimodal_resize": ["doc_id", "out_w", "out_h", "resized_md5"],
     "multimodal_frames": ["doc_id", "frame_idx", "ts_ms", "frame_md5"],
@@ -260,6 +261,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("dup5_frac", "double"), ("repetitive", "boolean"),
             ("char_entropy", "double"),
             ("rank", "bigint"), ("term", "string"), ("tfidf", "double"),
+            ("wfp", "bigint"),
         ],
         [
             ("quality", "text_quality"),
@@ -268,6 +270,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("repetition", "repetition_stats"),
             ("entropy", "char_entropy"),
             ("tfidf", "tfidf_topk"),
+            ("winnow", "winnow_fp"),
         ],
     ),
     "multimodal_pipeline": (

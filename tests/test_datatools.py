@@ -995,3 +995,27 @@ def test_ivfpq_index_roundtrip(spark, tmp_path):
     plan = formatted_plan(got)
     pf = plan.split("PartitionFilters", 1)
     assert len(pf) == 2 and "dynamicpruning" in pf[1][:200]
+
+
+def test_winnow_fingerprints_shared_run_guarantee(spark):
+    """Winnowing's core property: two docs sharing a token run of at
+    least k + w - 1 tokens share >= 1 fingerprint; disjoint docs don't.
+    Short docs (>= k tokens) still emit one fingerprint; < k emit none."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = k+w-1
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} tail one"),
+            (2, f"{shared} other ending entirely"),
+            (3, "completely disjoint vocabulary nothing matches here at all"),
+            (4, "five tokens exactly right here"),  # 5 = k -> 1 gram -> 1 fp
+            (5, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in tx.winnow_fingerprints(df, k=5, w=4).collect():
+        out.setdefault(r["doc_id"], set()).add(r["wfp"])
+    assert out[1] & out[2]          # shared run -> shared fingerprint
+    assert not (out[1] & out[3])    # disjoint -> none shared
+    assert len(out[4]) == 1
+    assert 5 not in out
