@@ -27,7 +27,7 @@ __all__ = [
     "ivf_topk_from_index", "sq8_codes", "sq8_topk",
     "kmeans_refine",
     "pq_train", "pq_codes", "pq_topk",
-    "ivfpq_write_index", "ivfpq_topk",
+    "ivfpq_write_index", "ivfpq_topk", "ivfpq_append_index",
 ]
 
 
@@ -1097,3 +1097,35 @@ def ivfpq_topk(
             F.col(id_col).alias("neighbor_id"), "adc_score",
         )
     )
+
+
+def ivfpq_append_index(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted IVF-PQ index: the new
+    batch is routed with the index's stored centroids and encoded with
+    its stored codebooks (both read from the sidecars), then appended
+    into the cluster partitions — existing partitions are never read or
+    rewritten, the same maintenance shape as :func:`ivf_append_index`.
+    Probes see the union immediately and append-then-probe equals a
+    full rebuild with the same quantizers (test-verified). Re-train and
+    rewrite when the distribution drifts, as every production IVF-PQ
+    deployment periodically does.
+    """
+    import json
+
+    spark = df.sparkSession
+    with open(f"{path}/codebooks.json") as fh:
+        books = json.load(fh)
+    cent = spark.read.parquet(f"{path}/centroids")
+    d = len(books[0][0])
+    assigned = ivf_assign(df, id_col=id_col, vec_col=vec_col, centroids=cent)
+    coded = assigned.select(
+        id_col, "cluster",
+        _pq_assign_codes(vec_col, _pq3_lit(books), len(books), d).alias("codes"),
+    )
+    coded.write.mode("append").partitionBy("cluster").parquet(f"{path}/codes")

@@ -1019,3 +1019,55 @@ def test_winnow_fingerprints_shared_run_guarantee(spark):
     assert not (out[1] & out[3])    # disjoint -> none shared
     assert len(out[4]) == 1
     assert 5 not in out
+
+
+def test_ivfpq_append_matches_rebuild(spark, tmp_path):
+    """Appending to an IVF-PQ index with its stored quantizers probes
+    identically to rebuilding from the unioned corpus with the same
+    centroids and codebooks."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    base = rng.randn(30, 64)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    old = emb.filter("vec_id % 3 != 0")
+    new = emb.filter("vec_id % 3 = 0")
+    inc = str(tmp_path / "inc")
+    books = sim.ivfpq_write_index(old, inc, n_clusters=4, m=8, k=16)
+    sim.ivfpq_append_index(new, inc)
+    queries = emb.filter("vec_id IN (1, 14)")
+    got = sim.ivfpq_topk(spark, inc, queries, nprobe=2, k=4).collect()
+
+    full = str(tmp_path / "full")
+    cent = spark.read.parquet(f"{inc}/centroids")
+    sim.ivfpq_write_index(emb, full, centroids=cent, books=books)
+    want = sim.ivfpq_topk(spark, full, queries, nprobe=2, k=4).collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in want}
+
+
+def test_scdensure_batch_replay_is_idempotent(spark):
+    """Re-applying the same batch (the foreachBatch retry case) changes
+    nothing: unchanged members get no new versions."""
+    from pygrametl_spark.operators.scd import SlowlyChangingDimension
+
+    empty = spark.createDataFrame(
+        [], "id long, name string, price long, version long, "
+            "validfrom date, validto date"
+    )
+    scd = SlowlyChangingDimension(
+        "p", "id", ["name", "price", "version", "validfrom", "validto"],
+        ["name"], versionatt="version", fromatt="validfrom", toatt="validto",
+        df=empty,
+    )
+    batch = spark.createDataFrame(
+        [("a", 10, "2025-01-01"), ("b", 20, "2025-01-01")],
+        "name string, price long, d string",
+    ).select("name", "price", F.to_date("d").alias("validfrom"))
+    scd.scdensure(batch)
+    once = sorted(tuple(r) for r in scd.df.drop("id").collect())
+    scd.scdensure(batch)
+    twice = sorted(tuple(r) for r in scd.df.drop("id").collect())
+    assert once == twice
