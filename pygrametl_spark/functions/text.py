@@ -197,7 +197,14 @@ def winnow_fingerprints(
 
     toks = tokens(F.col(text_col))
     grams = shingles_of_tokens(toks, k)
-    harr = F.transform(grams, lambda g: hash32(g))
+    # The hash array MUST be bound to a projected column before the
+    # window transform: expressions referenced inside a HOF lambda are
+    # re-evaluated per element (no loop-invariant hoisting), so an
+    # inlined hash array would recompute every gram's md5 once per
+    # window — measured 12.9 s vs 0.8 s at sf0.1. A multi-referenced
+    # non-cheap column stops CollapseProject from inlining it.
+    base = df.select(id_col, F.transform(grams, lambda g: hash32(g)).alias("_harr"))
+    harr = F.col("_harr")
     n = F.size(harr)
     mins = F.when(
         n < w,
@@ -210,7 +217,7 @@ def winnow_fingerprints(
             lambda i: F.array_min(F.slice(harr, i + 1, w)),
         )
     )
-    return df.select(
+    return base.select(
         id_col, F.explode(F.array_distinct(mins)).alias(out)
     )
 
