@@ -685,21 +685,25 @@ def sq8_codes(
     ``floor(x + 0.5)`` (not round-half-even) keeps the rounding rule
     identical across engines, so an oracle can replay it bit-exactly.
     """
+    # maxabs is bound to a projected column first: referenced inside the
+    # transform lambda it would re-run the O(d) fold once PER ELEMENT
+    # (no loop-invariant hoisting in HOF lambdas) — O(d^2) per row.
     maxabs = F.aggregate(
         F.col(vec_col),
         F.lit(0.0).cast("double"),
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
     )
+    staged = df.withColumn("_maxabs", maxabs)
     code = F.when(
-        maxabs == 0.0,
+        F.col("_maxabs") == 0.0,
         F.transform(F.col(vec_col), lambda x: F.lit(0).cast("bigint")),
     ).otherwise(
         F.transform(
             F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * 127.0 / maxabs + F.lit(0.5)),
+            lambda x: F.floor(x.cast("double") * 127.0 / F.col("_maxabs") + F.lit(0.5)),
         )
     )
-    return df.withColumn(out, code)
+    return staged.withColumn(out, code).drop("_maxabs")
 
 
 def _int_dot(a: Column, b: Column) -> Column:
