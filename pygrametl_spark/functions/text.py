@@ -247,7 +247,11 @@ def chunk_by_tokens(
     if overlap >= size:
         raise ValueError("overlap must be < size")
     stride = size - overlap
-    toks = tokens(text)
+    # token array bound to a column first: referenced inside the chunk
+    # lambda, the regex split would re-run once per chunk — quadratic in
+    # document length for long documents (see winnow_fingerprints).
+    base = df.select(id_col, tokens(text).alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks)
     last = F.when(n <= size, F.lit(0)).otherwise(
         F.ceil((n - F.lit(size)) / F.lit(stride))
@@ -261,7 +265,7 @@ def chunk_by_tokens(
         ),
     )
     return (
-        df.select(id_col, F.explode(chunks).alias("_c"))
+        base.select(id_col, F.explode(chunks).alias("_c"))
         .select(id_col, "_c.chunk_id", "_c.n_chunk_tokens", "_c.chunk_fp")
     )
 
