@@ -1,0 +1,99 @@
+"""Retrieval-index pipeline: documents -> chunks -> vectors -> IVF-PQ.
+
+The retrieval-side counterpart of examples/corpus_pipeline.py: one
+lineage from raw documents to a persisted, probeable vector index —
+the offline half of a RAG system, with every stage an engine operator:
+
+1. chunk    — sliding token windows (text.chunk_by_tokens keeps only
+              fingerprints; here chunks keep their text for embedding)
+2. embed    — deterministic feature vectors over the chunk bytes
+              (multimodal.extract_features: the md5-derived stand-in for
+              a real embedding model, same Arrow mapInPandas plumbing)
+3. index    — persisted IVF-PQ (similarity.ivfpq_write_index): coarse
+              routing + product-quantized codes per cluster partition
+4. probe    — ivfpq_topk: dynamic partition pruning + ADC scoring;
+              raw vectors are never read at query time
+
+Run: python examples/retrieval_index.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pygrametl_spark import get_spark
+from pygrametl_spark.catalog import load_catalog, spread
+from pygrametl_spark.functions import multimodal as mm
+from pygrametl_spark.functions import similarity as sim
+from pygrametl_spark.functions import text as tx
+
+
+def chunk_with_text(docs, *, size=32, overlap=8):
+    """Sliding token-window chunks KEEPING the chunk text (the retrieval
+    unit a RAG system embeds and returns). Same binding discipline as
+    chunk_by_tokens: the token array is a projected column, so the
+    window lambda never re-tokenizes."""
+    stride = size - overlap
+    base = docs.select("doc_id", tx.tokens("text").alias("_toks"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    last = F.when(n <= size, F.lit(0)).otherwise(
+        F.ceil((n - F.lit(size)) / F.lit(stride))
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), last),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.array_join(F.slice(toks, i * stride + 1, size), " ").alias("chunk_text"),
+        ),
+    )
+    return (
+        base.select("doc_id", F.explode(chunks).alias("_c"))
+        .select(
+            # one global chunk key so the index has a scalar id
+            (F.col("doc_id") * 10000 + F.col("_c.chunk_id")).alias("vec_id"),
+            "doc_id",
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
+def run_pipeline(spark, sf_dir: str, out_dir: str):
+    docs = spread(load_catalog(spark, sf_dir).documents)
+
+    chunks = chunk_with_text(docs)
+    payloads = mm.to_binary_payload(chunks, "chunk_text")
+    vecs = mm.extract_features(payloads, id_col="vec_id", dim=8).withColumnRenamed(
+        "features", "embedding"
+    )
+
+    index_dir = os.path.join(out_dir, "ivfpq")
+    sim.ivfpq_write_index(vecs, index_dir, n_clusters=4, m=4, k=16)
+
+    # probe with the first few chunks as queries: each must find itself
+    # impossible (self filtered) but near-identical overlapping chunks rank high
+    queries = vecs.orderBy("vec_id").limit(3)
+    hits = sim.ivfpq_topk(spark, index_dir, queries, nprobe=2, k=3)
+    return chunks, vecs, hits, index_dir
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        tempfile.gettempdir(), "pygrametl_spark_retrieval_out"
+    )
+    spark = get_spark("retrieval-index")
+    chunks, vecs, hits, index_dir = run_pipeline(spark, sf, dst)
+    print({
+        "chunks": chunks.count(),
+        "vectors": vecs.count(),
+        "probe_hits": hits.count(),
+        "index": index_dir,
+    })

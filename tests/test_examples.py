@@ -67,6 +67,25 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     # (cluster_id is not exported; the invariant is pinned in unit tests)
 
 
+def test_retrieval_index_pipeline(spark, tmp_path):
+    import retrieval_index as ex
+
+    chunks, vecs, hits, index_dir = ex.run_pipeline(
+        spark, "/root/testdata/sf0.001", str(tmp_path)
+    )
+    n_chunks = chunks.count()
+    assert n_chunks > 500  # 500 docs, >= 1 chunk each
+    assert vecs.count() == n_chunks
+    rows = hits.collect()
+    assert {r["query_id"] for r in rows} == {
+        r["vec_id"] for r in vecs.orderBy("vec_id").limit(3).collect()
+    }
+    assert all(r["adc_score"] is not None for r in rows)
+    # the index directory has the IVF-PQ layout
+    assert os.path.isdir(f"{index_dir}/codes") and os.path.isdir(f"{index_dir}/centroids")
+    assert os.path.isfile(f"{index_dir}/codebooks.json")
+
+
 def test_product_scd2_etl_history(spark, tmp_path):
     import product_scd2_etl as ex
 
