@@ -65,6 +65,13 @@ def probe(spark, docs_path: str, emb_path: str, ev_path: str) -> dict[str, float
         "lsh_banded_neardup": lambda: sim.lsh_banded_neardup(emb, threshold=0.45).count(),
         "sq8_topk": lambda: sim.sq8_topk(emb, emb.filter("vec_id < 5"), k=5).count(),
         "neardup_clusters": lambda: dd.neardup_clusters(docs, threshold=0.5).count(),
+        "winnow_fp": lambda: tx.winnow_fingerprints(docs, k=5, w=4).count(),
+        "tfidf_topk": lambda: tx.tfidf_topk(docs, k=3).count(),
+        "line_clean": lambda: tx.remove_boilerplate_lines(docs, min_docs=3)
+        .agg(F.sum("n_dropped")).count(),
+        "ngram_containment": lambda: dd.ngram_jaccard_pairs(
+            docs, threshold=0.5, metric="containment"
+        ).count(),
         "scd2_build": lambda: scd2_from_history(
             ev.select("user_id", "event_type", "ts"),
             ["user_id"], ["event_type"], "ts",
