@@ -799,13 +799,19 @@ def _pq_assign_codes(vec_col: str, books_col: Column, m: int, d: int) -> Column:
             F.transform(
                 F.sequence(F.lit(0), F.size(cents) - 1),
                 lambda j: F.struct(
-                    (-F.aggregate(
-                        F.zip_with(
-                            sv, F.element_at(cents, j + 1),
-                            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    # distance rounded to 6 BEFORE the argmin so the
+                    # ordering (and the code-asc tiebreak) is identical
+                    # across engines — same rule as the k-means oracle
+                    (-F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                sv, F.element_at(cents, j + 1),
+                                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                            ),
+                            F.lit(0.0).cast("double"),
+                            lambda acc, v: acc + v,
                         ),
-                        F.lit(0.0).cast("double"),
-                        lambda acc, v: acc + v,
+                        6,
                     )).alias("nd"),
                     (-j).alias("nc"),
                 ),
@@ -843,11 +849,19 @@ def pq_train(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d = dim // m
-    seed_rows = df.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
+    # seed components rounded through Spark's round (decimal HALF_UP, the
+    # same rule DuckDB's ROUND applies) — python round() is half-even and
+    # would diverge from the oracle on .5-boundary components
+    seed_rows = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), 6)).alias("_v"))
+        .collect()
+    )
     if len(seed_rows) < k:
         raise ValueError(f"need >= k={k} vectors to train, have {len(seed_rows)}")
     books = [
-        [[round(float(r[0][i * d + j]), 6) for j in range(d)] for r in seed_rows]
+        [[float(r["_v"][i * d + j]) for j in range(d)] for r in seed_rows]
         for i in range(m)
     ]
     for _ in range(iters):

@@ -99,6 +99,7 @@ PART_COLS: dict[str, list[str]] = {
     "ann_lsh_buckets": ["vec_id", "bucket"],
     "ann_lsh_neardup": ["id_1", "id_2", "cosine"],
     "ann_kmeans": ["vec_id", "cluster"],
+    "ann_pq_codes": ["vec_id", "sub", "code"],
     "ann_sq8_topk": ["query_id", "rank", "neighbor_id", "qcosine"],
     "scalar_helpers": ["p_partkey", "name", "size", "even", "dbstr", "sqlstr"],
     "datespan": ["dateid", "date", "monthname", "weekday", "year", "month", "day", "quarter"],
@@ -324,12 +325,14 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("id_1", "bigint"), ("id_2", "bigint"), ("cosine", "double"),
             ("query_id", "bigint"), ("rank", "bigint"),
             ("neighbor_id", "bigint"), ("qcosine", "double"),
+            ("sub", "bigint"), ("code", "bigint"),
         ],
         [
             ("buckets", "ann_lsh_buckets"),
             ("neardup", "ann_lsh_neardup"),
             ("kmeans", "ann_kmeans"),
             ("sq8", "ann_sq8_topk"),
+            ("pq", "ann_pq_codes"),
         ],
     ),
     "topk": (

@@ -541,6 +541,91 @@ SELECT query_id, rank, neighbor_id, qcosine FROM r WHERE rank <= 5
 """
 
 
+def q_ann_pq_codes(spark, sf_dir):
+    """Product-quantization training + encoding (similarity.pq_train /
+    pq_codes, m=4 subspaces x 8 centroids, 2 Lloyd's rounds): codes
+    exploded to (vec_id, sub, code) so the whole training trajectory is
+    value-verified against the unrolled SQL replay."""
+    from pygrametl_spark.functions import similarity as sim
+
+    emb = load_catalog(spark, sf_dir).embeddings
+    books = sim.pq_train(emb, m=4, k=8, iters=2)
+    return (
+        sim.pq_codes(emb, books)
+        .select("vec_id", F.posexplode("codes").alias("sub", "code"))
+        .select("vec_id", F.col("sub").cast("long").alias("sub"), "code")
+    )
+
+
+def _pq_oracle(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled PQ trajectory (the per-subspace analogue of
+    :func:`_kmeans_oracle`): deterministic seeds = first k vectors'
+    subvectors (components ROUNDed to 6), per round an argmin assignment
+    on ROUND(squared-L2, 6) with ties to the lowest code, per-(sub,
+    code, dim) means rounded to 6, empty codes keep their previous
+    centroid."""
+    d = dim // m
+
+    def dist(cent_rel: str) -> str:
+        diff = (
+            f"(CAST(e.embedding[{cent_rel}.sub * {d} + j] AS DOUBLE)"
+            f" - {cent_rel}.cent[j])"
+        )
+        return (
+            f"ROUND(list_sum(list_transform(generate_series(1, {d}),"
+            f" j -> {diff} * {diff})), 6)"
+        )
+
+    ctes = [
+        f"""seeds AS (
+  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS sidx FROM (
+    SELECT vec_id,
+           list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 6)) AS v
+    FROM embeddings ORDER BY vec_id LIMIT {k})
+)""",
+        f"""cent0 AS (
+  SELECT s.i AS sub, seeds.sidx AS code,
+         seeds.v[s.i * {d} + 1 : s.i * {d} + {d}] AS cent
+  FROM seeds, LATERAL (SELECT unnest(range(0, {m})) AS i) s
+)""",
+    ]
+    for it in range(1, iters + 1):
+        prev, cur = f"cent{it - 1}", f"cent{it}"
+        ctes.append(f"""a{it} AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT e.vec_id, c.sub, c.code,
+           row_number() OVER (
+             PARTITION BY e.vec_id, c.sub
+             ORDER BY {dist('c')} ASC, c.code ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1
+)""")
+        ctes.append(f"""u{it} AS (
+  SELECT a.sub, a.code, j,
+         ROUND(AVG(CAST(e.embedding[a.sub * {d} + j] AS DOUBLE)), 6) AS meanv
+  FROM a{it} a JOIN embeddings e USING (vec_id),
+       LATERAL (SELECT unnest(generate_series(1, {d})) AS j) _
+  GROUP BY a.sub, a.code, j
+)""")
+        ctes.append(f"""{cur} AS (
+  SELECT p.sub, p.code, COALESCE(n.cent, p.cent) AS cent
+  FROM {prev} p LEFT JOIN
+       (SELECT sub, code, list(meanv ORDER BY j) AS cent
+        FROM u{it} GROUP BY sub, code) n
+  ON p.sub = n.sub AND p.code = n.code
+)""")
+    return f"""
+WITH {", ".join(ctes)}
+SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code FROM (
+  SELECT e.vec_id, c.sub, c.code,
+         row_number() OVER (
+           PARTITION BY e.vec_id, c.sub
+           ORDER BY {dist('c')} ASC, c.code ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cent{iters} c) WHERE rn = 1
+"""
+
+
 def _kmeans_oracle(iters: int = 2, dim: int = 64) -> str:
     """Unrolled Lloyd's trajectory: the fixed iteration count makes the
     whole training run one static SQL expression the oracle replays —
@@ -886,6 +971,7 @@ MORE_QUERIES = {
     "events_sessionize": q_events_sessionize,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_kmeans": q_ann_kmeans,
+    "ann_pq_codes": q_ann_pq_codes,
     "ann_sq8_topk": q_ann_sq8_topk,
     "ann_ivf_index": q_ann_ivf_index,
     "dim_getbykey": q_dim_getbykey,
@@ -912,6 +998,7 @@ MORE_ORACLES = {
     "events_sessionize": ORACLE_SESSIONIZE,
     "ann_ivf_topk": _ivf_oracle(),
     "ann_kmeans": _kmeans_oracle(),
+    "ann_pq_codes": _pq_oracle(),
     "ann_sq8_topk": ORACLE_ANN_SQ8,
     "ann_ivf_index": _ivf_oracle(),
     "dim_getbykey": ORACLE_GETBYKEY,
