@@ -1071,3 +1071,29 @@ def test_scdensure_batch_replay_is_idempotent(spark):
     scd.scdensure(batch)
     twice = sorted(tuple(r) for r in scd.df.drop("id").collect())
     assert once == twice
+
+
+def test_operators_handle_empty_corpus(spark):
+    """Every batch text/dedup/sampling operator degrades to an empty
+    result on an empty corpus instead of crashing — the first-run /
+    fully-filtered-pipeline corner."""
+    docs = spark.createDataFrame([], "doc_id long, text string, source string")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    from pygrametl_spark.functions.sampling import cluster_split, hash_split
+
+    assert dd.exact_dedup(docs, "doc_id", "text").count() == 0
+    assert dd.minhash_lsh_pairs(docs).count() == 0
+    assert dd.ngram_jaccard_pairs(docs).count() == 0
+    assert dd.neardup_clusters(docs).count() == 0
+    assert dd.simhash32(docs).count() == 0
+    assert dd.dedup_against(docs, docs).count() == 0
+    assert tx.quality_score(docs).count() == 0
+    assert tx.lang_id(docs).count() == 0
+    assert tx.tfidf_topk(docs).count() == 0
+    assert tx.winnow_fingerprints(docs).count() == 0
+    assert tx.remove_boilerplate_lines(docs).count() == 0
+    assert tx.chunk_by_tokens(docs).count() == 0
+    assert hash_split(docs, "doc_id").count() == 0
+    assert cluster_split(docs).count() == 0
+    assert sim.cosine_topk(emb, emb).count() == 0
+    assert sim.lsh_banded_neardup(emb).count() == 0
