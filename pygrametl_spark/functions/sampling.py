@@ -142,19 +142,26 @@ def mixture_sample(
     strata_col: str,
     token_col: str,
     target_tokens: int,
+    *,
+    alpha: float = 0.5,
 ) -> DataFrame:
     """Data-mixture subsetting: divide a global token budget across
-    strata (sources/languages) by temperature-style weights
-    ``w_s = floor(sqrt(stratum_tokens))`` — the alpha=0.5 rule that
-    upweights small sources relative to proportional sampling — then
-    keep each stratum's documents in deterministic hash order until its
-    budget fills (a document straddling the boundary is kept, matching
-    :func:`pack_by_token_budget`'s prefix semantics).
+    strata (sources/languages) by temperature weights
+    ``w_s = floor(stratum_tokens ** alpha)`` — the default alpha=0.5
+    (sqrt) rule upweights small sources relative to proportional
+    sampling — then keep each stratum's documents in deterministic hash
+    order until its budget fills (a document straddling the boundary is
+    kept, matching :func:`pack_by_token_budget`'s prefix semantics).
+    ``alpha=1.0`` is proportional; lower alpha flattens the mixture
+    toward uniform.
 
-    Weights and budgets stay in *integer* arithmetic (floor-sqrt,
-    floor-division) so the allocation is bit-identical across engines —
-    a float ``pow``/sum would make budget boundaries 1-ulp ambiguous.
-    ``target_tokens * w_s`` must fit in int64 (fine up to ~1e12 targets).
+    For the default alpha=0.5, weights and budgets stay in *integer*
+    arithmetic (floor-sqrt, floor-division) so the allocation is
+    bit-identical across engines — a float ``pow``/sum would make budget
+    boundaries 1-ulp ambiguous; other alphas use ``floor(pow(...))``
+    (libm double pow — reproducible within one engine; the oracle-gated
+    query pins alpha=0.5). ``target_tokens * w_s`` must fit in int64
+    (fine up to ~1e12 targets).
 
     Cost: one tiny groupBy for totals (broadcast back) + one window sort
     per stratum. At extreme per-stratum sizes the sort is the bottleneck;
@@ -163,7 +170,13 @@ def mixture_sample(
     silently substitute.
     """
     tot = df.groupBy(strata_col).agg(F.sum(token_col).alias("_tot"))
-    w = tot.withColumn("_w", F.floor(F.sqrt("_tot")).cast("long"))
+    if alpha == 0.5:
+        wexpr = F.floor(F.sqrt("_tot"))
+    elif alpha == 1.0:
+        wexpr = F.col("_tot")
+    else:
+        wexpr = F.floor(F.pow(F.col("_tot").cast("double"), F.lit(float(alpha))))
+    w = tot.withColumn("_w", wexpr.cast("long"))
     budget = (
         w.withColumn("_wsum", F.sum("_w").over(Window.partitionBy()))
         .withColumn("_num", F.lit(int(target_tokens)).cast("long") * F.col("_w"))

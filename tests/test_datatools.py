@@ -1097,3 +1097,25 @@ def test_operators_handle_empty_corpus(spark):
     assert cluster_split(docs).count() == 0
     assert sim.cosine_topk(emb, emb).count() == 0
     assert sim.lsh_banded_neardup(emb).count() == 0
+
+
+def test_mixture_sample_temperature(spark):
+    """alpha steers the mixture: alpha=1 allocates ~proportionally, and
+    lowering alpha shifts budget share toward the small stratum."""
+    from pygrametl_spark.functions.sampling import mixture_sample
+
+    rows = [(i, "big", 10) for i in range(400)] + [
+        (1000 + i, "small", 10) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+
+    def share(alpha):
+        kept = mixture_sample(df, "doc_id", "source", "n", 1000, alpha=alpha)
+        per = {r["source"]: r["t"] for r in kept.groupBy("source").agg(
+            F.sum("n").alias("t")).collect()}
+        return per.get("small", 0) / (per.get("big", 0) + per.get("small", 0))
+
+    s1, s_half, s_quarter = share(1.0), share(0.5), share(0.25)
+    assert abs(s1 - 40 / 440) < 0.03          # proportional
+    assert s_half > s1                        # sqrt upweights the small stratum
+    assert s_quarter > s_half                 # lower alpha flattens further
