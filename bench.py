@@ -61,6 +61,7 @@ def main() -> None:
     PREFER_PART = {
         "events_stream_windows", "doc_chunks", "events_stream_ssjoin",
         "dedup_ngram_jaccard",  # time the jaccard part, not both metrics
+        "scd_lookupasof",  # time the scd part, comparable across rounds
     }
 
     spark = get_spark("bench")

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join", "partition_for"]
+__all__ = ["salted_join", "partition_for", "asof_join"]
 
 
 def salted_join(
@@ -95,3 +95,105 @@ class DimensionPartitioner(BasePartitioner):
 
 class FactTablePartitioner(BasePartitioner):
     """ref tables.py:3631-3710; delegates insert/lookup/ensure."""
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    *,
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+    tolerance=None,
+    right_cols: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """General-purpose as-of join (pandas ``merge_asof`` semantics): for
+    every left row, attach the single right row with the LATEST
+    ``right_time`` <= ``left_time`` within the same ``on`` keys
+    (``direction="backward"``; ``"forward"`` takes the EARLIEST
+    ``right_time`` >= ``left_time``). The time-series primitive Spark
+    lacks natively (kdb ``aj``, TimescaleDB/DuckDB ``ASOF JOIN``, quote-
+    to-trade matching, sensor alignment) — and the scalable formulation
+    is NOT a range join: both sides are tagged and UNIONed, shuffled
+    ONCE on the keys, sorted by event time, and the right row's payload
+    is carried to following left rows with ``last(..., ignoreNulls)``
+    over an unbounded-preceding window. No per-pair candidate set ever
+    materializes, so cost is one shuffle + one sort regardless of how
+    many right rows precede each left row (a range join degenerates to
+    per-key cross products when events cluster).
+
+    Ties (right_time == left_time) match, as in merge_asof. Among right
+    rows with the SAME timestamp the last one in the sort wins —
+    nondeterministic unless the (keys, time) pairs are unique on the
+    right, which mirrors merge_asof's silent tie behavior; add a
+    tiebreak column to ``right_time``-equal rows upstream if it matters.
+    ``tolerance`` (e.g. ``F.expr("INTERVAL 1 DAY")`` or a numeric delta)
+    voids matches farther than that from the left time. ``how="left"``
+    keeps unmatched left rows with NULL payload; ``"inner"`` drops them.
+
+    Reference parity note: ``SlowlyChangingDimension.lookupasof`` (ref
+    tables.py:1686-1711) is the dimension-table special case of this
+    operator; this generalization joins ANY two event relations.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rcols = right_cols or [
+        c for c in right.columns if c not in keys and c != right_time
+    ]
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    lt = left.select(
+        *keys,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(
+            right.select(F.struct(*[F.col(c) for c in rcols], F.col(right_time).alias("_rt")).alias("s")).schema["s"].dataType
+        ).alias("_rpay"),
+    )
+    rt = right.select(
+        *keys,
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(lt.schema["_lrow"].dataType).alias("_lrow"),
+        F.struct(*[F.col(c) for c in rcols], F.col(right_time).alias("_rt")).alias("_rpay"),
+    )
+    both = lt.unionByName(rt)
+
+    from pyspark.sql import Window
+
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal times so ties match
+        w = Window.partitionBy(*keys).orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+    else:
+        w = Window.partitionBy(*keys).orderBy(F.col("_t").desc(), F.col("_is_left").asc())
+    carried = both.withColumn(
+        "_match",
+        F.last("_rpay", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).filter(F.col("_is_left") == 1)
+
+    if tolerance is not None:
+        gap = (
+            F.col("_t") - F.col("_match._rt")
+            if direction == "backward"
+            else F.col("_match._rt") - F.col("_t")
+        )
+        carried = carried.withColumn(
+            "_match", F.when(gap <= tolerance, F.col("_match"))
+        )
+    out = carried.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_match.{c}").alias(c) for c in rcols],
+    )
+    if how == "inner":
+        out = carried.filter(F.col("_match").isNotNull()).select(
+            *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+            *[F.col(f"_match.{c}").alias(c) for c in rcols],
+        )
+    elif how != "left":
+        raise ValueError("how must be 'left' or 'inner'")
+    return out

@@ -394,6 +394,44 @@ def q_scd_lookupasof(spark, sf_dir):
     return scd.lookupasof(probe, "ts").select("event_id", "id")
 
 
+def q_asof_generic(spark, sf_dir):
+    """General-purpose as-of join (plans/joins.asof_join, the brief's
+    named custom operator): each click matched to the same user's most
+    recent prior-or-simultaneous purchase. One shuffle on the key +
+    union-tagged window carry — never a range-join candidate product.
+    The right side is deduped per (user, ts) so the tie winner is
+    engine-independent; DuckDB replays it with its native ASOF JOIN."""
+    from pygrametl_spark.plans.joins import asof_join
+
+    ev = load_catalog(spark, sf_dir).events
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    buys = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    return asof_join(
+        clicks, buys, "user_id", left_time="ts", right_time="ts",
+        right_cols=["purchase_id"],
+    ).select("click_id", "purchase_id")
+
+
+ORACLE_ASOF_GENERIC = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts FROM events
+  WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts, MAX(event_id) AS purchase_id FROM events
+  WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.click_id, p.purchase_id
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
 ORACLE_SCD_ASOF = _SCD2_DUCK_DIM + """
 SELECT e.event_id, d.id
 FROM events e JOIN dim d
@@ -756,6 +794,7 @@ ALL_QUERIES = {
     "scd_typeone": q_scd_typeone,
     "scd2_build": q_scd2_build,
     "scd_lookupasof": q_scd_lookupasof,
+    "asof_generic": q_asof_generic,
     "scd_closecurrent": q_scd_closecurrent,
     "snowflake_lookuprow": q_snowflake_lookuprow,
     "snowflake_ensure": q_snowflake_ensure,
@@ -790,6 +829,7 @@ ALL_ORACLES = {
     "scd_typeone": ORACLE_SCD_TYPEONE,
     "scd2_build": ORACLE_SCD2_BUILD,
     "scd_lookupasof": ORACLE_SCD_ASOF,
+    "asof_generic": ORACLE_ASOF_GENERIC,
     "scd_closecurrent": ORACLE_SCD_CLOSE,
     "snowflake_lookuprow": ORACLE_SNOWFLAKE_LOOKUP,
     "snowflake_ensure": ORACLE_SNOWFLAKE_ENSURE,

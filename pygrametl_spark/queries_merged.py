@@ -60,6 +60,8 @@ PART_COLS: dict[str, list[str]] = {
     "conditional_step": ["o_orderkey", "branch"],
     "steps_chain": ["priority", "n", "total"],
     "dim_getbykey": ["id", "name"],
+    "scd_lookupasof": ["event_id", "id"],
+    "asof_generic": ["click_id", "purchase_id"],
     "dim_getbyvals": ["p_partkey", "p_name", "p_size"],
     "snowflake_lookuprow": ["c_custkey", "name", "nation", "region"],
     "snowflake_ensure": ["c_custkey", "c_name", "n_nationkey", "c_acctbal"],
@@ -351,6 +353,18 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("quarter", "int"),
         ],
         [("scalar", "scalar_helpers"), ("datespan", "datespan")],
+    ),
+    # same registered name as the individual scd as-of query it replaces:
+    # adds the generic asof_join part without spending a registry slot
+    "scd_lookupasof": (
+        [
+            ("event_id", "bigint"), ("id", "bigint"),
+            ("click_id", "bigint"), ("purchase_id", "bigint"),
+        ],
+        [
+            ("scd", "scd_lookupasof"),
+            ("generic", "asof_generic"),
+        ],
     ),
     # same registered name as the individual jaccard query it replaces:
     # the merge adds the containment part without spending a registry slot

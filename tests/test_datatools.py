@@ -1119,3 +1119,55 @@ def test_mixture_sample_temperature(spark):
     assert abs(s1 - 40 / 440) < 0.03          # proportional
     assert s_half > s1                        # sqrt upweights the small stratum
     assert s_quarter > s_half                 # lower alpha flattens further
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """asof_join equals pandas merge_asof on random keyed event data:
+    backward and forward directions, with and without tolerance, plus
+    inner-vs-left row retention."""
+    import numpy as np
+    import pandas as pd
+
+    from pygrametl_spark.plans.joins import asof_join
+
+    rng = np.random.RandomState(5)
+    left_pd = pd.DataFrame({
+        "k": rng.randint(0, 3, 40),
+        "lt": rng.randint(0, 1000, 40).astype("int64"),
+        "lv": np.arange(40),
+    }).sort_values("lt").reset_index(drop=True)
+    right_pd = pd.DataFrame({
+        "k": rng.randint(0, 3, 25),
+        "rt": rng.randint(0, 1000, 25).astype("int64"),
+        "rv": np.arange(100, 125),
+    })
+    # unique (k, rt) so tie behavior is engine-independent
+    right_pd = right_pd.drop_duplicates(["k", "rt"]).sort_values("rt").reset_index(drop=True)
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 50):
+            want = pd.merge_asof(
+                left_pd.sort_values("lt"), right_pd.sort_values("rt"),
+                left_on="lt", right_on="rt", by="k",
+                direction=direction,
+                tolerance=tol,
+            )
+            got = asof_join(
+                left, right, "k", left_time="lt", right_time="rt",
+                direction=direction, tolerance=tol, right_cols=["rv"],
+            ).collect()
+            gmap = {r["lv"]: r["rv"] for r in got}
+            wmap = {
+                int(r.lv): (None if pd.isna(r.rv) else int(r.rv))
+                for r in want.itertuples()
+            }
+            assert gmap == wmap, f"direction={direction} tol={tol}"
+
+    inner = asof_join(
+        left, right, "k", left_time="lt", right_time="rt",
+        how="inner", right_cols=["rv"],
+    )
+    assert inner.filter("rv IS NULL").count() == 0
