@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join", "partition_for", "asof_join"]
+__all__ = ["salted_join", "partition_for", "asof_join", "range_join"]
 
 
 def salted_join(
@@ -197,3 +197,58 @@ def asof_join(
     elif how != "left":
         raise ValueError("how must be 'left' or 'inner'")
     return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point: str,
+    start: str,
+    end: str,
+    on: str | list[str] | None = None,
+    bucket_width: int,
+    end_inclusive: bool = False,
+) -> DataFrame:
+    """Point-in-interval join without a nested-loop product: Spark plans
+    a plain ``p >= s AND p < e`` join as BroadcastNestedLoopJoin (or a
+    cartesian product), which is quadratic per key. This bucketizes the
+    range dimension instead — each point lands in exactly ONE bucket of
+    ``bucket_width`` (so no post-join dedup), each interval explodes
+    into the buckets it overlaps, and the join is a plain hash equi-join
+    on (keys, bucket) followed by the exact range filter.
+
+    ``point``/``start``/``end`` must be numeric (cast timestamps with
+    ``unix_micros`` first); NULL ``end`` means open-ended (the interval
+    is exploded up to the points' maximum bucket — computed as one
+    broadcast row, no driver action). Choose ``bucket_width`` near the
+    TYPICAL interval length: cost is O(intervals x overlapped_buckets +
+    matched pairs), so width >> interval length degenerates toward
+    per-bucket products and width << interval length explodes the
+    interval side.
+    """
+    keys = [on] if isinstance(on, str) else list(on or [])
+    w = int(bucket_width)
+    p = points.withColumn("_b", F.floor(F.col(point) / w).cast("long"))
+    maxb = points.agg(
+        F.floor(F.max(F.col(point)) / w).cast("long").alias("_maxb")
+    )
+    iv = (
+        intervals.crossJoin(F.broadcast(maxb))
+        .withColumn("_b0", F.floor(F.col(start) / w).cast("long"))
+        .withColumn(
+            "_b1",
+            F.least(
+                F.coalesce(F.floor(F.col(end) / w).cast("long"), F.col("_maxb")),
+                F.col("_maxb"),
+            ),
+        )
+        .filter(F.col("_b1") >= F.col("_b0"))  # interval starts past all points -> no buckets
+        .withColumn("_b", F.explode(F.sequence(F.col("_b0"), F.col("_b1"))))
+        .drop("_b0", "_b1", "_maxb")
+    )
+    upper = (
+        F.col(point) <= F.col(end) if end_inclusive else F.col(point) < F.col(end)
+    )
+    cond = (F.col(point) >= F.col(start)) & (F.col(end).isNull() | upper)
+    return p.join(iv, keys + ["_b"], "inner").filter(cond).drop("_b")

@@ -1171,3 +1171,59 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         how="inner", right_cols=["rv"],
     )
     assert inner.filter("rv IS NULL").count() == 0
+
+
+def test_range_join_matches_nonequi_join(spark):
+    """Bucketized point-in-interval join equals the plain non-equi join
+    on random data — including open-ended (NULL end) intervals — and its
+    plan contains no nested-loop or cartesian product."""
+    import numpy as np
+
+    from pygrametl_spark.functions import similarity  # noqa: F401 (session warm)
+    from pygrametl_spark.plans.explain import formatted_plan
+    from pygrametl_spark.plans.joins import range_join
+
+    rng = np.random.RandomState(3)
+    pts = [(int(i), int(rng.randint(0, 3)), int(rng.randint(0, 1000))) for i in range(60)]
+    ivs = []
+    for j in range(25):
+        s = int(rng.randint(0, 900))
+        e = None if j % 7 == 0 else s + int(rng.randint(10, 200))
+        ivs.append((100 + j, int(rng.randint(0, 3)), s, e))
+    points = spark.createDataFrame(pts, "pid long, k long, p long")
+    intervals = spark.createDataFrame(ivs, "iid long, k long, s long, e long")
+
+    got = range_join(
+        points, intervals, point="p", start="s", end="e", on="k", bucket_width=64
+    )
+    want = points.join(
+        intervals,
+        (points["k"] == intervals["k"])
+        & (points["p"] >= intervals["s"])
+        & (intervals["e"].isNull() | (points["p"] < intervals["e"])),
+    ).select(points["pid"], intervals["iid"])
+    assert {(r["pid"], r["iid"]) for r in got.select("pid", "iid").collect()} == {
+        (r["pid"], r["iid"]) for r in want.collect()
+    }
+    # the candidate join is a hash equi-join on (k, bucket); the only
+    # nested-loop node is the ONE-ROW scalar max-bucket broadcast attach
+    plan = formatted_plan(got)
+    assert "CartesianProduct" not in plan
+    assert plan.count(") BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+    # KEYLESS range join: plain Spark has no equi key at all and must
+    # nested-loop; the bucketized plan still equi-joins on the bucket
+    got0 = range_join(points, intervals, point="p", start="s", end="e", bucket_width=64)
+    want0 = points.join(
+        intervals,
+        (points["p"] >= intervals["s"])
+        & (intervals["e"].isNull() | (points["p"] < intervals["e"])),
+    ).select(points["pid"], intervals["iid"])
+    assert {(r["pid"], r["iid"]) for r in got0.select("pid", "iid").collect()} == {
+        (r["pid"], r["iid"]) for r in want0.collect()
+    }
+    p0 = formatted_plan(got0)
+    assert "BroadcastHashJoin" in p0 or "SortMergeJoin" in p0
+    w0 = formatted_plan(want0)
+    assert "BroadcastNestedLoopJoin" in w0 or "CartesianProduct" in w0
