@@ -1227,3 +1227,25 @@ def test_range_join_matches_nonequi_join(spark):
     assert "BroadcastHashJoin" in p0 or "SortMergeJoin" in p0
     w0 = formatted_plan(want0)
     assert "BroadcastNestedLoopJoin" in w0 or "CartesianProduct" in w0
+
+
+def test_asof_join_timestamp_tolerance(spark):
+    """asof_join on timestamp columns with an INTERVAL tolerance: a
+    match farther back than the tolerance is voided to NULL."""
+    from pygrametl_spark.plans.joins import asof_join
+
+    left = spark.sql(
+        "SELECT * FROM VALUES (1, 7, TIMESTAMP '2025-03-10 12:00:00'),"
+        " (2, 7, TIMESTAMP '2025-03-20 12:00:00') AS t(lid, k, lt)"
+    )
+    right = spark.sql(
+        "SELECT * FROM VALUES (91, 7, TIMESTAMP '2025-03-09 12:00:00') AS t(rid, k, rt)"
+    )
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, "k", left_time="lt", right_time="rt",
+            tolerance=F.expr("INTERVAL 2 DAYS"), right_cols=["rid"],
+        ).collect()
+    }
+    assert got == {1: 91, 2: None}  # 11 days back exceeds the tolerance
