@@ -256,6 +256,11 @@ def write_wds_shards(
     cluster). Returns the manifest (shard, n_samples, payload_bytes) —
     write it next to the shards so loaders can size epochs without
     listing tars.
+
+    Member keys: non-negative integer ids are zero-padded to 12 digits
+    (so lexicographic member order == numeric id order, the WebDataset
+    convention); any other id (string doc ids, negative ints) is used as
+    ``str(id)`` verbatim — sorted-id write order is then lexicographic.
     """
     import io
     import json
@@ -284,13 +289,18 @@ def write_wds_shards(
         buckets: dict = {}
         for r in rows:
             buckets.setdefault(r["_shard"], []).append(r)
+        def member_key(v):
+            if isinstance(v, int) and not isinstance(v, bool) and v >= 0:
+                return f"{v:012d}"
+            return str(v)
+
         for shard_no, items in buckets.items():
-            items.sort(key=lambda r: r[id_col])
+            items.sort(key=lambda r: member_key(r[id_col]))
             name = f"shard-{int(shard_no):05d}.tar"
             total = 0
             with tarfile.open(os.path.join(path, name), "w") as tar:
                 for r in items:
-                    key = f"{r[id_col]:012d}"
+                    key = member_key(r[id_col])
                     payload = bytes(r[payload_col])
                     total += len(payload)
                     ti = tarfile.TarInfo(f"{key}.{ext}")

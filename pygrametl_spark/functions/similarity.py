@@ -639,23 +639,40 @@ def _plane_weight(plane: int, index: int) -> float:
     return int(h, 16) / float(2 ** 31) - 1.0
 
 
+def _dlit(v: float) -> str:
+    """A python float as a Spark SQL DOUBLE literal token.
+
+    ``repr``'s shortest-roundtrip decimal re-parses to a bit-identical
+    double, but a bare decimal literal parses as DECIMAL in Spark SQL,
+    so an exponent suffix is appended — ONLY when ``repr`` didn't
+    already emit one: ``repr(7e-05) == '7e-05'`` and naively appending
+    would yield the token ``7e-05E0``, which raises PARSE_SYNTAX_ERROR
+    (a real crash for near-zero codebook values; every literal builder
+    below must go through this guard).
+    """
+    s = repr(float(v))
+    return s if ("e" in s or "E" in s) else s + "E0"
+
+
 def _planes_lit(planes: list[list[float]]) -> Column:
     """The hyperplane matrix as ONE nested array literal, built through
     the SQL parser instead of ``F.lit``: constructing a 48x64 nested
     literal with ``F.lit`` costs ~1.7 s of driver time in py4j
     per-element calls (measured), i.e. more than executing the whole
     near-dup query — ``F.expr`` parses the same constant in ~8 ms.
-    Components are emitted with an exponent suffix so Spark parses
-    DOUBLE (a bare decimal literal parses as DECIMAL), and ``repr``'s
-    shortest-roundtrip decimals re-parse to bit-identical doubles.
     """
-    def d(v: float) -> str:
-        s = repr(float(v))
-        return s if ("e" in s or "E" in s) else s + "E0"
-
     return F.expr(
         "array(" + ",".join(
-            "array(" + ",".join(d(v) for v in row) + ")" for row in planes
+            "array(" + ",".join(_dlit(v) for v in row) + ")" for row in planes
+        ) + ")"
+    )
+
+
+def _mat_lit(rows: "list[list[float]]") -> Column:
+    """A 2-level float matrix as one parsed array<array<double>> literal."""
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(_dlit(v) for v in row) + ")" for row in rows
         ) + ")"
     )
 
@@ -774,15 +791,10 @@ def _pq3_lit(books: "list[list[list[float]]]") -> Column:
     """Codebooks as ONE 3-level nested array literal through the SQL
     parser (same rationale as :func:`_planes_lit`: F.lit would pay py4j
     per element; the whole m x k x d constant parses in milliseconds)."""
-
-    def d(v: float) -> str:
-        s = repr(float(v))
-        return s if ("e" in s or "E" in s) else s + "E0"
-
     return F.expr(
         "array(" + ",".join(
             "array(" + ",".join(
-                "array(" + ",".join(d(v) for v in cent) + ")" for cent in sub
+                "array(" + ",".join(_dlit(v) for v in cent) + ")" for cent in sub
             ) + ")" for sub in books
         ) + ")"
     )
@@ -939,12 +951,7 @@ def pq_topk(
         [round(sum(v * v for v in cent), 6) for cent in sub] for sub in books
     ]
     lit = _pq3_lit(books)
-    csq_lit = F.expr(
-        "array(" + ",".join(
-            "array(" + ",".join(repr(float(v)) + "E0" for v in row) + ")"
-            for row in csq
-        ) + ")"
-    )
+    csq_lit = _mat_lit(csq)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
@@ -1077,12 +1084,7 @@ def ivfpq_topk(
     d = len(books[0][0])
     lit = _pq3_lit(books)
     csq = [[round(sum(v * v for v in c), 6) for c in sub] for sub in books]
-    csq_lit = F.expr(
-        "array(" + ",".join(
-            "array(" + ",".join(repr(float(v)) + "E0" for v in row) + ")"
-            for row in csq
-        ) + ")"
-    )
+    csq_lit = _mat_lit(csq)
 
     def sub_dot(i):
         sv = F.slice(F.col("_qv"), i * d + 1, d)

@@ -108,6 +108,8 @@ def asof_join(
     tolerance=None,
     right_cols: list[str] | None = None,
     how: str = "left",
+    tiebreak: str | None = None,
+    suffix: str | None = None,
 ) -> DataFrame:
     """General-purpose as-of join (pandas ``merge_asof`` semantics): for
     every left row, attach the single right row with the LATEST
@@ -125,32 +127,53 @@ def asof_join(
     per-key cross products when events cluster).
 
     Ties (right_time == left_time) match, as in merge_asof. Among right
-    rows with the SAME timestamp the last one in the sort wins —
-    nondeterministic unless the (keys, time) pairs are unique on the
-    right, which mirrors merge_asof's silent tie behavior; add a
-    tiebreak column to ``right_time``-equal rows upstream if it matters.
+    rows with the SAME timestamp the winner is the row with the GREATEST
+    ``tiebreak`` column value when one is given (NULLs lose) — making
+    the result deterministic under any physical row order / partitioning
+    — and otherwise whichever sorts last, mirroring merge_asof's silent
+    tie behavior (nondeterministic unless (keys, right_time) is unique).
     ``tolerance`` (e.g. ``F.expr("INTERVAL 1 DAY")`` or a numeric delta)
     voids matches farther than that from the left time. ``how="left"``
     keeps unmatched left rows with NULL payload; ``"inner"`` drops them.
+
+    When a right payload column shares its name with a left column the
+    output would carry duplicate names (any later select-by-name throws
+    AMBIGUOUS_REFERENCE), so collisions raise ``ValueError`` unless
+    ``suffix`` is given, in which case colliding payload columns are
+    renamed ``<name><suffix>`` (pandas merge_asof's suffixes behavior).
 
     Reference parity note: ``SlowlyChangingDimension.lookupasof`` (ref
     tables.py:1686-1711) is the dimension-table special case of this
     operator; this generalization joins ANY two event relations.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    rcols = right_cols or [
+    rcols = right_cols if right_cols is not None else [
         c for c in right.columns if c not in keys and c != right_time
     ]
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    # Payload names colliding with left output names -> ambiguous result
+    # columns; rename via suffix or refuse loudly.
+    clash = [c for c in rcols if c in left.columns]
+    out_names = dict(zip(rcols, rcols))
+    if clash:
+        if suffix is None:
+            raise ValueError(
+                f"right payload columns {clash} collide with left columns; "
+                "pass right_cols to drop them or suffix to rename them"
+            )
+        out_names.update({c: c + suffix for c in clash})
 
+    pay_fields = [F.col(c) for c in rcols] + [F.col(right_time).alias("_rt")]
+    if tiebreak is not None and tiebreak not in rcols:
+        pay_fields.append(F.col(tiebreak).alias("_tbv"))
     lt = left.select(
         *keys,
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
         F.lit(None).cast(
-            right.select(F.struct(*[F.col(c) for c in rcols], F.col(right_time).alias("_rt")).alias("s")).schema["s"].dataType
+            right.select(F.struct(*pay_fields).alias("s")).schema["s"].dataType
         ).alias("_rpay"),
     )
     rt = right.select(
@@ -158,17 +181,23 @@ def asof_join(
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_is_left"),
         F.lit(None).cast(lt.schema["_lrow"].dataType).alias("_lrow"),
-        F.struct(*[F.col(c) for c in rcols], F.col(right_time).alias("_rt")).alias("_rpay"),
+        F.struct(*pay_fields).alias("_rpay"),
     )
     both = lt.unionByName(rt)
 
     from pyspark.sql import Window
 
-    if direction == "backward":
-        # right rows sort BEFORE left rows at equal times so ties match
-        w = Window.partitionBy(*keys).orderBy(F.col("_t").asc(), F.col("_is_left").asc())
-    else:
-        w = Window.partitionBy(*keys).orderBy(F.col("_t").desc(), F.col("_is_left").asc())
+    # Ordering: right rows sort BEFORE the left row at equal times so
+    # ties match; with a tiebreak, equal-time right rows sort ascending
+    # on it (NULLs first) so the greatest value is carried last -> wins.
+    order = [
+        F.col("_t").asc() if direction == "backward" else F.col("_t").desc(),
+        F.col("_is_left").asc(),
+    ]
+    if tiebreak is not None:
+        tb_field = tiebreak if tiebreak in rcols else "_tbv"
+        order.append(F.col(f"_rpay.{tb_field}").asc_nulls_first())
+    w = Window.partitionBy(*keys).orderBy(*order)
     carried = both.withColumn(
         "_match",
         F.last("_rpay", ignorenulls=True).over(
@@ -185,15 +214,12 @@ def asof_join(
         carried = carried.withColumn(
             "_match", F.when(gap <= tolerance, F.col("_match"))
         )
-    out = carried.select(
-        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_match.{c}").alias(c) for c in rcols],
-    )
+    out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns] + [
+        F.col(f"_match.{c}").alias(out_names[c]) for c in rcols
+    ]
+    out = carried.select(*out_cols)
     if how == "inner":
-        out = carried.filter(F.col("_match").isNotNull()).select(
-            *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
-            *[F.col(f"_match.{c}").alias(c) for c in rcols],
-        )
+        out = carried.filter(F.col("_match").isNotNull()).select(*out_cols)
     elif how != "left":
         raise ValueError("how must be 'left' or 'inner'")
     return out

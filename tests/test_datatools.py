@@ -1249,3 +1249,121 @@ def test_asof_join_timestamp_tolerance(spark):
         ).collect()
     }
     assert got == {1: 91, 2: None}  # 11 days back exceeds the tolerance
+
+
+def test_double_literal_near_zero_exponent(spark):
+    """Regression (ADVICE r2): values in (0, 1e-4) repr with an exponent
+    ('7e-05'); the literal builder must not append 'E0' on top of it —
+    the old csq_lit path produced the token '7e-05E0', a ParseException.
+    End-to-end: a PQ codebook carrying near-zero centroid components
+    must score fine through pq_topk's csq literal."""
+    from pygrametl_spark.functions.similarity import _dlit
+
+    assert _dlit(7e-05) == "7e-05"
+    assert _dlit(0.5) == "0.5E0"
+    assert _dlit(-3e-07) == "-3e-07"
+    # round-trip through the parser for a sweep of magnitudes
+    vals = [7e-05, -3e-07, 0.5, 123.25, -1e-20, 1e20, 0.0]
+    got = spark.range(1).select(
+        F.expr("array(" + ",".join(_dlit(v) for v in vals) + ")").alias("a")
+    ).first()["a"]
+    assert got == vals
+
+    books = [
+        [[7e-05, 0.25], [1.0, -3e-07]],
+        [[0.5, 2e-05], [-1.0, 1.0]],
+    ]
+    emb = spark.createDataFrame(
+        [(0, [0.1, 0.2, 0.3, 0.4]), (1, [1.0, 0.0, -1.0, 1.0]),
+         (2, [0.0, 0.1, 0.2, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    codes = sim.pq_codes(emb, books)
+    rows = sim.pq_topk(codes, emb.filter("vec_id = 0"), books, k=2).collect()
+    assert len(rows) == 2
+
+
+def test_asof_join_tiebreak_deterministic(spark):
+    """With duplicate (key, right_time) right rows, tiebreak= makes the
+    winner the row with the GREATEST tiebreak value, stably across
+    physical partitionings (VERDICT r2 item 4)."""
+    from pygrametl_spark.plans.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 250, "b"), (2, 100, "c")],
+        "k long, lt long, lv string",
+    )
+    # three right rows share (k=1, rt=100) with distinct seq
+    rrows = [(1, 100, 7, "r7"), (1, 100, 9, "r9"), (1, 100, 8, "r8"),
+             (1, 200, 1, "r1"), (2, 50, 4, "r4")]
+    for nparts in (1, 3, 7):
+        right = spark.createDataFrame(
+            rrows, "k long, rt long, seq long, rv string"
+        ).repartition(nparts)
+        got = {
+            r["lv"]: (r["rv"], r["seq"])
+            for r in asof_join(
+                left, right, "k", left_time="lt", right_time="rt",
+                tiebreak="seq",
+            ).collect()
+        }
+        assert got == {"a": ("r9", 9), "b": ("r1", 1), "c": ("r4", 4)}
+        # forward direction: earliest rt >= lt, max seq among equal rt
+        fwd = {
+            r["lv"]: r["rv"]
+            for r in asof_join(
+                left, right, "k", left_time="lt", right_time="rt",
+                direction="forward", tiebreak="seq",
+            ).collect()
+        }
+        assert fwd == {"a": "r9", "b": None, "c": None}
+
+
+def test_asof_join_collision_raises_or_suffixes(spark):
+    """Right payload columns sharing a left column name raise a clear
+    error (the silent duplicate-name output threw AMBIGUOUS_REFERENCE on
+    any later select) unless suffix= renames them (ADVICE r2)."""
+    from pygrametl_spark.plans.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10, "L")], "k long, t long, v string")
+    right = spark.createDataFrame([(1, 5, "R")], "k long, rt long, v string")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "k", left_time="t", right_time="rt")
+    out = asof_join(
+        left, right, "k", left_time="t", right_time="rt", suffix="_right"
+    )
+    assert out.columns == ["k", "t", "v", "v_right"]
+    row = out.first()
+    assert (row["v"], row["v_right"]) == ("L", "R")
+    # explicit right_cols avoiding the clash still needs no suffix
+    ok = asof_join(
+        left, right, "k", left_time="t", right_time="rt", right_cols=[]
+    )
+    assert ok.columns == ["k", "t", "v"]
+
+
+def test_write_wds_shards_string_ids(spark, tmp_path):
+    """String doc ids are legal id_col values elsewhere in the engine;
+    shards must accept them (ADVICE r2: the integer-only f-format raised
+    ValueError mid-job)."""
+    import tarfile
+
+    from pygrametl_spark.functions.multimodal import (
+        to_binary_payload, write_wds_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i:03d}", f"payload-{i}") for i in range(8)],
+        "doc_id string, text string",
+    )
+    out = str(tmp_path / "wds_str")
+    manifest = write_wds_shards(
+        to_binary_payload(docs, "text"), out, n_shards=2
+    ).collect()
+    assert sum(r["n_samples"] for r in manifest) == 8
+    with tarfile.open(f"{out}/{manifest[0]['shard']}") as tar:
+        names = tar.getnames()
+        key = names[0].split(".")[0]
+        assert key.startswith("doc-")
+        i = int(key.split("-")[1])
+        assert tar.extractfile(f"{key}.bin").read() == f"payload-{i}".encode()
