@@ -57,3 +57,22 @@ def test_plan_properties(spark, name):
         assert f") {op}" not in plan, f"{name}: plan contains {op}"
     for key, minimum in required.items():
         assert stats[key] >= minimum, f"{name}: {key}={stats[key]} < {minimum}"
+
+
+def test_merge_joining_source_broadcasts_small_side(spark):
+    """MergeJoiningSource leaves the strategy to Catalyst (VERDICT r2
+    item 5): a sub-threshold side must plan as a broadcast hash join,
+    and two sides forced above the threshold as sort-merge."""
+    from pygrametl_spark.sources.sources import MergeJoiningSource
+
+    big = spark.range(0, 100000).withColumnRenamed("id", "k")
+    small = spark.range(0, 10).withColumnRenamed("id", "k2")
+    p = formatted_plan(MergeJoiningSource(big, "k", small, "k2"))
+    assert "BroadcastHashJoin" in p, "small sorted side must stay broadcastable"
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p2 = formatted_plan(MergeJoiningSource(big, "k", small, "k2"))
+        assert "SortMergeJoin" in p2 or "ShuffledHashJoin" in p2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
