@@ -119,9 +119,11 @@ class Table:
     _created: dict = {}
 
     def __init__(self, name: str, drawing: str, *, nullsubst: str = "NULL",
-                 testconnection=None):
+                 variableprefix: str = "$", testconnection=None,
+                 loadFrom=None):
         self.name = name
         self.nullsubst = nullsubst
+        self.variableprefix = variableprefix
         self.testconnection = testconnection
         self._additions: set[int] = set()
         lines = [ln.strip() for ln in drawing.strip().splitlines() if ln.strip()]
@@ -132,6 +134,17 @@ class Table:
         if body and set(body[0].replace("|", "").strip()) <= {"-", " "}:
             body = body[1:]  # separator row
         self.rows = [self._parse_row(ln) for ln in body]
+        if loadFrom is not None:
+            # External data source (ref __init__.py Table(loadFrom=...)):
+            # a sequence of dicts keyed by column name; string values are
+            # parsed through the same per-type cell rules as drawn cells
+            # (CSV readers hand everything over as text).
+            for rec in loadFrom:
+                self.rows.append(tuple(
+                    self._parse_cell(str(rec[c.name]).strip(), c)
+                    if rec[c.name] is not None else None
+                    for c in self.columns
+                ))
 
     def _parse_header(self, line: str) -> list[_Column]:
         cols = []
@@ -152,8 +165,9 @@ class Table:
         return tuple(self._parse_cell(c.strip(), col) for c, col in zip(cells, self.columns))
 
     def _parse_cell(self, cell: str, col: _Column):
-        if _VARIABLE.match(cell):
-            return cell  # variables stay symbolic
+        pfx = getattr(self, "variableprefix", "$")
+        if cell.startswith(pfx) and _VARIABLE.match("$" + cell[len(pfx):]):
+            return "$" + cell[len(pfx):]  # variables stay symbolic ($-canonical)
         if cell == self.nullsubst:
             return None
         t = _TYPES[col.typename]
@@ -176,6 +190,48 @@ class Table:
 
             return datetime.datetime.fromisoformat(cell)
         return cell
+
+    # -- drawing round-trip (ref __init__.py:161-180) ----------------------
+    def _cell_str(self, v) -> str:
+        if v is None:
+            return self.nullsubst
+        if isinstance(v, str) and _VARIABLE.match(v):
+            return self.variableprefix + v[1:]
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    def __str__(self) -> str:
+        """The drawing re-rendered in canonical aligned input format —
+        header with types, dash separator, rows (ref __init__.py:161-163;
+        what the ``formattable`` reformatter writes back)."""
+        headers = [
+            f"{c.name}:{c.typename}" + (" (pk)" if c.pk else "")
+            for c in self.columns
+        ]
+        cols = [[h] + [self._cell_str(r[i]) for r in self.rows]
+                for i, h in enumerate(headers)]
+        widths = [max(len(s) for s in col) for col in cols]
+
+        def line(cells):
+            return "| " + " | ".join(
+                s.ljust(w) for s, w in zip(cells, widths)
+            ) + " |"
+
+        out = [line(headers), line(["-" * w for w in widths])]
+        out.extend(line([self._cell_str(v) for v in r]) for r in self.rows)
+        return "\n".join(out)
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def __iter__(self):
+        return (
+            {c.name: v for c, v in zip(self.columns, r)} for r in self.rows
+        )
+
+    def __getitem__(self, index: int) -> dict:
+        return {c.name: v for c, v in zip(self.columns, self.rows[index])}
 
     # -- construction -----------------------------------------------------
     def schema(self) -> T.StructType:
@@ -202,6 +258,7 @@ class Table:
     def _copy(self) -> "Table":
         clone = Table.__new__(Table)
         clone.name, clone.nullsubst, clone.columns = self.name, self.nullsubst, self.columns
+        clone.variableprefix = self.variableprefix
         clone.testconnection = self.testconnection
         clone.rows = list(self.rows)
         clone._additions = set(self._additions)

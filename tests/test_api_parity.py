@@ -59,6 +59,11 @@ REF_PUBLIC = {
     ],
     "FIFODict": ["FIFODict", "FIFODictDeque", "FIFODictOrderedDict"],
     "drawntabletesting": ["Table", "Variable", "connectionwrapper"],
+    "JDBCConnectionWrapper": [
+        "JDBCConnectionWrapper", "BackgroundJDBCConnectionWrapper",
+    ],
+    "dttr": ["run", "main"],
+    "formattable": ["reformat_file", "main"],
 }
 
 
@@ -265,3 +270,51 @@ def test_module_endload_facade_delegates(tmp_path):
         assert calls == [{"mode": "overwrite"}] and len(ps._engines) == 1
     finally:
         ps._engines[:] = old
+
+
+def test_jdbcconnectionwrapper_pep249_delegation():
+    """The CPython stand-in for the Jython JDBC wrapper drives a PEP 249
+    connection through the same execute/fetch surface."""
+    from pygrametl_spark.JDBCConnectionWrapper import (
+        BackgroundJDBCConnectionWrapper, JDBCConnectionWrapper,
+    )
+
+    for cls in (JDBCConnectionWrapper, BackgroundJDBCConnectionWrapper):
+        cw = cls(sqlite3.connect(":memory:"))
+        cw.execute("CREATE TABLE t(a INT)")
+        cw.executemany("INSERT INTO t VALUES(%(a)s)", [{"a": 1}, {"a": 2}])
+        cw.commit()
+        cw.execute("SELECT a FROM t ORDER BY a")
+        assert cw.fetchalltuples() == [(1,), (2,)]
+        cw.close()
+
+
+def test_formattable_reformats_in_place(tmp_path):
+    """Misaligned drawing -> canonical aligned pipes, indentation and
+    surrounding lines preserved (ref drawntabletesting/formattable.py)."""
+    from pygrametl_spark.formattable import reformat_file
+
+    path = tmp_path / "doc.dtt"
+    path.write_text(
+        "book\n"
+        "  | bid:int (pk) | title:text |\n"
+        "  | --- | --- |\n"
+        "  | 1 | Dune |\n"
+        "  | 25 | The Hobbit |\n"
+        "\n"
+        "after\n"
+    )
+    reformat_file(str(path), 3)
+    assert path.read_text() == (
+        "book\n"
+        "  | bid:int (pk) | title:text |\n"
+        "  | ------------ | ---------- |\n"
+        "  | 1            | Dune       |\n"
+        "  | 25           | The Hobbit |\n"
+        "\n"
+        "after\n"
+    )
+    # round-trip: reformatting a canonical table is a no-op
+    before = path.read_text()
+    reformat_file(str(path), 2)
+    assert path.read_text() == before
