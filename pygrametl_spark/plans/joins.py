@@ -235,6 +235,7 @@ def range_join(
     on: str | list[str] | None = None,
     bucket_width: int,
     end_inclusive: bool = False,
+    open_ended: bool = True,
 ) -> DataFrame:
     """Point-in-interval join without a nested-loop product: Spark plans
     a plain ``p >= s AND p < e`` join as BroadcastNestedLoopJoin (or a
@@ -247,7 +248,10 @@ def range_join(
     ``point``/``start``/``end`` must be numeric (cast timestamps with
     ``unix_micros`` first); NULL ``end`` means open-ended (the interval
     is exploded up to the points' maximum bucket — computed as one
-    broadcast row, no driver action). Choose ``bucket_width`` near the
+    broadcast row, no driver action). Pass ``open_ended=False`` when the
+    caller KNOWS every ``end`` is non-NULL: the max-bucket scan of the
+    points side (and its one-row broadcast attach) is skipped entirely,
+    leaving a pure hash equi-join plan. Choose ``bucket_width`` near the
     TYPICAL interval length: cost is O(intervals x overlapped_buckets +
     matched pairs), so width >> interval length degenerates toward
     per-bucket products and width << interval length explodes the
@@ -256,19 +260,21 @@ def range_join(
     keys = [on] if isinstance(on, str) else list(on or [])
     w = int(bucket_width)
     p = points.withColumn("_b", F.floor(F.col(point) / w).cast("long"))
-    maxb = points.agg(
-        F.floor(F.max(F.col(point)) / w).cast("long").alias("_maxb")
-    )
-    iv = (
-        intervals.crossJoin(F.broadcast(maxb))
-        .withColumn("_b0", F.floor(F.col(start) / w).cast("long"))
-        .withColumn(
+    if open_ended:
+        maxb = points.agg(
+            F.floor(F.max(F.col(point)) / w).cast("long").alias("_maxb")
+        )
+        iv = intervals.crossJoin(F.broadcast(maxb)).withColumn(
             "_b1",
             F.least(
                 F.coalesce(F.floor(F.col(end) / w).cast("long"), F.col("_maxb")),
                 F.col("_maxb"),
             ),
         )
+    else:
+        iv = intervals.withColumn("_b1", F.floor(F.col(end) / w).cast("long"))
+    iv = (
+        iv.withColumn("_b0", F.floor(F.col(start) / w).cast("long"))
         .filter(F.col("_b1") >= F.col("_b0"))  # interval starts past all points -> no buckets
         .withColumn("_b", F.explode(F.sequence(F.col("_b0"), F.col("_b1"))))
         .drop("_b0", "_b1", "_maxb")

@@ -432,6 +432,55 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
 """
 
 
+def q_range_join_events(spark, sf_dir):
+    """Bucketized point-in-interval join (plans/joins.range_join): each
+    click attributed to every same-user purchase window [ts, ts+1h).
+    The range dimension is bucketized so the physical plan is a hash
+    equi-join on (user_id, bucket) + exact filter — never the
+    BroadcastNestedLoopJoin Spark plans for a raw p BETWEEN s AND e
+    condition (quadratic per key; the plan guard pins this). The oracle
+    is DuckDB's native interval join on the same epoch-micro bounds."""
+    from pygrametl_spark.plans.joins import range_join
+
+    HOUR_US = 3_600_000_000
+    # ts is TIMESTAMP_NTZ: micros measured from a fixed naive anchor are
+    # timezone-independent in both engines (unix_micros would depend on
+    # the session timezone, which the driver does not pin)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)"
+    )
+    ev = load_catalog(spark, sf_dir).events
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id", us.alias("p"),
+    )
+    buys = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id", us.alias("s"),
+        (us + F.lit(HOUR_US)).alias("e"),
+    )
+    return range_join(
+        clicks, buys, point="p", start="s", end="e", on="user_id",
+        bucket_width=HOUR_US, open_ended=False,
+    ).select("click_id", "purchase_id")
+
+
+ORACLE_RANGE_JOIN = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id,
+         datediff('microseconds', TIMESTAMP '2024-01-01 00:00:00', ts) AS p
+  FROM events WHERE event_type = 'click'
+),
+b AS (
+  SELECT event_id AS purchase_id, user_id,
+         datediff('microseconds', TIMESTAMP '2024-01-01 00:00:00', ts) AS s,
+         datediff('microseconds', TIMESTAMP '2024-01-01 00:00:00', ts)
+           + 3600000000 AS e
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.click_id, b.purchase_id
+FROM c JOIN b ON c.user_id = b.user_id AND c.p >= b.s AND c.p < b.e
+"""
+
+
 ORACLE_SCD_ASOF = _SCD2_DUCK_DIM + """
 SELECT e.event_id, d.id
 FROM events e JOIN dim d
@@ -795,6 +844,7 @@ ALL_QUERIES = {
     "scd2_build": q_scd2_build,
     "scd_lookupasof": q_scd_lookupasof,
     "asof_generic": q_asof_generic,
+    "range_join_events": q_range_join_events,
     "scd_closecurrent": q_scd_closecurrent,
     "snowflake_lookuprow": q_snowflake_lookuprow,
     "snowflake_ensure": q_snowflake_ensure,
@@ -830,6 +880,7 @@ ALL_ORACLES = {
     "scd2_build": ORACLE_SCD2_BUILD,
     "scd_lookupasof": ORACLE_SCD_ASOF,
     "asof_generic": ORACLE_ASOF_GENERIC,
+    "range_join_events": ORACLE_RANGE_JOIN,
     "scd_closecurrent": ORACLE_SCD_CLOSE,
     "snowflake_lookuprow": ORACLE_SNOWFLAKE_LOOKUP,
     "snowflake_ensure": ORACLE_SNOWFLAKE_ENSURE,

@@ -62,6 +62,7 @@ PART_COLS: dict[str, list[str]] = {
     "dim_getbykey": ["id", "name"],
     "scd_lookupasof": ["event_id", "id"],
     "asof_generic": ["click_id", "purchase_id"],
+    "range_join_events": ["click_id", "purchase_id"],
     "dim_getbyvals": ["p_partkey", "p_name", "p_size"],
     "snowflake_lookuprow": ["c_custkey", "name", "nation", "region"],
     "snowflake_ensure": ["c_custkey", "c_name", "n_nationkey", "c_acctbal"],
@@ -364,6 +365,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
         [
             ("scd", "scd_lookupasof"),
             ("generic", "asof_generic"),
+            ("range", "range_join_events"),
         ],
     ),
     # same registered name as the individual jaccard query it replaces:

@@ -1212,6 +1212,22 @@ def test_range_join_matches_nonequi_join(spark):
     assert plan.count(") BroadcastNestedLoopJoin") <= 1
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
+    # open_ended=False on all-bounded intervals: same result, and the
+    # one-row max-bucket broadcast attach disappears from the plan
+    bounded = [iv for iv in ivs if iv[3] is not None]
+    intervals_b = spark.createDataFrame(bounded, "iid long, k long, s long, e long")
+    got_b = range_join(
+        points, intervals_b, point="p", start="s", end="e", on="k",
+        bucket_width=64, open_ended=False,
+    )
+    want_b = range_join(
+        points, intervals_b, point="p", start="s", end="e", on="k", bucket_width=64
+    )
+    assert {(r["pid"], r["iid"]) for r in got_b.select("pid", "iid").collect()} == {
+        (r["pid"], r["iid"]) for r in want_b.select("pid", "iid").collect()
+    }
+    assert "BroadcastNestedLoopJoin" not in formatted_plan(got_b)
+
     # KEYLESS range join: plain Spark has no equi key at all and must
     # nested-loop; the bucketized plan still equi-joins on the bucket
     got0 = range_join(points, intervals, point="p", start="s", end="e", bucket_width=64)

@@ -38,6 +38,11 @@ CASES = {
     # SCD as-of interval join: member-key equi-join, never a range-only
     # product over the history.
     "scd_lookupasof": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
+    # generic as-of: ONE union-tagged window carry, no candidate product.
+    "asof_generic": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
+    # bucketized range join: hash equi-join on (key, bucket) — the raw
+    # non-equi condition would plan as BroadcastNestedLoopJoin.
+    "range_join_events": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
 }
 
 
