@@ -98,7 +98,9 @@ def ddl_for(df: DataFrame, table: str) -> str:
 def _insert_sql(table: str, columns: Sequence[str], paramstyle: str) -> str:
     if paramstyle == "qmark":
         ph = ["?"] * len(columns)
-    elif paramstyle == "format":
+    elif paramstyle in ("format", "pyformat"):
+        # pyformat drivers (psycopg2, MySQLdb) accept positional %s too,
+        # which keeps the executemany batches tuple-shaped
         ph = ["%s"] * len(columns)
     elif paramstyle == "numeric":
         ph = [f":{i + 1}" for i in range(len(columns))]
@@ -119,23 +121,32 @@ def PEP249Sink(
     overwrite: bool = True,
     batch_size: int = 10_000,
     paramstyle: str = "qmark",
-    parallel: bool = False,
+    parallel: bool | None = None,
 ) -> int:
     """Load a DataFrame into a PEP 249 database table. Returns rows written.
 
     ``connect`` is a zero-arg factory (mirrors ``PEP249Source``): for
     ``parallel=True`` it must cloudpickle, because every partition task
     opens its own connection executor-side and the driver never sees the
-    data — the scale path for server databases. The default
-    driver-side path streams Arrow batches from ``toLocalIterator``
-    through one connection: required for single-writer embedded engines
+    data — the scale path for server databases. The driver-side path
+    streams Arrow batches from ``toLocalIterator`` through one
+    connection: required for single-writer embedded engines
     (DuckDB/SQLite), and still memory-bounded (one batch in flight).
+
+    ``parallel=None`` (default) picks by ``paramstyle``: ``format`` /
+    ``pyformat`` / ``numeric`` identify server drivers (psycopg2,
+    MySQLdb, oracledb) that take concurrent writers, so the distributed
+    path is used; ``qmark`` is the embedded-engine style (sqlite3,
+    DuckDB, ODBC) and stays on the single-writer driver stream. Pass an
+    explicit bool to override either way.
 
     ``create``/``overwrite`` issue ``DROP TABLE IF EXISTS`` + portable
     ``CREATE TABLE`` DDL first. Ref parity: ConnectionWrapper's
     paramstyle translation (ref ``__init__.py:730-800``) becomes the
     ``paramstyle`` knob on one INSERT template.
     """
+    if parallel is None:
+        parallel = paramstyle in ("format", "pyformat", "numeric")
     columns = df.columns
     ins = _insert_sql(table, columns, paramstyle)
 
