@@ -299,6 +299,15 @@ def stream_scd2_maintain(
     oracle), which is exactly the invariant a streaming warehouse load
     must keep. Surrogate keys depend on batch slicing, so the stable
     output is (member, state, version, validity) — keys stay internal.
+
+    Crash recovery: foreachBatch is at-least-once, and ``scdensure`` is
+    an at-most-once merge (replaying an already-merged multi-change
+    batch re-appends its intermediate versions), so a production
+    deployment must version the dimension state by batch id — batch N
+    always computed from snapshot N-1 and written to its own location
+    (what a Delta/Iceberg txn-version guard does), making exact replay
+    overwrite instead of double-merge. Pinned by
+    ``tests/test_streaming_recovery.py`` with injected mid-run crashes.
     """
     from pygrametl_spark.operators.scd import SlowlyChangingDimension
 
