@@ -1383,3 +1383,47 @@ def test_write_wds_shards_string_ids(spark, tmp_path):
         assert key.startswith("doc-")
         i = int(key.split("-")[1])
         assert tar.extractfile(f"{key}.bin").read() == f"payload-{i}".encode()
+
+
+def test_scale_knob_max_bucket_size_skew_guard(spark):
+    """max_bucket_size drops degenerate hot LSH buckets (the skew guard
+    that keeps a 100 TB bucket-join from producing a quadratic pair set
+    inside one bucket): identical docs beyond the cap produce NO pairs,
+    while normal-sized buckets are untouched."""
+    # 12 identical docs = every band bucket has 12 members; one distinct
+    # near-pair stays in small buckets
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(12)]
+    rows += [(100, "totally different text content entirely here okay"),
+             (101, "totally different text content entirely here yes")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = dd.minhash_lsh_pairs(docs, threshold=0.0)
+    capped = dd.minhash_lsh_pairs(docs, threshold=0.0, max_bucket_size=5)
+    full_ids = {(r["id_1"], r["id_2"]) for r in full.collect()}
+    capped_ids = {(r["id_1"], r["id_2"]) for r in capped.collect()}
+    # uncapped: the 12-clone cluster contributes 66 pairs
+    assert sum(1 for a, b in full_ids if a < 100) == 66
+    # capped: the hot bucket is skipped entirely...
+    assert all(a >= 100 for a, b in capped_ids)
+    # ...but pairs from sane buckets survive
+    assert (100, 101) in capped_ids
+
+
+def test_scale_knob_driver_edge_threshold_forces_distributed_cc(spark):
+    """driver_edge_threshold is the collect() guard in neardup_clusters:
+    below it, components come from one driver union-find; above it, the
+    auto path must fall through to the distributed star contraction and
+    produce the same clusters."""
+    edges = [(i, i + 1) for i in range(0, 20, 2)]  # 10 two-node clusters
+    docs = spark.createDataFrame(
+        [(n, "x") for n in range(21)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(edges, "id_1 long, id_2 long")
+    driver = dd.neardup_clusters(docs, pairs=pairs, algorithm="auto",
+                                 driver_edge_threshold=1_000_000)
+    distributed = dd.neardup_clusters(docs, pairs=pairs, algorithm="auto",
+                                      driver_edge_threshold=3)
+    want = {r["doc_id"]: r["cluster_id"] for r in driver.collect()}
+    got = {r["doc_id"]: r["cluster_id"] for r in distributed.collect()}
+    assert got == want
+    assert want[1] == 0 and want[20] == 20
