@@ -1,9 +1,17 @@
-"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+"""Benchmark harness: ALL registered queries at $SPARK_GRAFT_SF_DIR
+(default sf0.1).
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}. Each query is executed to completion
 with a count() action (aggregates) — results are small; the cost is the
 scan/join/shuffle work, which is what we measure.
+
+Since round 3 the bench times every entry of the driver-facing registry
+(the exact callables the correctness gate runs, tag-union merges
+included), so a perf regression in ANY gated operator is visible
+round-over-round. Round 2 timed a 26-name subset, five of them as
+individual parts instead of their registered merges — the r2->r3 delta
+table in PERF.md flags those five as not directly comparable.
 """
 
 from __future__ import annotations
@@ -15,54 +23,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
-    "etl_star_load",
-    "corpus_curation",
-    "q01_pricing_summary",
-    "sql_transforming",
-    "joining_sources",
-    "scd2_build_close",
-    "scd_lookupasof",
-    "accumulating_snapshot",
-    "snowflake_lookup_ensure",
-    "crosstab",
-    "newest_version",
-    "dim_ensure",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "neardup_clusters",
-    "embedding_neardup",
-    "simhash",
-    "text_analysis",
-    "token_count",
-    "doc_chunks",
-    "ann_topk",
-    "ann_ivf_index",
-    "pep249_source",
-    "curation_guard",
-    "events_stream_windows",
-    "events_stream_ssjoin",
-]
-
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    from pygrametl_spark.queries import ALL_QUERIES, QUERIES
+    from pygrametl_spark.queries import QUERIES
     from pygrametl_spark.session import get_spark
 
-    # Per-part resolution for names that are both an individual query
-    # and a driver-facing tag-union: the merge exists for the
-    # correctness gate's entry budget, not as a workload, and the
-    # events merge drains THREE streaming queries per evaluation. The
-    # parts worth timing separately are named explicitly (ssjoin,
-    # doc_chunks have their own headline entries).
-    PREFER_PART = {
-        "events_stream_windows", "doc_chunks", "events_stream_ssjoin",
-        "dedup_ngram_jaccard",  # time the jaccard part, not both metrics
-        "scd_lookupasof",  # time the scd part, comparable across rounds
-    }
+    headline = list(QUERIES)  # the full 50-entry registry, driver order
 
     spark = get_spark("bench")
     spark.range(1).count()  # session spin-up outside any timing
@@ -96,11 +65,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         _session_hygiene()
-        fn = ALL_QUERIES[name] if name in PREFER_PART else (
-            QUERIES.get(name) or ALL_QUERIES[name]
-        )
+        fn = QUERIES[name]
         for _ in range(2):
             try:
                 fn(spark, sf_dir).count()

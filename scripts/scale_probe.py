@@ -86,8 +86,79 @@ def probe(spark, docs_path: str, emb_path: str, ev_path: str) -> dict[str, float
     return times
 
 
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# ETL-core replication axes: facts/events/members grow with K, the
+# small dimensions stay fixed — the shape real warehouse growth has.
+_ETL_REPL = {
+    "lineitem": ["l_orderkey"],       # fact rows xK (orderkeys shifted)
+    "orders": ["o_orderkey"],         # kept FK-consistent with lineitem
+    "events": ["event_id"],           # K x history depth per member
+    "customer": ["c_custkey"],        # K x members to snowflake-ensure
+}
+
+
+def build_etl_sfdir(spark, k: int, out_root: str) -> str:
+    """A full sf-layout directory with the ETL growth axes replicated
+    K x and everything else borrowed via symlink, so the registered
+    queries run against it unchanged."""
+    sf_dir = os.path.join(out_root, f"etl_sfx{k}")
+    if os.path.isdir(sf_dir) and len(os.listdir(sf_dir)) == len(TABLES):
+        return sf_dir
+    os.makedirs(sf_dir, exist_ok=True)
+    from pygrametl_spark.catalog import read_parquet
+
+    for t in TABLES:
+        dst = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(dst):
+            continue
+        if t in _ETL_REPL and k > 1:
+            from pyspark.sql import functions as F
+
+            df = read_parquet(spark, f"{BASE}/{t}.parquet")
+            copies = []
+            for i in range(k):
+                c = df
+                for col in _ETL_REPL[t]:
+                    c = c.withColumn(col, F.col(col) + F.lit(i * 100_000_000))
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+            out.write.mode("overwrite").parquet(dst)
+        else:
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+    return sf_dir
+
+
+def probe_etl(spark, sf_dir: str) -> dict[str, float]:
+    """Time the registered ETL-core queries (the exact gate callables)
+    against a replicated sf layout: star load, the SCD2 suite, snowflake
+    lookup+ensure, and the accumulating snapshot."""
+    from pygrametl_spark.queries import QUERIES
+
+    names = [
+        "etl_star_load", "scd2_build_close", "snowflake_lookup_ensure",
+        "accumulating_snapshot", "dim_ensure", "fact_suite",
+    ]
+    times = {}
+    for name in names:
+        fn = QUERIES[name]
+        fn(spark, sf_dir).count()  # warm-up
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    args = sys.argv[1:]
+    etl = "--etl" in args
+    args = [a for a in args if a != "--etl"]
+    ks = [int(a) for a in args] or ([1, 4, 16, 32] if etl else [1, 2, 4, 8])
     out_root = "/tmp/pygrametl_spark_scaleprobe"
     os.makedirs(out_root, exist_ok=True)
 
@@ -98,10 +169,14 @@ def main() -> None:
 
     results = {}
     for k in ks:
-        docs = replicate(spark, "documents", k, ["doc_id"], out_root)
-        emb = replicate(spark, "embeddings", k, ["vec_id"], out_root)
-        ev = replicate(spark, "events", k, ["event_id", "user_id"], out_root)
-        times = probe(spark, docs, emb, ev)
+        if etl:
+            sf_dir = build_etl_sfdir(spark, k, out_root)
+            times = probe_etl(spark, sf_dir)
+        else:
+            docs = replicate(spark, "documents", k, ["doc_id"], out_root)
+            emb = replicate(spark, "embeddings", k, ["vec_id"], out_root)
+            ev = replicate(spark, "events", k, ["event_id", "user_id"], out_root)
+            times = probe(spark, docs, emb, ev)
         results[k] = times
         print(json.dumps({"k": k, "times": times}))
 
