@@ -110,12 +110,16 @@ def asof_join(
     how: str = "left",
     tiebreak: str | None = None,
     suffix: str | None = None,
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """General-purpose as-of join (pandas ``merge_asof`` semantics): for
     every left row, attach the single right row with the LATEST
     ``right_time`` <= ``left_time`` within the same ``on`` keys
     (``direction="backward"``; ``"forward"`` takes the EARLIEST
-    ``right_time`` >= ``left_time``). The time-series primitive Spark
+    ``right_time`` >= ``left_time``; ``"nearest"`` the smaller absolute
+    gap of the two, backward winning exact ties — merge_asof's rule).
+    ``allow_exact_matches=False`` makes the comparisons strict on both
+    sides, again as in merge_asof. The time-series primitive Spark
     lacks natively (kdb ``aj``, TimescaleDB/DuckDB ``ASOF JOIN``, quote-
     to-trade matching, sensor alignment) — and the scalable formulation
     is NOT a range join: both sides are tagged and UNIONed, shuffled
@@ -150,8 +154,8 @@ def asof_join(
     rcols = right_cols if right_cols is not None else [
         c for c in right.columns if c not in keys and c != right_time
     ]
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward', or 'nearest'")
     # Payload names colliding with left output names -> ambiguous result
     # columns; rename via suffix or refuse loudly.
     clash = [c for c in rcols if c in left.columns]
@@ -187,33 +191,59 @@ def asof_join(
 
     from pyspark.sql import Window
 
-    # Ordering: right rows sort BEFORE the left row at equal times so
-    # ties match; with a tiebreak, equal-time right rows sort ascending
-    # on it (NULLs first) so the greatest value is carried last -> wins.
-    order = [
-        F.col("_t").asc() if direction == "backward" else F.col("_t").desc(),
-        F.col("_is_left").asc(),
-    ]
+    # Ordering: with exact matches allowed, right rows sort BEFORE the
+    # left row at equal times so ties match; strict mode sorts them
+    # AFTER so the carry excludes them. With a tiebreak, equal-time
+    # right rows sort ascending on it (NULLs first) so the greatest
+    # value is carried last -> wins.
+    tie = (
+        F.col("_is_left").asc() if allow_exact_matches else F.col("_is_left").desc()
+    )
+    tb_order = []
     if tiebreak is not None:
         tb_field = tiebreak if tiebreak in rcols else "_tbv"
-        order.append(F.col(f"_rpay.{tb_field}").asc_nulls_first())
-    w = Window.partitionBy(*keys).orderBy(*order)
-    carried = both.withColumn(
-        "_match",
-        F.last("_rpay", ignorenulls=True).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    ).filter(F.col("_is_left") == 1)
+        tb_order = [F.col(f"_rpay.{tb_field}").asc_nulls_first()]
 
-    if tolerance is not None:
-        gap = (
-            F.col("_t") - F.col("_match._rt")
-            if direction == "backward"
-            else F.col("_match._rt") - F.col("_t")
+    def carry(time_desc: bool):
+        o = [F.col("_t").desc() if time_desc else F.col("_t").asc(), tie, *tb_order]
+        w = Window.partitionBy(*keys).orderBy(*o).rowsBetween(
+            Window.unboundedPreceding, 0
         )
+        return F.last("_rpay", ignorenulls=True).over(w)
+
+    if direction == "nearest":
+        # both carries over ONE (keys) exchange — two sorts, no extra
+        # shuffle; backward wins exact-distance ties (merge_asof rule)
+        carried = (
+            both.withColumn("_mb", carry(False))
+            .withColumn("_mf", carry(True))
+            .filter(F.col("_is_left") == 1)
+        )
+        gb = F.col("_t") - F.col("_mb._rt")
+        gf = F.col("_mf._rt") - F.col("_t")
+        if tolerance is not None:
+            carried = carried.withColumn(
+                "_mb", F.when(gb <= tolerance, F.col("_mb"))
+            ).withColumn("_mf", F.when(gf <= tolerance, F.col("_mf")))
+            gb = F.col("_t") - F.col("_mb._rt")
+            gf = F.col("_mf._rt") - F.col("_t")
+        pick_b = F.col("_mb").isNotNull() & (F.col("_mf").isNull() | (gb <= gf))
         carried = carried.withColumn(
-            "_match", F.when(gap <= tolerance, F.col("_match"))
+            "_match", F.when(pick_b, F.col("_mb")).otherwise(F.col("_mf"))
         )
+    else:
+        carried = both.withColumn(
+            "_match", carry(direction == "forward")
+        ).filter(F.col("_is_left") == 1)
+        if tolerance is not None:
+            gap = (
+                F.col("_t") - F.col("_match._rt")
+                if direction == "backward"
+                else F.col("_match._rt") - F.col("_t")
+            )
+            carried = carried.withColumn(
+                "_match", F.when(gap <= tolerance, F.col("_match"))
+            )
     out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns] + [
         F.col(f"_match.{c}").alias(out_names[c]) for c in rcols
     ]

@@ -1147,24 +1147,27 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     left = spark.createDataFrame(left_pd)
     right = spark.createDataFrame(right_pd)
 
-    for direction in ("backward", "forward"):
+    for direction in ("backward", "forward", "nearest"):
         for tol in (None, 50):
-            want = pd.merge_asof(
-                left_pd.sort_values("lt"), right_pd.sort_values("rt"),
-                left_on="lt", right_on="rt", by="k",
-                direction=direction,
-                tolerance=tol,
-            )
-            got = asof_join(
-                left, right, "k", left_time="lt", right_time="rt",
-                direction=direction, tolerance=tol, right_cols=["rv"],
-            ).collect()
-            gmap = {r["lv"]: r["rv"] for r in got}
-            wmap = {
-                int(r.lv): (None if pd.isna(r.rv) else int(r.rv))
-                for r in want.itertuples()
-            }
-            assert gmap == wmap, f"direction={direction} tol={tol}"
+            for exact in (True, False):
+                want = pd.merge_asof(
+                    left_pd.sort_values("lt"), right_pd.sort_values("rt"),
+                    left_on="lt", right_on="rt", by="k",
+                    direction=direction,
+                    tolerance=tol,
+                    allow_exact_matches=exact,
+                )
+                got = asof_join(
+                    left, right, "k", left_time="lt", right_time="rt",
+                    direction=direction, tolerance=tol, right_cols=["rv"],
+                    allow_exact_matches=exact,
+                ).collect()
+                gmap = {r["lv"]: r["rv"] for r in got}
+                wmap = {
+                    int(r.lv): (None if pd.isna(r.rv) else int(r.rv))
+                    for r in want.itertuples()
+                }
+                assert gmap == wmap, f"direction={direction} tol={tol} exact={exact}"
 
     inner = asof_join(
         left, right, "k", left_time="lt", right_time="rt",
