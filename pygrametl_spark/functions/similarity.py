@@ -25,7 +25,7 @@ __all__ = [
     "cosine_neardup_pairs", "lsh_bucket", "lsh_banded_neardup",
     "ivf_assign", "ivf_topk", "ivf_write_index", "ivf_append_index",
     "ivf_topk_from_index", "sq8_codes", "sq8_topk",
-    "kmeans_refine",
+    "kmeans_refine", "semantic_dedup",
     "pq_train", "pq_codes", "pq_topk",
     "ivfpq_write_index", "ivfpq_topk", "ivfpq_append_index",
 ]
@@ -628,6 +628,108 @@ def lsh_banded_neardup(
             "cosine",
         )
         .distinct()
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    iters: int = 2,
+    threshold: float = 0.85,
+    centroids: DataFrame | None = None,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with spherical
+    k-means, then prune within clusters only — a document is a semantic
+    duplicate if some SAME-CLUSTER document with a smaller id sits above
+    the cosine ``threshold``. Returns one row per input:
+    (id, cluster, keep).
+
+    The clustering is what makes this a 100 TB operator: pairwise
+    comparison collapses from O(n²) corpus-wide to O(Σ cluster²) —
+    with k balanced clusters, a k-fold reduction — and each cluster is
+    scored as ONE Arrow batch with the same left-to-right column
+    accumulation as :func:`lsh_banded_neardup`'s grouped scorer, so the
+    cosine values are bit-identical to the sequential JVM expression
+    (the DuckDB oracle replays the identical k-means trajectory and
+    within-cluster pruning). The keep rule — drop anything with a
+    smaller-id near neighbor in its cluster — is the deterministic,
+    engine-replayable version of SemDeDup's keep-one-per-ε-ball.
+
+    Plan shape: kmeans (broadcast-assign scans + partial-sum updates),
+    ONE zero-shuffle assignment pass, one exchange on cluster, grouped
+    Arrow scoring, broadcast anti-join of the (small) duplicate-id set.
+    ``max_cluster_size`` is the same skew guard as dedup's
+    ``max_bucket_size``: an over-cap cluster is skipped (kept whole)
+    rather than scored quadratically — re-cluster with larger
+    ``n_clusters`` instead.
+    """
+    cent = (
+        centroids
+        if centroids is not None
+        else kmeans_refine(
+            df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, iters=iters
+        )
+    )
+    assigned = ivf_assign(
+        df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, centroids=cent
+    )
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType([
+        StructField("dup_id", LongType()),
+        StructField("cosine", DoubleType()),
+    ])
+    cap = max_cluster_size
+
+    def score_cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = len(pdf)
+        if m < 2 or (cap is not None and m > cap):
+            return pd.DataFrame({"dup_id": [], "cosine": []})
+        order = np.argsort(pdf["_vid"].to_numpy(), kind="stable")
+        ids = pdf["_vid"].to_numpy()[order]
+        A = np.asarray(pdf["_vec"].tolist(), dtype=np.float64)[order]
+        acc = np.zeros((m, m), dtype=np.float64)
+        for i in range(A.shape[1]):
+            col = A[:, i]
+            acc += np.multiply.outer(col, col)
+        # diag of acc accumulated in the same left-to-right dim order as
+        # the sequential JVM/SQL norm fold -> bit-identical norms
+        norms = np.sqrt(np.diag(acc))
+        iu, ju = np.triu_indices(m, k=1)
+        cosv = acc[iu, ju] / (norms[iu] * norms[ju])
+        # slack pre-filter only; round + exact threshold happen JVM-side
+        # (numpy rounds half-even, Spark/DuckDB ROUND is HALF_UP)
+        hit = cosv >= threshold - 1e-6
+        # ids[ju] is always the LARGER id of the pair -> the one dropped
+        return pd.DataFrame({"dup_id": ids[ju[hit]], "cosine": cosv[hit]})
+
+    dups = (
+        assigned.select(
+            "cluster", F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
+        )
+        .groupBy("cluster")
+        .applyInPandas(score_cluster, out_schema)
+        .withColumn("cosine", F.round(F.col("cosine"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("dup_id").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "cluster")
+        .join(F.broadcast(dups), id_col, "left")
+        .select(
+            id_col, "cluster", F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")
+        )
     )
 
 

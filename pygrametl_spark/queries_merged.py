@@ -101,6 +101,7 @@ PART_COLS: dict[str, list[str]] = {
     "multimodal_features": ["doc_id", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7"],
     "ann_lsh_buckets": ["vec_id", "bucket"],
     "ann_lsh_neardup": ["id_1", "id_2", "cosine"],
+    "ann_semdedup": ["vec_id", "cluster", "keep"],
     "ann_kmeans": ["vec_id", "cluster"],
     "ann_pq_codes": ["vec_id", "sub", "code"],
     "ann_sq8_topk": ["query_id", "rank", "neighbor_id", "qcosine"],
@@ -328,7 +329,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("id_1", "bigint"), ("id_2", "bigint"), ("cosine", "double"),
             ("query_id", "bigint"), ("rank", "bigint"),
             ("neighbor_id", "bigint"), ("qcosine", "double"),
-            ("sub", "bigint"), ("code", "bigint"),
+            ("sub", "bigint"), ("code", "bigint"), ("keep", "boolean"),
         ],
         [
             ("buckets", "ann_lsh_buckets"),
@@ -336,6 +337,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("kmeans", "ann_kmeans"),
             ("sq8", "ann_sq8_topk"),
             ("pq", "ann_pq_codes"),
+            ("semdedup", "ann_semdedup"),
         ],
     ),
     "topk": (

@@ -626,11 +626,13 @@ SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code FROM (
 """
 
 
-def _kmeans_oracle(iters: int = 2, dim: int = 64) -> str:
-    """Unrolled Lloyd's trajectory: the fixed iteration count makes the
-    whole training run one static SQL expression the oracle replays —
-    per-dim means rounded to 6 each round, empty clusters keep their
-    previous centroid, assignment ties to the lowest cid."""
+def _kmeans_ctes(iters: int = 2, dim: int = 64) -> list[str]:
+    """The unrolled Lloyd's trajectory as CTE strings (cent0..cent{iters}
+    + per-round assign/update relations): the fixed iteration count
+    makes the whole training run one static SQL expression — per-dim
+    means rounded to 6 each round, empty clusters keep their previous
+    centroid, assignment ties to the lowest cid. Shared by the kmeans
+    and semantic-dedup oracles."""
     from pygrametl_spark.queries_data import _cos_sql
 
     ctes = [
@@ -660,15 +662,61 @@ def _kmeans_oracle(iters: int = 2, dim: int = 64) -> str:
        (SELECT cid, list(m ORDER BY i) AS cent FROM u{it} GROUP BY cid) n
   ON p.cid = n.cid
 )""")
+    return ctes
+
+
+def _kmeans_assign_sql(iters: int = 2) -> str:
+    """Final-centroid nearest assignment as a CTE body (vec_id, cluster)."""
+    from pygrametl_spark.queries_data import _cos_sql
+
     return f"""
-WITH {", ".join(ctes)}
-SELECT vec_id, cluster FROM (
-  SELECT e.vec_id, c.cid AS cluster,
-         row_number() OVER (
-           PARTITION BY e.vec_id
-           ORDER BY {_cos_sql('e.embedding', 'c.cent')} DESC, c.cid ASC
-         ) AS rn
-  FROM embeddings e CROSS JOIN cent{iters} c) WHERE rn = 1
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cid AS cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cent')} DESC, c.cid ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent{iters} c) WHERE rn = 1"""
+
+
+def _kmeans_oracle(iters: int = 2, dim: int = 64) -> str:
+    return (
+        f"WITH {', '.join(_kmeans_ctes(iters, dim))}\n"
+        + _kmeans_assign_sql(iters)
+    )
+
+
+def q_ann_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup,
+    arXiv:2303.09540): spherical-kmeans clusters, within-cluster
+    smaller-id near-neighbor pruning — O(n²) collapses to
+    O(Σ cluster²), each cluster scored as one Arrow batch."""
+    from pygrametl_spark.functions import similarity as sim
+
+    emb = load_catalog(spark, sf_dir).embeddings
+    return sim.semantic_dedup(emb, n_clusters=8, iters=2, threshold=0.45)
+
+
+def _semdedup_oracle(threshold: float = 0.45, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB replay: identical k-means trajectory + assignment, then
+    the within-cluster smaller-id pruning rule on ROUNDed cosine."""
+    from pygrametl_spark.queries_data import _cos_sql
+
+    ctes = _kmeans_ctes(iters, dim)
+    asg = f"asg AS ({_kmeans_assign_sql(iters)})"
+    cos = _cos_sql("ea.embedding", "eb.embedding")
+    dups = f"""dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg a
+  JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON a.vec_id = ea.vec_id
+  JOIN embeddings eb ON b.vec_id = eb.vec_id
+  WHERE ROUND({cos}, 6) >= {threshold}
+)"""
+    return f"""
+WITH {", ".join(ctes)}, {asg}, {dups}
+SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS keep
+FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
 """
 
 
@@ -971,6 +1019,7 @@ MORE_QUERIES = {
     "events_sessionize": q_events_sessionize,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_kmeans": q_ann_kmeans,
+    "ann_semdedup": q_ann_semdedup,
     "ann_pq_codes": q_ann_pq_codes,
     "ann_sq8_topk": q_ann_sq8_topk,
     "ann_ivf_index": q_ann_ivf_index,
@@ -998,6 +1047,7 @@ MORE_ORACLES = {
     "events_sessionize": ORACLE_SESSIONIZE,
     "ann_ivf_topk": _ivf_oracle(),
     "ann_kmeans": _kmeans_oracle(),
+    "ann_semdedup": _semdedup_oracle(),
     "ann_pq_codes": _pq_oracle(),
     "ann_sq8_topk": ORACLE_ANN_SQ8,
     "ann_ivf_index": _ivf_oracle(),

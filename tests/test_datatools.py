@@ -1430,3 +1430,45 @@ def test_scale_knob_driver_edge_threshold_forces_distributed_cc(spark):
     got = {r["doc_id"]: r["cluster_id"] for r in distributed.collect()}
     assert got == want
     assert want[1] == 0 and want[20] == 20
+
+
+def test_semantic_dedup_keep_rule_and_guard(spark):
+    """semantic_dedup (SemDeDup-style): planted near-identical vectors
+    collapse to the smallest id within their cluster; the keep rule
+    equals the brute-force 'has a smaller-id near neighbor in the same
+    cluster' predicate; max_cluster_size skips over-cap clusters."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(30, 64)
+    base[10] = base[2] + 0.0005   # near-dup of 2
+    base[25] = base[2] - 0.0004   # near-dup of 2 (same ball)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim.semantic_dedup(emb, n_clusters=4, iters=2, threshold=0.95)
+    rows = {r["vec_id"]: (r["cluster"], r["keep"]) for r in out.collect()}
+    assert len(rows) == 30
+    # the planted twins share vector 2's cluster and are dropped; 2 stays
+    assert rows[2][1] is True
+    assert rows[10] == (rows[2][0], False) and rows[25] == (rows[2][0], False)
+
+    # brute-force replay of the keep rule
+    cl = {i: rows[i][0] for i in rows}
+    norms = np.sqrt((base * base).sum(axis=1))
+    want = {}
+    for i in range(30):
+        dup = any(
+            cl[j] == cl[i]
+            and round(float(base[i] @ base[j] / (norms[i] * norms[j])), 6) >= 0.95
+            for j in range(i)
+        )
+        want[i] = not dup
+    assert {i: k for i, (c, k) in rows.items()} == want
+
+    # skew guard: a cap below every cluster size -> nothing scored
+    guarded = sim.semantic_dedup(
+        emb, n_clusters=4, iters=2, threshold=0.95, max_cluster_size=2
+    )
+    assert guarded.filter("NOT keep").count() == 0
