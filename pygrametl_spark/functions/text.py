@@ -23,6 +23,7 @@ __all__ = [
     "repetition_stats", "REPETITION_THRESHOLDS",
     "char_entropy", "chunk_by_tokens", "remove_boilerplate_lines",
     "tfidf_topk", "winnow_fingerprints",
+    "ngram_lm_train", "ngram_lm_score",
 ]
 
 # Tiny deterministic marker lists (the heuristic, not a model).
@@ -583,4 +584,95 @@ def char_entropy(
     return df.withColumn(
         out,
         F.round(F.when(F.length(text) > 0, ent).otherwise(F.lit(0.0)), 6) + F.lit(0.0),
+    )
+
+
+def _bigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per adjacent token pair. The token array
+    is bound to a column FIRST (HOF-lambda binding discipline: an
+    inlined split would re-run per bigram), and pairs are built in-row
+    before the explode, so the only shuffle-bound relation is the
+    bigram rows themselves."""
+    staged = df.select(id_col, tokens(text_col).alias("_toks"))
+    pairs = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 1),
+            lambda i: F.struct(
+                F.element_at("_toks", i).alias("w1"),
+                F.element_at("_toks", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return staged.select(id_col, F.explode(pairs).alias("_bg")).select(
+        id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
+    )
+
+
+def ngram_lm_train(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus bigram language model: (w1, w2, c2, c1) where ``c2`` is
+    the bigram count and ``c1`` the context count (bigrams starting with
+    ``w1``), so ``c2/c1`` is a proper conditional P(w2|w1). Both counts
+    collapse map-side before their exchange — the shuffles carry
+    distinct n-grams, never token occurrences."""
+    bi = _bigram_rows(df, id_col, text_col)
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return c2.join(c1, "w1")
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: DataFrame | None = None,
+    floor: float = 1e-6,
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """CCNet-style LM quality score (Wenzek et al. 2020,
+    arXiv:1911.00359): per-document mean negative log-probability under
+    a bigram model — the perplexity proxy used to rank web text by
+    naturalness (low = fluent, high = gibberish/boilerplate-shredded).
+    Returns (id, n_bigrams, lm_score); documents with <2 tokens score
+    NULL.
+
+    ``model=None`` self-trains on the corpus (every bigram is then
+    in-vocabulary); pass :func:`ngram_lm_train` output from a reference
+    corpus to score NEW text against it, with unseen bigrams backing
+    off to ``floor``. ``broadcast_model=True`` broadcasts the model to
+    turn the probability lookup into a map-side join — the right call
+    when the reference model is vocabulary-bounded while the scored
+    corpus is 100 TB (the default shuffle join is for self-training,
+    where the model is corpus-sized; AQE's skew handling covers hot
+    function-word bigrams). Per-bigram neg-log-probs are rounded to 6
+    before the mean and the mean to 4, keeping the value replayable
+    across engines (same discipline as tfidf/entropy)."""
+    bi = _bigram_rows(df, id_col, text_col)
+    m = model if model is not None else ngram_lm_train(
+        df, id_col=id_col, text_col=text_col
+    )
+    m = m.select("w1", "w2", (F.col("c2") / F.col("c1")).alias("_p"))
+    if broadcast_model:
+        m = F.broadcast(m)
+    scored = bi.join(m, ["w1", "w2"], "left").withColumn(
+        "_nlp", F.round(-F.log(F.coalesce(F.col("_p"), F.lit(float(floor)))), 6)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("_nlp"), 4).alias("lm_score"),
+        )
+        .join(df.select(id_col), id_col, "right")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "lm_score",
+        )
     )

@@ -363,6 +363,34 @@ def q_events_dedup_watermark(spark, sf_dir):
 ORACLE_EVENTS_DEDUP = "SELECT DISTINCT user_id, event_type FROM events"
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style bigram LM quality score (functions/text.py
+    ngram_lm_score, arXiv:1911.00359): per-doc mean negative
+    log-probability under the corpus-trained bigram model — the
+    perplexity proxy for ranking text by naturalness."""
+    docs = spread(load_catalog(spark, sf_dir).documents)
+    return tx.ngram_lm_score(docs)
+
+
+ORACLE_LM_SCORE = rf"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bi AS (
+  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:]) AS w2
+  FROM t WHERE len(toks) >= 2
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+p AS (SELECT w1, w2, CAST(c2 AS DOUBLE) / c1 AS p FROM c2 JOIN c1 USING (w1)),
+s AS (SELECT doc_id, ROUND(-ln(p), 6) AS nlp FROM bi JOIN p USING (w1, w2)),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(nlp), 4) AS lm_score
+  FROM s GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams, agg.lm_score
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_char_entropy(spark, sf_dir):
     """Character-entropy quality proxy (functions/text.py char_entropy):
     bits/char Shannon entropy, computed fully in-row (sorted distinct
@@ -1139,6 +1167,7 @@ DATA_QUERIES = {
     "dedup_streaming": q_dedup_streaming,
     "events_dedup_watermark": q_events_dedup_watermark,
     "char_entropy": q_char_entropy,
+    "lm_score": q_lm_score,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "neardup_clusters": q_neardup_clusters,
@@ -1183,6 +1212,7 @@ DATA_ORACLES = {
     "dedup_streaming": ORACLE_DEDUP_STREAMING,
     "events_dedup_watermark": ORACLE_EVENTS_DEDUP,
     "char_entropy": ORACLE_CHAR_ENTROPY,
+    "lm_score": ORACLE_LM_SCORE,
     "minhash_signatures": ORACLE_MINHASH,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,

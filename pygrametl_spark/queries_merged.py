@@ -95,6 +95,7 @@ PART_COLS: dict[str, list[str]] = {
     "doc_fingerprint": ["doc_id", "fp"],
     "tfidf_topk": ["doc_id", "rank", "term", "tfidf"],
     "winnow_fp": ["doc_id", "wfp"],
+    "lm_score": ["doc_id", "n_bigrams", "lm_score"],
     "multimodal_decode": ["doc_id", "byte_len", "width", "height", "format"],
     "multimodal_resize": ["doc_id", "out_w", "out_h", "resized_md5"],
     "multimodal_frames": ["doc_id", "frame_idx", "ts_ms", "frame_md5"],
@@ -266,7 +267,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("dup5_frac", "double"), ("repetitive", "boolean"),
             ("char_entropy", "double"),
             ("rank", "bigint"), ("term", "string"), ("tfidf", "double"),
-            ("wfp", "bigint"),
+            ("wfp", "bigint"), ("n_bigrams", "bigint"), ("lm_score", "double"),
         ],
         [
             ("quality", "text_quality"),
@@ -276,6 +277,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("entropy", "char_entropy"),
             ("tfidf", "tfidf_topk"),
             ("winnow", "winnow_fp"),
+            ("lmscore", "lm_score"),
         ],
     ),
     "multimodal_pipeline": (

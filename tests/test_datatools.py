@@ -1472,3 +1472,43 @@ def test_semantic_dedup_keep_rule_and_guard(spark):
         emb, n_clusters=4, iters=2, threshold=0.95, max_cluster_size=2
     )
     assert guarded.filter("NOT keep").count() == 0
+
+
+def test_ngram_lm_score_semantics(spark):
+    """Bigram LM score: fluent repeated text scores lower (more
+    probable) than a unique-bigram doc; <2-token docs score NULL with 0
+    bigrams; scoring new text against an external model floors unseen
+    bigrams."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (3, "zq xv wk yj"),
+            (4, "single"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+           for r in tx.ngram_lm_score(docs).collect()}
+    assert out[4] == (0, None) and out[5] == (0, None)
+    assert out[1] == out[2]
+    # docs 1/2 share every bigram (P high); doc 3's bigrams are unique
+    # but all P("x"|"w")=1 within its own contexts -> compute expected
+    # for doc 3: each context appears once, so every P=1, score 0
+    assert out[3] == (3, 0.0)
+    # doc 1: "the"->{"cat":1,"mat":1} over 4 "the" contexts (2 docs x 2)
+    # P(cat|the)=2/4, P(mat|the)=2/4, others P=1
+    nlp = round(-math.log(0.5), 6)
+    assert out[1][1] == round((nlp + 0 + 0 + 0 + nlp) / 5, 4)
+
+    # external model + floor: unseen bigram backs off
+    model = tx.ngram_lm_train(docs.filter("doc_id <= 2"))
+    new = spark.createDataFrame([(9, "the dog sat")], "doc_id long, text string")
+    got = tx.ngram_lm_score(new, model=model, floor=1e-6,
+                            broadcast_model=True).first()
+    # "the dog" unseen -> floor; "dog sat" unseen -> floor
+    want = round((round(-math.log(1e-6), 6) * 2) / 2, 4)
+    assert (got["n_bigrams"], got["lm_score"]) == (2, want)
