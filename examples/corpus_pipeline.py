@@ -49,14 +49,27 @@ def run_pipeline(spark, sf_dir: str, out_dir: str):
     )
     counts["after_lineclean"] = cleaned.count()
 
-    # 2. filtering: language + quality + repetition gates
-    # (repetition_stats returns only its per-doc stats; join the flag back)
+    # 2. filtering: language + quality + repetition gates, then the
+    # CCNet-style LM perplexity proxy — drop the most-gibberish tail
+    # (NULL lm_score = <2 tokens, already gone via quality gates)
     scored = tx.quality_score(tx.lang_id(cleaned))
     rep_ok = tx.repetition_stats(cleaned).filter(~F.col("repetitive")).select("doc_id")
     kept = (
         scored.filter((F.col("quality_score") >= 0.2) & (F.col("lang_pred") != "und"))
         .join(rep_ok, "doc_id")
         .select("doc_id", "text", "source", "lang_pred", "quality_score")
+    )
+    # pin the surviving set before the LM pass: self-training scans it
+    # twice (bigram rows + model counts) and the filter-stage lineage
+    # above is deep — the same stage-boundary materialization a real
+    # pipeline would get from writing intermediate tables
+    kept = kept.localCheckpoint(eager=False)
+    lm = tx.ngram_lm_score(kept)
+    cutoff = lm.agg(
+        F.percentile_approx("lm_score", 0.95, 1000).alias("c")
+    ).first()["c"]
+    kept = kept.join(
+        lm.filter(F.col("lm_score") <= F.lit(cutoff)).select("doc_id"), "doc_id"
     )
     counts["after_quality"] = kept.count()
 
