@@ -24,7 +24,7 @@ from pygrametl_spark.functions.text import tokens, with_distinct_shingles
 __all__ = [
     "MINHASH_P", "MINHASH_A", "MINHASH_B",
     "hash32", "exact_dedup", "dedup_against", "minhash_signatures",
-    "minhash_signatures_long", "minhash_lsh_pairs",
+    "minhash_signatures_long", "minhash_lsh_pairs", "minhash_band_rows",
     "minhash_lsh_pairs_between", "simhash32", "ngram_jaccard_pairs",
     "neardup_clusters",
 ]
@@ -225,6 +225,37 @@ def minhash_signatures_long(df: DataFrame, id_col: str = "doc_id", text_col: str
     )
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, sig, bidx, bhash): one row per document per LSH band, with
+    the full MinHash signature carried as an array — the relation both
+    the batch pair enumeration and the streaming accepted-store build
+    on. Fully in-row (signature + band hashes computed in the scan
+    stage, one explode); the md5 band hash is the same formula the
+    DuckDB oracle replays."""
+    rows_per_band = MINHASH_K // bands
+    wide = minhash_signatures(df, id_col, text_col)
+    band_cols = [
+        F.md5(F.concat_ws(",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    sig = wide.select(id_col, *[F.col(f"mh{i}") for i in range(MINHASH_K)], *band_cols)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh{i}") for i in range(MINHASH_K)]).alias("sig"),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("bidx"), F.col(f"band{b}").alias("bhash")) for b in range(bands)])
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.bidx", "bb.bhash")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -249,22 +280,7 @@ def minhash_lsh_pairs(
     that big is a degenerate duplicate cluster; None keeps exact
     semantics). Returns (id_1, id_2, est_jaccard).
     """
-    rows_per_band = MINHASH_K // bands
-    wide = minhash_signatures(df, id_col, text_col)
-    band_cols = [
-        F.md5(F.concat_ws(",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
-    sig = wide.select(id_col, *[F.col(f"mh{i}") for i in range(MINHASH_K)], *band_cols)
-    buckets = sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"mh{i}") for i in range(MINHASH_K)]).alias("sig"),
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("bidx"), F.col(f"band{b}").alias("bhash")) for b in range(bands)])
-        ).alias("bb"),
-    ).select(id_col, "sig", "bb.bidx", "bb.bhash")
+    buckets = minhash_band_rows(df, id_col, text_col, bands=bands)
     grouped = (
         buckets.groupBy("bidx", "bhash")
         .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig"))).alias("ms"))

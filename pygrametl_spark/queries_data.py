@@ -331,6 +331,17 @@ HAVING text NOT IN (SELECT text FROM documents WHERE doc_id % 10 >= 3)
 """
 
 
+def q_dedup_minhash_stream(spark, sf_dir):
+    """Streaming NEAR-dup rejection (streaming/corpus.py
+    stream_dedup_minhash): per-batch band-key join against the
+    seen-fingerprint store; id-ordered batches make the run equal its
+    batch twin — every doc that is the id_2 of an LSH near-pair over
+    the full corpus is rejected."""
+    from pygrametl_spark.streaming.corpus import stream_dedup_minhash
+
+    return stream_dedup_minhash(spark, sf_dir, n_files=2)
+
+
 def q_dedup_streaming(spark, sf_dir):
     """Incremental exact dedup over a live document stream: per-batch
     fingerprint + anti-join against the accepted store (foreachBatch,
@@ -465,6 +476,10 @@ cand AS (
 
 
 ORACLE_MINHASH_LSH = _lsh_oracle()
+
+ORACLE_MINHASH_STREAM = _lsh_oracle(final=False) + """
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_2 FROM pairs)
+"""
 
 
 _CLUSTER_CTES = """,
@@ -1165,6 +1180,7 @@ DATA_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
     "dedup_streaming": q_dedup_streaming,
+    "dedup_minhash_stream": q_dedup_minhash_stream,
     "events_dedup_watermark": q_events_dedup_watermark,
     "char_entropy": q_char_entropy,
     "lm_score": q_lm_score,
@@ -1210,6 +1226,7 @@ DATA_ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_streaming": ORACLE_DEDUP_STREAMING,
+    "dedup_minhash_stream": ORACLE_MINHASH_STREAM,
     "events_dedup_watermark": ORACLE_EVENTS_DEDUP,
     "char_entropy": ORACLE_CHAR_ENTROPY,
     "lm_score": ORACLE_LM_SCORE,

@@ -128,6 +128,7 @@ PART_COLS: dict[str, list[str]] = {
     "doc_chunks": ["doc_id", "chunk_id", "n_chunk_tokens", "chunk_fp"],
     "chunk_dedup": ["doc_id", "chunk_id", "chunk_fp", "n_copies"],
     "dedup_streaming": ["doc_id", "fp"],
+    "dedup_minhash_stream": ["doc_id"],
     "events_dedup_watermark": ["user_id", "event_type"],
     "char_entropy": ["doc_id", "char_entropy"],
     "decontaminate": ["doc_id", "contaminated"],
@@ -305,6 +306,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("batch", "dedup_exact"),
             ("incremental", "dedup_incremental"),
             ("stream", "dedup_streaming"),
+            ("minhashstream", "dedup_minhash_stream"),
             ("watermark", "events_dedup_watermark"),
         ],
     ),

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from pygrametl_spark.functions.text import fingerprint
 
-__all__ = ["stream_dedup_exact"]
+__all__ = ["stream_dedup_exact", "stream_dedup_minhash"]
 
 
 def _stage_id_sliced(spark: SparkSession, sf_dir: str, n_files: int):
@@ -107,3 +107,97 @@ def stream_dedup_exact(
     )
     q.awaitTermination()
     return spark.read.parquet(store)
+
+
+def stream_dedup_minhash(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_files: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental NEAR-duplicate rejection on a live document stream —
+    the MinHash-LSH counterpart of :func:`stream_dedup_exact`.
+
+    The accepted-store pattern generalizes: the store holds every SEEN
+    document's LSH band rows (band hash + full signature — fingerprints,
+    not text, so it stays tiny relative to the corpus), and a batch
+    document is rejected iff some smaller-id document anywhere in
+    (store ∪ batch) collides with it in a band AND matches at
+    ``est_jaccard >= threshold``. Because micro-batches are id-ordered
+    slices, "seen earlier" == "smaller id", so the whole streaming run
+    has an exact batch twin: drop every ``id_2`` of
+    :func:`pygrametl_spark.functions.dedup.minhash_lsh_pairs` over the
+    full corpus — which is what the DuckDB oracle checks. (Dropped
+    documents' fingerprints STAY in the store: a near-dup of a rejected
+    document is itself rejected, keeping the rule transitive-free and
+    batch-replayable.)
+
+    Per batch: one in-row signature pass over the batch, a band-key
+    equi-join of batch rows against (store ∪ batch) — never corpus ×
+    corpus — and two appends. The join's build side is the batch's own
+    band rows; the probe side is the store, which at 100 TB is the
+    corpus's fingerprints only (~1% of text volume). Crash recovery:
+    both effects are appends keyed by doc_id; a replayed batch re-drops
+    the same ids (the store rows it appended earlier make its own docs
+    collide with themselves at equal id — excluded by the strict ``<``)
+    so re-appends duplicate rows at most, removed by the final distinct.
+    """
+    from pygrametl_spark.functions.dedup import MINHASH_K, minhash_band_rows
+
+    full, stage = _stage_id_sliced(spark, sf_dir, n_files)
+    root = os.path.join(
+        tempfile.gettempdir(), f"pygrametl_spark_mhstore_{uuid.uuid4().hex[:8]}"
+    )
+    band_store, accepted_store = f"{root}/bands", f"{root}/accepted"
+    spark.createDataFrame(
+        [], "doc_id long, sig array<bigint>, bidx int, bhash string"
+    ).write.mode("overwrite").parquet(band_store)
+    spark.createDataFrame([], "doc_id long").write.mode("overwrite").parquet(
+        accepted_store
+    )
+
+    def accept(bdf, _bid):
+        sp = bdf.sparkSession
+        bands = minhash_band_rows(bdf).localCheckpoint(eager=True)
+        seen = sp.read.parquet(band_store)
+        everyone = seen.unionByName(bands)
+        eq = F.size(
+            F.filter(F.zip_with("b_sig", "o_sig", lambda x, y: x == y), lambda v: v)
+        )
+        dropped = (
+            bands.select(
+                F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"),
+                "bidx", "bhash",
+            )
+            .join(
+                everyone.select(
+                    F.col("doc_id").alias("o_id"), F.col("sig").alias("o_sig"),
+                    "bidx", "bhash",
+                ),
+                ["bidx", "bhash"],
+            )
+            .filter(F.col("o_id") < F.col("b_id"))
+            .withColumn("_ej", F.round(eq / F.lit(float(MINHASH_K)), 4))
+            .filter(F.col("_ej") >= threshold)
+            .select(F.col("b_id").alias("doc_id"))
+            .distinct()
+        )
+        bands.write.mode("append").parquet(band_store)
+        bdf.select("doc_id").join(dropped, "doc_id", "left_anti").write.mode(
+            "append"
+        ).parquet(accepted_store)
+
+    files = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/part*")
+    )
+    q = (
+        files.writeStream.foreachBatch(accept)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mhdedup_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(accepted_store).distinct()

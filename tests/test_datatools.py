@@ -1512,3 +1512,22 @@ def test_ngram_lm_score_semantics(spark):
     # "the dog" unseen -> floor; "dog sat" unseen -> floor
     want = round((round(-math.log(1e-6), 6) * 2) / 2, 4)
     assert (got["n_bigrams"], got["lm_score"]) == (2, want)
+
+
+def test_stream_dedup_minhash_equals_batch_twin(spark):
+    """Streaming near-dup rejection over id-ordered batches equals the
+    batch rule exactly: accepted == documents minus every id_2 of the
+    corpus-wide LSH pair enumeration."""
+    from pygrametl_spark.catalog import load_catalog
+    from pygrametl_spark.streaming.corpus import stream_dedup_minhash
+
+    got = {
+        r["doc_id"]
+        for r in stream_dedup_minhash(
+            spark, "/root/testdata/sf0.001", n_files=3
+        ).collect()
+    }
+    docs = load_catalog(spark, "/root/testdata/sf0.001").documents
+    drop = {r["id_2"] for r in dd.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    want = {r["doc_id"] for r in docs.select("doc_id").collect()} - drop
+    assert got == want and len(drop) > 0
