@@ -652,22 +652,37 @@ def ngram_lm_score(
     where the model is corpus-sized; AQE's skew handling covers hot
     function-word bigrams). Per-bigram neg-log-probs are rounded to 6
     before the mean and the mean to 4, keeping the value replayable
-    across engines (same discipline as tfidf/entropy)."""
+    across engines (same discipline as tfidf/entropy).
+
+    Plan shape: everything derives from ONE per-document term-frequency
+    relation (doc, w1, w2, tf) — far smaller than raw bigram
+    occurrences — and in self-train mode that relation is pinned with a
+    lazy localCheckpoint so the corpus is scanned and exploded ONCE for
+    both the model counts and the scoring join (verified: without the
+    pin Spark plans two full scan+explode subtrees; no exchange reuse
+    applies because the two aggregations shuffle on different keys)."""
     bi = _bigram_rows(df, id_col, text_col)
-    m = model if model is not None else ngram_lm_train(
-        df, id_col=id_col, text_col=text_col
-    )
+    tf = bi.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("_tf"))
+    if model is not None:
+        m = model
+    else:
+        tf = tf.localCheckpoint(eager=False)
+        m = tf.groupBy("w1", "w2").agg(F.sum("_tf").alias("c2")).join(
+            tf.groupBy("w1").agg(F.sum("_tf").alias("c1")), "w1"
+        )
     m = m.select("w1", "w2", (F.col("c2") / F.col("c1")).alias("_p"))
     if broadcast_model:
         m = F.broadcast(m)
-    scored = bi.join(m, ["w1", "w2"], "left").withColumn(
+    scored = tf.join(m, ["w1", "w2"], "left").withColumn(
         "_nlp", F.round(-F.log(F.coalesce(F.col("_p"), F.lit(float(floor)))), 6)
     )
     return (
         scored.groupBy(id_col)
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(F.avg("_nlp"), 4).alias("lm_score"),
+            F.sum("_tf").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("_tf") * F.col("_nlp")) / F.sum("_tf"), 4
+            ).alias("lm_score"),
         )
         .join(df.select(id_col), id_col, "right")
         .select(

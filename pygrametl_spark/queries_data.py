@@ -389,12 +389,16 @@ bi AS (
   SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:]) AS w2
   FROM t WHERE len(toks) >= 2
 ),
-c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
-c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+tfd AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bi GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, SUM(tf) AS c2 FROM tfd GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(tf) AS c1 FROM tfd GROUP BY 1),
 p AS (SELECT w1, w2, CAST(c2 AS DOUBLE) / c1 AS p FROM c2 JOIN c1 USING (w1)),
-s AS (SELECT doc_id, ROUND(-ln(p), 6) AS nlp FROM bi JOIN p USING (w1, w2)),
+s AS (
+  SELECT doc_id, tf, ROUND(-ln(p), 6) AS nlp FROM tfd JOIN p USING (w1, w2)
+),
 agg AS (
-  SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(nlp), 4) AS lm_score
+  SELECT doc_id, SUM(tf) AS n_bigrams,
+         ROUND(SUM(tf * nlp) / SUM(tf), 4) AS lm_score
   FROM s GROUP BY 1
 )
 SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams, agg.lm_score
