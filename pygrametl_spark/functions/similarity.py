@@ -675,9 +675,13 @@ def semantic_dedup(
             df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, iters=iters
         )
     )
+    # pinned: the assignment feeds BOTH the duplicate scorer and the
+    # final keep join; without the pin the whole kmeans trajectory +
+    # assignment scan is planned twice (no exchange reuse — the two
+    # consumers shuffle on different keys)
     assigned = ivf_assign(
         df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, centroids=cent
-    )
+    ).localCheckpoint(eager=False)
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
