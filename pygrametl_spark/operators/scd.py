@@ -156,7 +156,8 @@ class SlowlyChangingDimension(Dimension):
         return out
 
     # -- the merge --------------------------------------------------------
-    def scdensure(self, batch: DataFrame, namemapping=None) -> None:
+    def scdensure(self, batch: DataFrame, namemapping=None, *,
+                  idempotent: bool = False) -> None:
         """Batch SCD2 merge (ref scdensure :1274-1421).
 
         Handles multiple changes per member in one batch by ordering the
@@ -173,6 +174,26 @@ class SlowlyChangingDimension(Dimension):
         5. surviving new versions get dense max+1 surrogate keys,
         6. type-1 attributes: latest incoming value overwrites all (or
            latest) versions in place (ref :1486-1528).
+
+        Like the reference's sequential merge, re-applying an
+        ALREADY-MERGED multi-change batch re-appends its intermediate
+        versions (the stack orders all incoming rows after all stored
+        versions, so a replayed old value compares against the NEWEST
+        version, not the one its date belongs to). ``idempotent=True``
+        makes exact replay a no-op — the crash-recovery contract an
+        at-least-once ``foreachBatch`` deployment needs
+        (streaming/events.stream_scd2_maintain) — by interleaving the
+        stack by TIME (fromdate/event date; ties: stored version first)
+        instead of versions-then-incoming: every replayed row then lands
+        directly after the version its date falls in, carries that
+        version's own value, and is no-change-suppressed; a genuinely
+        new change still differs from its time-predecessor and merges
+        normally. Requires ``fromatt`` + ``srcdateatt``, and assumes
+        per-member event dates are >= the stored history's (the
+        time-ordered-stream contract; with equal-timestamp multi-change
+        chains replay ordering is ambiguous, as in the base merge).
+        Cost shape is IDENTICAL to the default merge (same one exchange
+        on the member key) — only the sort key changes.
         """
         b = apply_namemapping(batch, namemapping)
         eff = (
@@ -183,6 +204,10 @@ class SlowlyChangingDimension(Dimension):
         incoming = b.withColumn("_eff", eff).select(
             *self.lookupatts, *self.trackedatts, *[c for c in self.type1atts if c in b.columns], "_eff"
         )
+        if idempotent and not (self.fromatt and self.srcdateatt):
+            raise ValueError(
+                "idempotent scdensure requires fromatt and srcdateatt"
+            )
 
         hist = self.df
         w_cur = Window.partitionBy(*self.lookupatts).orderBy(self._ordering_desc())
@@ -220,7 +245,16 @@ class SlowlyChangingDimension(Dimension):
         # Event order per member: existing versions first (by their version
         # order), then incoming by effective date. _src breaks ties so an
         # incoming change dated equal to the current version lands after it.
-        order = [F.col("_src").asc(), F.col("_ver").asc_nulls_first(), F.col("_from").asc_nulls_first()]
+        # idempotent mode interleaves by TIME instead: each incoming row
+        # lands right after the version covering its date, so a replayed
+        # row's predecessor carries its own value -> no-change-suppressed.
+        if idempotent:
+            order = [
+                F.col("_from").asc_nulls_first(), F.col("_src").asc(),
+                F.col("_ver").asc_nulls_first(),
+            ]
+        else:
+            order = [F.col("_src").asc(), F.col("_ver").asc_nulls_first(), F.col("_from").asc_nulls_first()]
         w = Window.partitionBy(*self.lookupatts).orderBy(*order)
         cmp_cols = [F.col(a) for a in self.trackedatts]
         if self.versionondatechange:

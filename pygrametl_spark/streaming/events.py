@@ -300,13 +300,14 @@ def stream_scd2_maintain(
     must keep. Surrogate keys depend on batch slicing, so the stable
     output is (member, state, version, validity) — keys stay internal.
 
-    Crash recovery: foreachBatch is at-least-once, and ``scdensure`` is
-    an at-most-once merge (replaying an already-merged multi-change
-    batch re-appends its intermediate versions), so a production
-    deployment must version the dimension state by batch id — batch N
-    always computed from snapshot N-1 and written to its own location
-    (what a Delta/Iceberg txn-version guard does), making exact replay
-    overwrite instead of double-merge. Pinned by
+    Crash recovery: foreachBatch is at-least-once, so the merge runs
+    with ``scdensure(idempotent=True)`` — the time-interleaved stack
+    ordering no-change-suppresses every replayed row, making exact
+    batch replay a no-op (identical results for time-ordered slices).
+    A deployment that cannot assume time-ordering should instead
+    version the dimension state by batch id — batch N computed from
+    snapshot N-1 and written to its own location (the Delta/Iceberg
+    txn-version guard). Both shapes pinned by
     ``tests/test_streaming_recovery.py`` with injected mid-run crashes.
     """
     from pygrametl_spark.operators.scd import SlowlyChangingDimension
@@ -328,7 +329,10 @@ def stream_scd2_maintain(
         ts_col = (
             F.timestamp_micros(F.expr("ts div 1000")) if ts_is_long else F.col("ts")
         )
-        scd.scdensure(bdf.select("user_id", "event_type", ts_col.alias("ts")))
+        scd.scdensure(
+            bdf.select("user_id", "event_type", ts_col.alias("ts")),
+            idempotent=True,
+        )
 
     files = (
         spark.readStream.schema(full.schema)

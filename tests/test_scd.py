@@ -338,3 +338,65 @@ def test_scd2_datechange_matches_sequential_replay(spark, raw):
         key=lambda t: t[2],
     )
     assert got == _replay_datechange(ordered)
+
+
+def test_scdensure_idempotent_replay(spark):
+    """idempotent=True makes exact (and partial) batch replay a no-op —
+    the at-least-once foreachBatch contract — while plain re-apply of a
+    multi-change batch re-appends history (the documented hazard)."""
+    import datetime
+
+    from pygrametl_spark.operators.scd import SlowlyChangingDimension
+
+    def ts(d):
+        return datetime.datetime(2024, 1, d)
+
+    empty = spark.createDataFrame(
+        [], "id long, user_id long, state string, version long, "
+            "fromdate timestamp, todate timestamp",
+    )
+    scd = SlowlyChangingDimension(
+        "t", "id", ["user_id", "state", "version", "fromdate", "todate"],
+        ["user_id"], versionatt="version", fromatt="fromdate",
+        toatt="todate", srcdateatt="ts", df=empty,
+    )
+    batch1 = spark.createDataFrame(
+        [(1, "A", ts(1)), (1, "B", ts(2)), (1, "A", ts(3)), (2, "X", ts(1))],
+        "user_id long, state string, ts timestamp",
+    )
+    scd.scdensure(batch1)
+    state1 = sorted(tuple(r) for r in scd.df.collect())
+    assert len(state1) == 4  # A,B,A for user 1 + X for user 2
+
+    # exact replay: no-op
+    scd.scdensure(batch1, idempotent=True)
+    assert sorted(tuple(r) for r in scd.df.collect()) == state1
+
+    # at-least-once overlap: old rows filtered, the new change applies
+    batch2 = spark.createDataFrame(
+        [(1, "A", ts(3)), (1, "C", ts(4)), (2, "X", ts(1))],
+        "user_id long, state string, ts timestamp",
+    )
+    scd.scdensure(batch2, idempotent=True)
+    rows = {(r["user_id"], r["state"], r["version"]) for r in scd.df.collect()}
+    assert (1, "C", 4) in rows and len(rows) == 5
+
+    # replaying the overlap batch again: still a no-op
+    state2 = sorted(tuple(r) for r in scd.df.collect())
+    scd.scdensure(batch2, idempotent=True)
+    assert sorted(tuple(r) for r in scd.df.collect()) == state2
+
+    # the hazard idempotent= prevents: plain re-apply re-appends
+    scd.scdensure(batch1)
+    assert scd.df.count() > 5
+
+    # guard: no event-date identity -> refuse
+    scd2 = SlowlyChangingDimension(
+        "t2", "id", ["user_id", "state", "version", "fromdate", "todate"],
+        ["user_id"], versionatt="version", fromatt="fromdate",
+        toatt="todate", df=empty,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="idempotent"):
+        scd2.scdensure(batch1.drop("ts"), idempotent=True)

@@ -167,3 +167,73 @@ def test_dedup_stream_recovery_equals_batch_twin(spark, tmp_path):
         .groupBy("fp").agg(F.min("doc_id").alias("doc_id")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_scd2_stream_recovery_idempotent_single_store(spark, tmp_path):
+    """The simpler deployment shape: ONE dimension location +
+    scdensure(idempotent=True). The replayed batch's rows anti-join
+    against the already-merged history, so recovery needs no
+    batch-id-versioned snapshots at all."""
+    from pygrametl_spark.operators.scd import SlowlyChangingDimension
+    from pygrametl_spark.streaming.events import _stage_time_sliced
+
+    full, stage, ts_is_long = _stage_time_sliced(spark, SF, 3, "scd_recov3")
+    empty_schema = (
+        "id long, user_id long, event_type string, version long, "
+        "fromdate timestamp, todate timestamp"
+    )
+
+    def make_upsert(dim_path, fail_on_batch=None):
+        state = {"tripped": False}
+
+        def upsert(bdf, bid):
+            sp = bdf.sparkSession
+            if os.path.isdir(dim_path):
+                cur = sp.read.parquet(dim_path)
+            else:
+                cur = sp.createDataFrame([], empty_schema)
+            scd = SlowlyChangingDimension(
+                f"scd_idem_{uuid.uuid4().hex[:6]}", "id",
+                ["user_id", "event_type", "version", "fromdate", "todate"],
+                ["user_id"], versionatt="version", fromatt="fromdate",
+                toatt="todate", srcdateatt="ts", df=cur,
+            )
+            ts_col = (
+                F.timestamp_micros(F.expr("ts div 1000"))
+                if ts_is_long else F.col("ts")
+            )
+            scd.scdensure(
+                bdf.select("user_id", "event_type", ts_col.alias("ts")),
+                idempotent=True,
+            )
+            # materialize BEFORE overwriting the directory being read
+            out = scd.df.localCheckpoint(eager=True)
+            out.write.mode("overwrite").parquet(dim_path)
+            if fail_on_batch == bid and not state["tripped"]:
+                state["tripped"] = True
+                raise RuntimeError("injected crash after external commit")
+
+        return upsert
+
+    def stable(dim_path):
+        return {
+            tuple(r) for r in spark.read.parquet(dim_path).select(
+                "user_id", "event_type", "version",
+                F.date_format("fromdate", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                F.date_format("todate", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            ).collect()
+        }
+
+    clean_dim = str(tmp_path / "dim_clean_i")
+    _run_stream(spark, stage, full.schema, make_upsert(clean_dim),
+                str(tmp_path / "ckpt_clean_i"))
+
+    crash_dim = str(tmp_path / "dim_crash_i")
+    ckpt = str(tmp_path / "ckpt_crash_i")
+    with pytest.raises(Exception, match="injected crash"):
+        _run_stream(spark, stage, full.schema,
+                    make_upsert(crash_dim, fail_on_batch=1), ckpt)
+    _run_stream(spark, stage, full.schema, make_upsert(crash_dim), ckpt)
+
+    assert stable(crash_dim) == stable(clean_dim)
+    assert len(stable(clean_dim)) > 0
