@@ -76,6 +76,12 @@ def probe(spark, docs_path: str, emb_path: str, ev_path: str) -> dict[str, float
             ev.select("user_id", "event_type", "ts"),
             ["user_id"], ["event_type"], "ts",
         ).count(),
+        "lm_score": lambda: tx.ngram_lm_score(docs).agg(
+            F.sum("n_bigrams")
+        ).count(),
+        "semantic_dedup": lambda: sim.semantic_dedup(
+            emb, n_clusters=8, iters=2, threshold=0.45
+        ).filter("NOT keep").count(),
     }
     times = {}
     for name, fn in ops.items():
