@@ -400,3 +400,64 @@ def test_scdensure_idempotent_replay(spark):
 
     with _pytest.raises(ValueError, match="idempotent"):
         scd2.scdensure(batch1.drop("ts"), idempotent=True)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),            # member
+            st.sampled_from("ABC"),       # tracked value
+        ),
+        min_size=1, max_size=14,
+    ),
+    st.data(),
+)
+def test_scdensure_idempotent_property(spark, events, data):
+    """Property: for any time-ordered event stream split into arbitrary
+    batches, applying the batches with scdensure(idempotent=True) —
+    with any batch REPLAYED immediately after itself — yields exactly
+    the same (member, value, version, validity) state as the clean
+    batched run, which itself equals the one-shot merge."""
+    import datetime
+
+    # strictly increasing per-stream timestamps (the time-ordered contract)
+    rows = [
+        (u, v, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i))
+        for i, (u, v) in enumerate(events)
+    ]
+    cuts = sorted(data.draw(st.sets(
+        st.integers(1, max(1, len(rows) - 1)), min_size=0, max_size=2,
+    )))
+    bounds = [0, *cuts, len(rows)]
+    batches = [rows[a:b] for a, b in zip(bounds, bounds[1:]) if a < b]
+    replay_at = data.draw(st.integers(0, len(batches) - 1))
+
+    empty = spark.createDataFrame(
+        [], "id long, user_id long, state string, version long, "
+            "fromdate timestamp, todate timestamp",
+    )
+
+    def run(batch_seq):
+        scd = SlowlyChangingDimension(
+            "p", "id", ["user_id", "state", "version", "fromdate", "todate"],
+            ["user_id"], versionatt="version", fromatt="fromdate",
+            toatt="todate", srcdateatt="ts", df=empty,
+        )
+        for b in batch_seq:
+            scd.scdensure(
+                spark.createDataFrame(b, "user_id long, state string, ts timestamp"),
+                idempotent=True,
+            )
+        return sorted(
+            (r["user_id"], r["state"], r["version"], r["fromdate"], r["todate"])
+            for r in scd.df.collect()
+        )
+
+    clean = run(batches)
+    with_replay = run(
+        [b for i, bb in enumerate(batches) for b in ([bb, bb] if i == replay_at else [bb])]
+    )
+    oneshot = run([rows])
+    assert with_replay == clean
+    assert clean == oneshot
