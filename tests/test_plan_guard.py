@@ -40,6 +40,13 @@ CASES = {
     "scd_lookupasof": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
     # generic as-of: ONE union-tagged window carry, no candidate product.
     "asof_generic": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
+    # bigram LM score: n-gram count joins, never a product; no
+    # row-at-a-time Python anywhere (the global BatchEvalPython check).
+    "lm_score": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
+    # semantic dedup: within-cluster Arrow scoring only — no corpus
+    # product (the BNLJ nodes present are kmeans' one-row centroid-array
+    # broadcast attaches, so BNLJ itself is not forbidden here).
+    "ann_semdedup": (["CartesianProduct"], {}),
     # bucketized range join: hash equi-join on (key, bucket) — the raw
     # non-equi condition would plan as BroadcastNestedLoopJoin.
     "range_join_events": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
