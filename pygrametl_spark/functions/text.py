@@ -673,15 +673,23 @@ def ngram_lm_score(
     m = m.select("w1", "w2", (F.col("c2") / F.col("c1")).alias("_p"))
     if broadcast_model:
         m = F.broadcast(m)
+    # neg-log-prob in integer MICRO-nats: a double SUM's value depends
+    # on accumulation order (observed flipping the 4th decimal for one
+    # 677-bigram doc at sf0.1); integer sums are exact in any order, so
+    # the score is bit-stable across engines, partitionings, and scales
     scored = tf.join(m, ["w1", "w2"], "left").withColumn(
-        "_nlp", F.round(-F.log(F.coalesce(F.col("_p"), F.lit(float(floor)))), 6)
+        "_nlp_u",
+        F.round(-F.log(F.coalesce(F.col("_p"), F.lit(float(floor)))) * 1e6, 0)
+        .cast("bigint"),
     )
     return (
         scored.groupBy(id_col)
         .agg(
             F.sum("_tf").alias("n_bigrams"),
             F.round(
-                F.sum(F.col("_tf") * F.col("_nlp")) / F.sum("_tf"), 4
+                F.sum(F.col("_tf") * F.col("_nlp_u"))
+                / (F.sum("_tf") * F.lit(1e6)),
+                4,
             ).alias("lm_score"),
         )
         .join(df.select(id_col), id_col, "right")

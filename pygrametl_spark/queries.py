@@ -52,21 +52,32 @@ def _fmt_ts(c) -> F.Column:
 # Flagship: TPC-H Q1 pricing summary (aggregator facade; SURVEY §2.6)
 # ---------------------------------------------------------------------------
 
+def _dsum(expr):
+    """Order-independent sum of a double expression: each summand is
+    ROUNDed to 6 (HALF_UP in both engines) and cast to DECIMAL(27,6),
+    so the aggregation is EXACT integer arithmetic — a float SUM's
+    result depends on accumulation order, and at 10x the gate scale
+    that drift crosses a rounding boundary (one cent in 2.7e9 observed
+    at sf0.1). TPC-H prices are decimals anyway."""
+    return F.sum(F.round(expr, 6).cast("decimal(27,6)")).cast("double")
+
+
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_catalog(spark, sf_dir).lineitem
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(Sum("l_quantity").column(), 2).alias("sum_qty"),
-            F.round(Sum("l_extendedprice").column(), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(Avg("l_quantity").column(), 4).alias("avg_qty"),
-            F.round(Avg("l_extendedprice").column(), 4).alias("avg_price"),
-            F.round(Avg("l_discount").column(), 6).alias("avg_disc"),
+            F.round(_dsum(F.col("l_quantity")), 2).alias("sum_qty"),
+            F.round(_dsum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
+            F.round(_dsum(disc_price), 2).alias("sum_disc_price"),
+            F.round(_dsum(charge), 2).alias("sum_charge"),
+            F.round(_dsum(F.col("l_quantity")) / n, 4).alias("avg_qty"),
+            F.round(_dsum(F.col("l_extendedprice")) / n, 4).alias("avg_price"),
+            F.round(_dsum(F.col("l_discount")) / n, 6).alias("avg_disc"),
             Count("l_orderkey").column("count_order"),
             CountDistinct("l_orderkey").column("n_orders"),
             F.round(Min("l_extendedprice").column(), 2).alias("min_price"),
@@ -75,15 +86,19 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q01 = """
+def _dsum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST(ROUND({expr}, 6) AS DECIMAL(27,6))) AS DOUBLE)"
+
+
+ORACLE_Q01 = f"""
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4) AS avg_price,
-       ROUND(AVG(l_discount), 6) AS avg_disc,
+       ROUND({_dsum_sql('l_quantity')}, 2) AS sum_qty,
+       ROUND({_dsum_sql('l_extendedprice')}, 2) AS sum_base_price,
+       ROUND({_dsum_sql('l_extendedprice * (1 - l_discount)')}, 2) AS sum_disc_price,
+       ROUND({_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}, 2) AS sum_charge,
+       ROUND({_dsum_sql('l_quantity')} / COUNT(*), 4) AS avg_qty,
+       ROUND({_dsum_sql('l_extendedprice')} / COUNT(*), 4) AS avg_price,
+       ROUND({_dsum_sql('l_discount')} / COUNT(*), 6) AS avg_disc,
        COUNT(l_orderkey) AS count_order,
        COUNT(DISTINCT l_orderkey) AS n_orders,
        ROUND(MIN(l_extendedprice), 2) AS min_price,

@@ -394,11 +394,12 @@ c2 AS (SELECT w1, w2, SUM(tf) AS c2 FROM tfd GROUP BY 1, 2),
 c1 AS (SELECT w1, SUM(tf) AS c1 FROM tfd GROUP BY 1),
 p AS (SELECT w1, w2, CAST(c2 AS DOUBLE) / c1 AS p FROM c2 JOIN c1 USING (w1)),
 s AS (
-  SELECT doc_id, tf, ROUND(-ln(p), 6) AS nlp FROM tfd JOIN p USING (w1, w2)
+  SELECT doc_id, tf, CAST(ROUND(-ln(p) * 1e6, 0) AS BIGINT) AS nlp_u
+  FROM tfd JOIN p USING (w1, w2)
 ),
 agg AS (
   SELECT doc_id, SUM(tf) AS n_bigrams,
-         ROUND(SUM(tf * nlp) / SUM(tf), 4) AS lm_score
+         ROUND(SUM(tf * nlp_u) / (SUM(tf) * 1e6), 4) AS lm_score
   FROM s GROUP BY 1
 )
 SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams, agg.lm_score
