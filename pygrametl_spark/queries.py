@@ -685,16 +685,16 @@ def q_crosstab(spark, sf_dir):
     orders = load_catalog(spark, sf_dir).orders
     return crosstab(
         orders, "o_orderpriority", "o_orderstatus", "o_totalprice",
-        aggregator=F.round(F.sum("o_totalprice"), 2),
+        aggregator=F.round(_dsum(F.col("o_totalprice")), 2),
         colvalues=["O", "F", "P"], nonevalue=0.0, sortrows=False,
     )
 
 
 ORACLE_CROSSTAB = """
 SELECT o_orderpriority,
-       COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2), 0.0) AS "O",
-       COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2), 0.0) AS "F",
-       COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2), 0.0) AS "P"
+       COALESCE(ROUND(CAST(SUM(CAST(ROUND(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END, 6) AS DECIMAL(27,6))) AS DOUBLE), 2), 0.0) AS "O",
+       COALESCE(ROUND(CAST(SUM(CAST(ROUND(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END, 6) AS DECIMAL(27,6))) AS DOUBLE), 2), 0.0) AS "F",
+       COALESCE(ROUND(CAST(SUM(CAST(ROUND(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END, 6) AS DECIMAL(27,6))) AS DOUBLE), 2), 0.0) AS "P"
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -804,7 +804,7 @@ SELECT s_name AS name, s_acctbal AS acctbal FROM supplier
 
 
 _Q5_SQL = """
-SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(27,6))) AS DOUBLE), 2) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey

@@ -29,7 +29,7 @@ def q_rollup_agg(spark, sf_dir):
     orders = load_catalog(spark, sf_dir).orders
     return (
         orders.rollup("o_orderpriority", "o_orderstatus")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count("*").alias("n"))
+        .agg(F.round(F.sum(F.round(F.col("o_totalprice"), 6).cast("decimal(27,6)")).cast("double"), 2).alias("total"), F.count("*").alias("n"))
         .select(
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -41,7 +41,7 @@ def q_rollup_agg(spark, sf_dir):
 ORACLE_ROLLUP = """
 SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
        COALESCE(o_orderstatus, 'ALL') AS status,
-       ROUND(SUM(o_totalprice), 2) AS total, COUNT(*) AS n
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(27,6))) AS DOUBLE), 2) AS total, COUNT(*) AS n
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
@@ -50,7 +50,7 @@ def q_cube_agg(spark, sf_dir):
     orders = load_catalog(spark, sf_dir).orders
     return (
         orders.cube("o_orderpriority", "o_orderstatus")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.round(F.sum(F.round(F.col("o_totalprice"), 6).cast("decimal(27,6)")).cast("double"), 2).alias("total"))
         .select(
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -62,7 +62,7 @@ def q_cube_agg(spark, sf_dir):
 ORACLE_CUBE = """
 SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
        COALESCE(o_orderstatus, 'ALL') AS status,
-       ROUND(SUM(o_totalprice), 2) AS total
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(27,6))) AS DOUBLE), 2) AS total
 FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
 

@@ -236,7 +236,7 @@ def q_steps_chain(spark, sf_dir):
         RenamingFromToStep({"o_orderpriority": "priority"}),
         AggregatingStep(
             ["priority"],
-            [F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")],
+            [F.count("*").alias("n"), F.round(F.sum(F.round(F.col("o_totalprice"), 6).cast("decimal(27,6)")).cast("double"), 2).alias("total")],
         ),
     )
     return pipeline(orders)
@@ -244,7 +244,7 @@ def q_steps_chain(spark, sf_dir):
 
 ORACLE_STEPS_CHAIN = """
 SELECT UPPER(o_orderpriority) AS priority, COUNT(*) AS n,
-       ROUND(SUM(o_totalprice), 2) AS total
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(27,6))) AS DOUBLE), 2) AS total
 FROM orders GROUP BY UPPER(o_orderpriority)
 """
 
@@ -888,8 +888,8 @@ def q_etl_star_load(spark, sf_dir):
         .join(dim.df.select("pid", "brand"), "pid")
         .groupBy("month", "brand")
         .agg(
-            F.round(F.sum("qty"), 2).alias("sum_qty"),
-            F.round(F.sum("price"), 2).alias("revenue"),
+            F.round(F.sum(F.round(F.col("qty"), 6).cast("decimal(27,6)")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(F.round(F.col("price"), 6).cast("decimal(27,6)")).cast("double"), 2).alias("revenue"),
             F.count("*").alias("n_sales"),
             F.countDistinct("pid").alias("n_products"),
         )
@@ -910,8 +910,8 @@ WITH dates AS (
     AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
 )
 SELECT d.month, f.brand,
-       ROUND(SUM(qty), 2) AS sum_qty,
-       ROUND(SUM(price), 2) AS revenue,
+       ROUND(CAST(SUM(CAST(ROUND(qty, 6) AS DECIMAL(27,6))) AS DOUBLE), 2) AS sum_qty,
+       ROUND(CAST(SUM(CAST(ROUND(price, 6) AS DECIMAL(27,6))) AS DOUBLE), 2) AS revenue,
        COUNT(*) AS n_sales,
        COUNT(DISTINCT p_name || '|' || brand) AS n_products
 FROM fact f JOIN dates d ON f.dateid = d.dateid
