@@ -26,7 +26,7 @@ __all__ = [
     "hash32", "exact_dedup", "dedup_against", "minhash_signatures",
     "minhash_signatures_long", "minhash_lsh_pairs", "minhash_band_rows",
     "minhash_lsh_pairs_between", "simhash32", "ngram_jaccard_pairs",
-    "neardup_clusters",
+    "neardup_clusters", "exact_substring_dedup",
 ]
 
 # Affine permutations h_i(x) = (a_i*x + b_i) mod P over the 32-bit hash
@@ -649,4 +649,101 @@ def neardup_clusters(
         id_col,
         cluster.alias("cluster_id"),
         (cluster == F.col(id_col)).alias("keep"),
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    hashed: bool = True,
+) -> DataFrame:
+    """Duplicated-span removal (ExactSubstr, Lee et al. 2022,
+    arXiv:2107.06499): any ``k``-token span that occurs ``min_count``-or-
+    more times corpus-wide is removed everywhere except its first
+    occurrence (ordered by ``(doc_id, pos)``), and the surviving tokens
+    are re-joined per document.
+
+    The reference has no counterpart (net-new training-data surface);
+    semantics follow the paper's suffix-array dedup, re-expressed as a
+    Spark aggregation instead of a suffix array:
+
+    1. one row per span start — linear in corpus tokens, produced by
+       ``transform(sequence(...))`` + ``explode`` inside the scan stage;
+    2. ``groupBy(span)`` with map-side partial aggregation computes each
+       span's occurrence count and first occurrence — the ONLY full
+       shuffle, keyed as finely as the semantics allow. With
+       ``hashed=True`` (default) the shuffle key is ``xxhash64(span)``
+       (8 bytes instead of ~6x``k`` span text; 2^-64 collision odds);
+    3. occurrences of duplicated spans join back (hash equi-join; a
+       hyper-frequent span is an AQE skew-join case, not a plan change);
+    4. per-doc interval union + residual text are in-row array ops.
+
+    Token positions must stay below 1e6 per document (the first-occurrence
+    order key packs ``doc_id * 1e6 + pos``).
+
+    Returns one row per input document: ``(id_col, n_tokens,
+    n_dup_spans, n_removed, dup_bps, kept_fp)`` where ``n_dup_spans``
+    counts removed span occurrences, ``n_removed`` counts removed tokens,
+    ``dup_bps`` is basis points of the document removed (integer math:
+    ``(10000*n_removed) div n_tokens`` — exact in every engine), and
+    ``kept_fp = md5(' '-joined surviving tokens)``.
+    """
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).withColumn(
+        "_n", F.size("_toks")
+    )
+    starts = F.when(
+        F.col("_n") >= k, F.sequence(F.lit(0), F.col("_n") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        starts, lambda i: F.struct(
+            i.alias("pos"), F.concat_ws(" ", F.slice("_toks", i + 1, k)).alias("span")
+        )
+    )
+    occ = base.select("_id", F.explode(spans).alias("_sp")).select(
+        "_id", F.col("_sp.pos").alias("_pos"),
+        (F.xxhash64("_sp.span") if hashed else F.col("_sp.span")).alias("_key"),
+    )
+    ordk = (F.col("_id") * F.lit(1000000) + F.col("_pos")).alias("_ord")
+    occ = occ.select("_id", "_pos", "_key", ordk)
+    dups = (
+        occ.groupBy("_key")
+        .agg(F.min("_ord").alias("_first"), F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_key", "_first")
+    )
+    rem = occ.join(dups, "_key").filter(F.col("_ord") != F.col("_first")).select(
+        "_id", "_pos"
+    )
+    per_doc = rem.groupBy("_id").agg(
+        F.sort_array(F.collect_list("_pos")).alias("_starts"),
+        F.count("*").alias("n_dup_spans"),
+    )
+    out = base.join(per_doc, "_id", "left")
+    covered = F.array_distinct(
+        F.flatten(F.transform("_starts", lambda s: F.sequence(s, s + k - 1)))
+    )
+    kept_idx = F.array_except(F.sequence(F.lit(0), F.col("_n") - 1), covered)
+    kept_text = F.concat_ws(
+        " ", F.transform(kept_idx, lambda i: F.element_at("_toks", i + 1))
+    )
+    has = F.col("_starts").isNotNull()
+    n_removed = F.when(has, F.size(covered)).otherwise(F.lit(0)).cast("long")
+    return (
+        out.withColumn("n_removed", n_removed)
+        .withColumn(
+            "kept_fp",
+            F.md5(F.when(has, kept_text).otherwise(F.concat_ws(" ", "_toks"))),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.col("n_removed"),
+            F.expr("(10000 * n_removed) div _n").cast("long").alias("dup_bps"),
+            F.col("kept_fp"),
+        )
     )

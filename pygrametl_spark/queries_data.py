@@ -901,6 +901,60 @@ def q_ngram_containment(spark, sf_dir):
     return dd.ngram_jaccard_pairs(docs, threshold=0.5, metric="containment")
 
 
+def q_exact_substring(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2022, arXiv:2107.06499): every
+    5-token span occurring >= 2 times corpus-wide is removed except its
+    first occurrence; per-doc removal stats + residual-text fingerprint
+    (dedup.py exact_substring_dedup). One shuffle keyed by span hash with
+    map-side partial aggregation; interval union + residual join are
+    in-row array ops."""
+    docs = spread(load_catalog(spark, sf_dir).documents)
+    return dd.exact_substring_dedup(docs, k=5)
+
+
+ORACLE_EXACTSUBSTR = rf"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tn AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+occ AS (
+  SELECT doc_id, n, i - 1 AS pos, array_to_string(toks[i:i+4], ' ') AS span
+  FROM tn, LATERAL (SELECT unnest(generate_series(1, n - 4)) AS i) _
+),
+dups AS (
+  SELECT span, MIN(doc_id * 1000000 + pos) AS first_ord, COUNT(*) AS c
+  FROM occ GROUP BY span HAVING COUNT(*) >= 2
+),
+rem AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN dups d USING (span)
+  WHERE o.doc_id * 1000000 + o.pos <> d.first_ord
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos + j AS idx
+  FROM rem, LATERAL (SELECT unnest(range(5)) AS j) _
+),
+nrem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id),
+ndup AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM rem GROUP BY doc_id),
+tok AS (
+  SELECT doc_id, i - 1 AS idx, toks[i] AS tok
+  FROM tn, LATERAL (SELECT unnest(generate_series(1, n)) AS i) _
+),
+kept AS (
+  SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.idx) AS kept_text
+  FROM tok tk
+  WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = tk.doc_id AND c.idx = tk.idx)
+  GROUP BY tk.doc_id
+)
+SELECT tn.doc_id, CAST(tn.n AS BIGINT) AS n_tokens,
+       CAST(COALESCE(nd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(nr.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST((10000 * COALESCE(nr.n_removed, 0)) // tn.n AS BIGINT) AS dup_bps,
+       md5(COALESCE(k.kept_text, '')) AS kept_fp
+FROM tn
+LEFT JOIN ndup nd USING (doc_id)
+LEFT JOIN nrem nr USING (doc_id)
+LEFT JOIN kept k USING (doc_id)
+"""
+
+
 ORACLE_NGRAM_CONTAINMENT = _SHINGLE_CTE + """,
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
@@ -1205,6 +1259,7 @@ DATA_QUERIES = {
     "simhash": q_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ngram_containment": q_ngram_containment,
+    "exact_substring": q_exact_substring,
     "embedding_neardup": q_embedding_neardup,
     "ann_topk": q_ann_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -1251,6 +1306,7 @@ DATA_ORACLES = {
     "simhash": ORACLE_SIMHASH,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "ngram_containment": ORACLE_NGRAM_CONTAINMENT,
+    "exact_substring": ORACLE_EXACTSUBSTR,
     "embedding_neardup": ORACLE_EMB_NEARDUP,
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_lsh_buckets": ORACLE_ANN_LSH_BUCKETS,

@@ -118,6 +118,9 @@ PART_COLS: dict[str, list[str]] = {
     "dedup_incremental": ["doc_id"],
     "dedup_ngram_jaccard": ["id_1", "id_2", "jaccard"],
     "ngram_containment": ["id_1", "id_2", "containment"],
+    "exact_substring": [
+        "doc_id", "n_tokens", "n_dup_spans", "n_removed", "dup_bps", "kept_fp",
+    ],
     "token_count": ["source", "n_docs", "total_tokens", "avg_tokens"],
     "bpe_token_count": ["source", "n_docs", "total_tokens", "avg_tokens"],
     "corpus_report": [
@@ -380,10 +383,14 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
         [
             ("id_1", "bigint"), ("id_2", "bigint"),
             ("jaccard", "double"), ("containment", "double"),
+            ("doc_id", "bigint"), ("n_tokens", "bigint"),
+            ("n_dup_spans", "bigint"), ("n_removed", "bigint"),
+            ("dup_bps", "bigint"), ("kept_fp", "string"),
         ],
         [
             ("jaccard", "dedup_ngram_jaccard"),
             ("containment", "ngram_containment"),
+            ("exactsubstr", "exact_substring"),
         ],
     ),
     "curation_guard": (

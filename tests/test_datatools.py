@@ -1531,3 +1531,55 @@ def test_stream_dedup_minhash_equals_batch_twin(spark):
     drop = {r["id_2"] for r in dd.minhash_lsh_pairs(docs, threshold=0.5).collect()}
     want = {r["doc_id"] for r in docs.select("doc_id").collect()} - drop
     assert got == want and len(drop) > 0
+
+
+def test_exact_substring_dedup_semantics(spark):
+    """ExactSubstr: the first occurrence (by doc_id, pos) survives, all
+    later occurrences of a duplicated k-gram are removed, intervals of
+    overlapping duplicated spans are unioned, short docs pass through."""
+    import hashlib
+
+    from pygrametl_spark.functions.dedup import exact_substring_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # first occurrence of "a b c"
+            (2, "x a b c d y"),        # "a b c" AND "b c d" dup -> union [1..4]
+            (3, "a b c"),              # whole doc is a dup occurrence
+            (4, "p q"),                # shorter than k: untouched
+            (5, "z a b c a b c w"),    # dup of corpus span + self-overlap
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(docs, k=3).collect()
+    }
+
+    def fp(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # doc 1 holds the first occurrences "a b c"/"b c d" (smallest doc_id):
+    # nothing removed even though the spans are corpus-duplicated.
+    assert out[1]["n_removed"] == 0 and out[1]["kept_fp"] == fp("a b c d e f")
+    # doc 2: spans "a b c"@1 and "b c d"@2 both duplicated, union covers
+    # tokens 1..4 -> 4 tokens removed, "x"+"y" survive.
+    assert out[2]["n_dup_spans"] == 2 and out[2]["n_removed"] == 4
+    assert out[2]["kept_fp"] == fp("x y")
+    assert out[2]["dup_bps"] == (10000 * 4) // 6
+    # doc 3: fully removed -> residual is the empty string.
+    assert out[3]["n_removed"] == 3 and out[3]["kept_fp"] == fp("")
+    # doc 4: no k-grams at all.
+    assert out[4]["n_removed"] == 0 and out[4]["kept_fp"] == fp("p q")
+    # doc 5: "a b c" occurs at pos 1 and pos 4 (both later than doc 1's)
+    # -> both removed; overlap union = tokens 1..6.
+    assert out[5]["n_removed"] == 6 and out[5]["kept_fp"] == fp("z w")
+
+
+def test_exact_substring_dedup_unhashed_matches_hashed(spark):
+    from pygrametl_spark.functions.dedup import exact_substring_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = exact_substring_dedup(docs, k=5, hashed=True).orderBy("doc_id").collect()
+    b = exact_substring_dedup(docs, k=5, hashed=False).orderBy("doc_id").collect()
+    assert a == b
