@@ -18,6 +18,7 @@ from pygrametl_spark.functions.dedup import hash32
 __all__ = [
     "hash_bucket", "hash_split", "hash_sample", "stratified_hash_sample",
     "cluster_split", "pack_by_token_budget", "mixture_sample",
+    "per_group_cap",
 ]
 
 
@@ -196,4 +197,36 @@ def mixture_sample(
         .withColumn("_prefix", prefix)
         .filter(F.col("_prefix") < F.col("_budget"))
         .drop("_prefix", "_budget")
+    )
+
+
+def per_group_cap(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    cap: int,
+    order_by: "list[Column] | None" = None,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group — the per-domain quota every
+    web-scale corpus applies so one domain can't dominate the mixture
+    (e.g. Dolma / RefinedWeb per-domain caps).
+
+    Ranking is deterministic: ``order_by`` columns (default none) then
+    ``id_col`` as the final tiebreak, via ``row_number`` over the group.
+    One shuffle keyed by ``group_col``. A pathologically hot group is
+    exactly what the operator exists to bound: its input rows all hash
+    to one partition, but AQE skew-split handles the sort because
+    ``row_number`` only needs partition-local ordering after the
+    repartition; if a single group exceeds a partition's memory, cap it
+    in two passes (hash_sample to ~10x cap, then this) — the composition
+    is deterministic too.
+
+    Returns ``(id_col, group_col, rk)`` for the kept rows.
+    """
+    order = list(order_by or []) + [F.col(id_col)]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= cap)
+        .select(id_col, group_col, "rk")
     )

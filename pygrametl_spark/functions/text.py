@@ -24,6 +24,7 @@ __all__ = [
     "char_entropy", "chunk_by_tokens", "remove_boilerplate_lines",
     "tfidf_topk", "winnow_fingerprints",
     "ngram_lm_train", "ngram_lm_score",
+    "hashed_classifier_score",
 ]
 
 # Tiny deterministic marker lists (the heuristic, not a model).
@@ -698,4 +699,146 @@ def ngram_lm_score(
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
             "lm_score",
         )
+    )
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+    seed: str = "w",
+    weights: "list[int] | None" = None,
+) -> DataFrame:
+    """fastText-style linear quality classifier over hashed bag-of-ngrams
+    (Joulin et al. 2016, arXiv:1607.01759): each unigram + bigram hashes
+    into one of ``dim`` buckets, the document score is the sum of the
+    bucket weights, and the label is the score's sign.
+
+    The model is the 100 TB-friendly quality-gate shape: a ``dim``-sized
+    weight vector broadcast into the expression (an array literal when
+    ``weights`` is given, a hash-derived pseudo-weight otherwise), with
+    scoring fully in-row via ``aggregate`` over the feature array — zero
+    shuffle, computed inside the scan stage, no Python on the hot path.
+
+    Scoring is INTEGER-exact (weights are ints in [-1000, 1000], summed
+    as BIGINT) so results are accumulation-order independent and
+    bit-identical across engines — no float-rounding drift at any scale.
+
+    ``weights=None`` derives weight ``(hash32(seed#bucket) % 2001) - 1000``
+    per bucket — a deterministic stand-in for trained parameters with the
+    exact production plan shape; pass the trained vector (``len == dim``)
+    to deploy a real model.
+
+    Returns ``(id_col, n_feats, score_units, label)``.
+    """
+    from pygrametl_spark.functions.dedup import hash32
+
+    if weights is not None and len(weights) != dim:
+        raise ValueError(f"weights must have len == dim ({dim}), got {len(weights)}")
+
+    base = df.withColumn("_toks", tokens(text_col))
+    feats = F.concat(
+        F.col("_toks"), shingles_of_tokens(F.col("_toks"), 2)
+    ).alias("_feats")
+    base = base.select(F.col(id_col), feats)
+
+    def w_of(f):
+        bucket = F.pmod(hash32(f), F.lit(dim))
+        if weights is not None:
+            arr = F.array(*[F.lit(int(v)).cast("long") for v in weights])
+            return F.element_at(arr, (bucket + 1).cast("int"))
+        h = hash32(F.concat(F.lit(seed + "#"), bucket.cast("string")))
+        return F.pmod(h, F.lit(2001)) - 1000
+
+    score = F.aggregate(
+        "_feats", F.lit(0).cast("long"), lambda acc, f: acc + w_of(f)
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("_feats").cast("long").alias("n_feats"),
+        score.alias("score_units"),
+        (score > 0).alias("label"),
+    )
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m: int = 65536,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination: flag corpus documents
+    sharing any ``n``-token shingle with the eval set, probing an
+    ``m``-bit Bloom filter (``k_hashes`` hash functions) instead of the
+    exact shingle set.
+
+    This is :func:`decontaminate`'s at-scale variant: broadcasting the
+    raw eval shingle strings grows with the eval corpus, while the Bloom
+    bitmap is a FIXED ``m/8`` bytes however large the eval set gets —
+    the standard trade (a tunable false-positive rate, never a false
+    negative). Both engines compute the same deterministic hash family,
+    so the oracle reproduces the exact same false positives.
+
+    Build: eval shingle -> ``k_hashes`` bit positions
+    (``hash32(shingle + '#' + i) mod m``), DISTINCT, then collected —
+    the collect is bounded by ``m`` positions regardless of eval size
+    (the bitmap itself is the aggregate), so the driver step is
+    scale-safe by construction. Probe: per-document distinct shingles
+    test all their bits via in-row array lambdas over the broadcast
+    bitmap literal — zero shuffle on the corpus side.
+
+    Returns ``(id_col, n_flagged, contaminated)``.
+    """
+    if m % 64 != 0:
+        raise ValueError("m must be a multiple of 64")
+    from pygrametl_spark.functions.dedup import hash32
+
+    ev = eval_df.withColumn("_toks", tokens(text_col)).select(
+        F.explode(
+            F.array_distinct(shingles_of_tokens(F.col("_toks"), n))
+        ).alias("_s")
+    )
+    pos_cols = [
+        F.pmod(hash32(F.concat(F.col("_s"), F.lit(f"#{i}"))), F.lit(m))
+        for i in range(k_hashes)
+    ]
+    positions = (
+        ev.select(F.explode(F.array(*pos_cols)).alias("_p")).distinct().collect()
+    )
+    words = [0] * (m // 64)
+    for r in positions:
+        p = int(r["_p"])
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement into signed 64-bit for the Spark long literal
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bits = F.array(*[F.lit(w).cast("long") for w in words])
+
+    probe = df.withColumn("_toks", tokens(text_col)).select(
+        F.col(id_col),
+        F.array_distinct(shingles_of_tokens(F.col("_toks"), n)).alias("_sharr"),
+        bits.alias("_bits"),
+    )
+
+    def flagged(s):
+        def bit_ok(i):
+            p = F.pmod(hash32(F.concat(s, F.lit("#"), i.cast("string"))), F.lit(m))
+            word = F.element_at("_bits", (p / 64).cast("int") + 1)
+            # python F.shiftright only takes a literal numBits; the SQL
+            # expression form accepts a column
+            return (
+                F.call_function("shiftright", word, (p % 64).cast("int"))
+                .bitwiseAND(F.lit(1)) == 1
+            )
+
+        return F.forall(F.sequence(F.lit(0), F.lit(k_hashes - 1)), bit_ok)
+
+    n_flagged = F.size(F.filter("_sharr", flagged)).cast("long")
+    return probe.select(
+        F.col(id_col),
+        n_flagged.alias("n_flagged"),
+        (n_flagged > 0).alias("contaminated"),
     )

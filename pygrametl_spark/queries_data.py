@@ -694,6 +694,97 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 
+def q_hashed_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality classifier (text.py
+    hashed_classifier_score, arXiv:1607.01759): unigram+bigram features
+    hashed into 1024 buckets, integer-exact weight sum, sign label.
+    In-row aggregate over the feature array — zero shuffle."""
+    docs = spread(load_catalog(spark, sf_dir).documents)
+    return tx.hashed_classifier_score(docs)
+
+
+_H32 = dd.hash32_sql  # shorthand for oracle construction
+
+ORACLE_HASHED_CLASSIFIER = rf"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+uni AS (SELECT doc_id, unnest(toks) AS f FROM t),
+bi AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS f
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) _
+),
+feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+b AS (SELECT doc_id, {_H32('f')} % 1024 AS bkt FROM feats),
+w AS (SELECT doc_id, ({_H32("'w#' || CAST(bkt AS VARCHAR)")} % 2001) - 1000 AS w FROM b),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_feats, CAST(SUM(w) AS BIGINT) AS score_units
+  FROM w GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, score_units,
+       score_units > 0 AS label
+FROM agg
+"""
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (text.py bloom_decontaminate): the
+    at-scale variant of the exact shingle broadcast — a fixed m-bit
+    bitmap however large the eval set, identical deterministic hash
+    family in both engines so even the false positives match."""
+    docs = load_catalog(spark, sf_dir).documents
+    bench = docs.filter("doc_id % 50 = 0")
+    return tx.bloom_decontaminate(docs, bench, m=4096, k_hashes=3)
+
+
+ORACLE_BLOOM_DECONTAM = rf"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh0 AS (
+  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) _
+),
+sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+posset AS (
+  SELECT DISTINCT {_H32("s || '#' || CAST(i AS VARCHAR)")} % 4096 AS p
+  FROM sh, LATERAL (SELECT unnest(range(3)) AS i) _
+  WHERE doc_id % 50 = 0
+),
+hits AS (
+  SELECT sh.doc_id, sh.s
+  FROM sh, LATERAL (SELECT unnest(range(3)) AS i) _
+  WHERE ({_H32("sh.s || '#' || CAST(i AS VARCHAR)")} % 4096) IN (SELECT p FROM posset)
+  GROUP BY sh.doc_id, sh.s
+  HAVING COUNT(*) = 3
+),
+agg AS (SELECT doc_id, COUNT(*) AS n_flagged FROM hits GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(a.n_flagged, 0) AS BIGINT) AS n_flagged,
+       COALESCE(a.n_flagged, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain quota (sampling.py per_group_cap): keep the 30 longest
+    docs per source (ties by doc_id) — the Dolma/RefinedWeb-style cap
+    that stops one domain dominating a mixture."""
+    from pygrametl_spark.functions.sampling import per_group_cap
+
+    docs = load_catalog(spark, sf_dir).documents
+    return per_group_cap(
+        docs, "doc_id", "source", cap=30, order_by=[F.col("n_chars").desc()]
+    )
+
+
+ORACLE_DOMAIN_CAP = """
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS BIGINT) AS rk
+  FROM documents
+)
+SELECT doc_id, source, rk FROM r WHERE rk <= 30
+"""
+
+
 def q_winnow_fp(spark, sf_dir):
     """Winnowing fingerprints (MOSS rolling k-gram window minima,
     text.winnow_fingerprints): shared-run detection primitives, k=5 w=4."""
@@ -1254,6 +1345,9 @@ DATA_QUERIES = {
     "pii_scan": q_pii_scan,
     "decontaminate": q_decontaminate,
     "line_clean": q_line_clean,
+    "hashed_classifier": q_hashed_classifier,
+    "bloom_decontam": q_bloom_decontaminate,
+    "domain_cap": q_domain_cap,
     "tfidf_topk": q_tfidf_topk,
     "winnow_fp": q_winnow_fp,
     "simhash": q_simhash,
@@ -1301,6 +1395,9 @@ DATA_ORACLES = {
     "pii_scan": ORACLE_PII,
     "decontaminate": ORACLE_DECONTAM,
     "line_clean": ORACLE_LINE_CLEAN,
+    "hashed_classifier": ORACLE_HASHED_CLASSIFIER,
+    "bloom_decontam": ORACLE_BLOOM_DECONTAM,
+    "domain_cap": ORACLE_DOMAIN_CAP,
     "tfidf_topk": ORACLE_TFIDF,
     "winnow_fp": ORACLE_WINNOW,
     "simhash": ORACLE_SIMHASH,

@@ -114,6 +114,9 @@ PART_COLS: dict[str, list[str]] = {
     "pack_tokens": ["doc_id", "source", "n_tokens", "pack_id"],
     "pii_scan": ["doc_id", "n_emails", "n_urls", "n_ips", "has_pii"],
     "line_clean": ["doc_id", "n_lines", "n_dropped", "clean_text"],
+    "hashed_classifier": ["doc_id", "n_feats", "score_units", "label"],
+    "bloom_decontam": ["doc_id", "n_flagged", "contaminated"],
+    "domain_cap": ["doc_id", "source", "rk"],
     "dedup_exact": ["doc_id"],
     "dedup_incremental": ["doc_id"],
     "dedup_ngram_jaccard": ["id_1", "id_2", "jaccard"],
@@ -400,11 +403,15 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("contaminated", "boolean"),
             ("n_lines", "bigint"), ("n_dropped", "bigint"),
             ("clean_text", "string"),
+            ("n_feats", "bigint"), ("score_units", "bigint"),
+            ("label", "boolean"), ("n_flagged", "bigint"),
         ],
         [
             ("pii", "pii_scan"),
             ("decontam", "decontaminate"),
             ("lineclean", "line_clean"),
+            ("classifier", "hashed_classifier"),
+            ("bloomdecontam", "bloom_decontam"),
         ],
     ),
     "events_stream_windows": (
@@ -423,7 +430,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
         [
             ("doc_id", "bigint"), ("split", "string"), ("source", "string"),
             ("n_tokens", "bigint"), ("pack_id", "bigint"),
-            ("cluster_id", "bigint"),
+            ("cluster_id", "bigint"), ("rk", "bigint"),
         ],
         [
             ("split", "dataset_split"),
@@ -431,6 +438,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("stratified", "stratified_sample"),
             ("pack", "pack_tokens"),
             ("mixture", "mixture_sample"),
+            ("domaincap", "domain_cap"),
         ],
     ),
 }

@@ -1583,3 +1583,67 @@ def test_exact_substring_dedup_unhashed_matches_hashed(spark):
     a = exact_substring_dedup(docs, k=5, hashed=True).orderBy("doc_id").collect()
     b = exact_substring_dedup(docs, k=5, hashed=False).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_hashed_classifier_weights_path_and_determinism(spark):
+    """Explicit-weights path: an all-ones model scores every doc by its
+    feature count (label True); the all-minus-ones model negates it."""
+    from pygrametl_spark.functions.text import hashed_classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo")], "doc_id long, text string"
+    )
+    up = {r["doc_id"]: r for r in
+          hashed_classifier_score(docs, dim=64, weights=[1] * 64).collect()}
+    # "a b c" -> 3 unigrams + 2 bigrams = 5 features
+    assert up[1]["n_feats"] == 5 and up[1]["score_units"] == 5 and up[1]["label"]
+    assert up[2]["n_feats"] == 1 and up[2]["score_units"] == 1
+    down = {r["doc_id"]: r for r in
+            hashed_classifier_score(docs, dim=64, weights=[-1] * 64).collect()}
+    assert down[1]["score_units"] == -5 and not down[1]["label"]
+    # hash-derived weights are deterministic across invocations
+    a = hashed_classifier_score(docs).orderBy("doc_id").collect()
+    b = hashed_classifier_score(docs).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Every doc the exact decontaminate flags must also be flagged by
+    the Bloom variant (Bloom filters have false positives, never false
+    negatives), and a huge filter converges to the exact answer."""
+    from pygrametl_spark.functions.text import bloom_decontaminate, decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    ev = docs.filter("doc_id % 50 = 0")
+    exact = {r["doc_id"]: r["contaminated"]
+             for r in decontaminate(docs, ev, n=3).collect()}
+    small = {r["doc_id"]: r["contaminated"]
+             for r in bloom_decontaminate(docs, ev, m=1024, k_hashes=2).collect()}
+    assert all(small[d] for d, c in exact.items() if c)  # no false negatives
+    big = {r["doc_id"]: r["contaminated"]
+           for r in bloom_decontaminate(docs, ev, m=1 << 20, k_hashes=4).collect()}
+    assert big == exact  # FP rate ~0 at 1M bits for a few hundred shingles
+
+
+def test_per_group_cap(spark):
+    from pyspark.sql import functions as F
+
+    from pygrametl_spark.functions.sampling import per_group_cap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = per_group_cap(
+        docs, "doc_id", "source", cap=5, order_by=[F.col("n_chars").desc()]
+    )
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append(r)
+    assert all(len(v) <= 5 for v in per.values())
+    # kept docs per group are the longest ones (ties by doc_id)
+    full = docs.collect()
+    for src, kept in per.items():
+        want = sorted(
+            [r for r in full if r["source"] == src],
+            key=lambda r: (-r["n_chars"], r["doc_id"]),
+        )[:5]
+        assert sorted(r["doc_id"] for r in kept) == sorted(r["doc_id"] for r in want)
