@@ -754,12 +754,13 @@ def hashed_classifier_score(
     score = F.aggregate(
         "_feats", F.lit(0).cast("long"), lambda acc, f: acc + w_of(f)
     )
+    # bind the aggregate once: referencing `score` in two output columns
+    # would evaluate the whole feature fold twice per row
     return base.select(
         F.col(id_col),
         F.size("_feats").cast("long").alias("n_feats"),
         score.alias("score_units"),
-        (score > 0).alias("label"),
-    )
+    ).withColumn("label", F.col("score_units") > 0)
 
 
 def bloom_decontaminate(

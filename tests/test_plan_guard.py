@@ -50,6 +50,24 @@ CASES = {
     # bucketized range join: hash equi-join on (key, bucket) — the raw
     # non-equi condition would plan as BroadcastNestedLoopJoin.
     "range_join_events": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
+    # ExactSubstr span dedup: span-hash aggregation + equi-join back,
+    # never a product over span occurrences.
+    "exact_substring": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
+    # hashed linear classifier: pure scan-stage projection — any join at
+    # all means the broadcast-weights design regressed (the only exchange
+    # is catalog.spread's round-robin input spreading, local-only).
+    "hashed_classifier": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "SortMergeJoin", "BroadcastHashJoin", "HashAggregate"],
+        {},
+    ),
+    # Bloom decontamination probe: corpus side is scan-stage only (the
+    # bitmap is a literal); no join against the eval relation may appear.
+    "bloom_decontam": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "SortMergeJoin", "BroadcastHashJoin"],
+        {},
+    ),
 }
 
 
