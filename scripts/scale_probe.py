@@ -82,6 +82,13 @@ def probe(spark, docs_path: str, emb_path: str, ev_path: str) -> dict[str, float
         "semantic_dedup": lambda: sim.semantic_dedup(
             emb, n_clusters=8, iters=2, threshold=0.45
         ).filter("NOT keep").count(),
+        "exact_substring": lambda: dd.exact_substring_dedup(docs, k=5)
+        .agg(F.sum("n_removed")).count(),
+        "hashed_classifier": lambda: tx.hashed_classifier_score(docs)
+        .agg(F.sum("score_units")).count(),
+        "bloom_decontam": lambda: tx.bloom_decontaminate(
+            docs, docs.filter("doc_id % 50 = 0"), m=65536, k_hashes=3
+        ).filter("contaminated").count(),
     }
     times = {}
     for name, fn in ops.items():
