@@ -24,7 +24,8 @@ __all__ = [
     "char_entropy", "chunk_by_tokens", "remove_boilerplate_lines",
     "tfidf_topk", "winnow_fingerprints",
     "ngram_lm_train", "ngram_lm_score",
-    "hashed_classifier_score",
+    "hashed_classifier_score", "bloom_decontaminate",
+    "bpe_train", "bpe_apply",
 ]
 
 # Tiny deterministic marker lists (the heuristic, not a model).
@@ -842,4 +843,140 @@ def bloom_decontaminate(
         F.col(id_col),
         n_flagged.alias("n_flagged"),
         (n_flagged > 0).alias("contaminated"),
+    )
+
+
+def _merge_pair_fold(syms, a: str, b: str):
+    """Greedy left-to-right single-pass merge of adjacent (a, b) into
+    a+b over a symbol array — the BPE merge step, as one in-row fold."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+    end_of_word: str = "</w>",
+    max_vocab_words: int | None = None,
+) -> "list[tuple[str, str]]":
+    """Byte-Pair-Encoding vocabulary induction (Sennrich et al. 2016,
+    arXiv:1508.07909) — distributed tokenizer training.
+
+    Spark-first shape: the corpus collapses to its WORD-FREQUENCY table
+    first (one map-side-combined shuffle — at 100 TB the distinct-word
+    table is ~10⁸ rows however large the corpus), and every merge
+    iteration runs over that compact table only:
+
+    1. pair counts: in-row adjacent-pair extraction weighted by word
+       frequency, ``groupBy(pair)`` with partial aggregation;
+    2. best pair: ``orderBy(count desc, pair)`` + ``limit(1)`` (planned
+       as TakeOrderedAndProject — no global sort), a one-row collect
+       (the algorithm's inherent sequential dependency: O(num_merges)
+       driver round-trips of one row each);
+    3. merge application: an in-row greedy left-to-right fold over each
+       word's symbol array; ``localCheckpoint`` keeps the iteration
+       lineage flat.
+
+    Ties break deterministically (higher count, then lexicographically
+    smaller pair), so the merge list is reproducible across runs,
+    partitionings, and cluster sizes.
+
+    ``max_vocab_words`` optionally trains on the top-N most frequent
+    words only (standard practice; bounds iteration cost independently
+    of tail size). Returns the ordered merge list.
+    """
+    words = df.select(F.explode(tokens(text_col)).alias("w")).filter(
+        F.col("w") != ""
+    ).groupBy("w").agg(F.count("*").alias("cnt"))
+    if max_vocab_words is not None:
+        words = words.orderBy(F.col("cnt").desc(), "w").limit(max_vocab_words)
+    syms = F.concat(
+        F.split(F.col("w"), ""), F.array(F.lit(end_of_word))
+    )
+    vocab = words.select(F.col("cnt"), syms.alias("syms")).localCheckpoint(
+        eager=False
+    )
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_idx = F.when(
+            F.size("syms") >= 2, F.sequence(F.lit(1), F.size("syms") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = vocab.select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("a"),
+                        F.element_at("syms", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p.a"), F.col("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < 2:
+            break
+        a, b = best[0]["p"]["a"], best[0]["p"]["b"]
+        merges.append((a, b))
+        vocab = vocab.select(
+            "cnt", _merge_pair_fold(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    out: str = "bpe_toks",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Tokenize with a trained BPE merge list: per word, start from
+    characters + end-of-word marker and apply each merge in training
+    order as an in-row fold — zero shuffle, scan-stage only.
+
+    Expression depth grows with ``len(merges)``; fine for the tens of
+    merges typical in tests/small vocabs. For production-sized merge
+    tables (30k+), apply via an Arrow-batched pandas UDF instead — the
+    semantics here are the spec.
+    """
+    word_syms = F.concat(F.split(F.col("_w"), ""), F.array(F.lit(end_of_word)))
+    base = df.withColumn("_toks", tokens(text_col))
+    exploded = base.select(
+        "*", F.posexplode(F.filter("_toks", lambda t: t != "")).alias("_pos", "_w")
+    ).withColumn("_syms", word_syms)
+    for a, b in merges:
+        exploded = exploded.withColumn(
+            "_syms", _merge_pair_fold(F.col("_syms"), a, b)
+        )
+    keep = [c for c in df.columns]
+    return (
+        exploded.groupBy(*keep)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_pos"), F.col("_syms")))
+                    ),
+                    lambda s: s["_syms"],
+                )
+            ).alias(out)
+        )
     )

@@ -1647,3 +1647,88 @@ def test_per_group_cap(spark):
             key=lambda r: (-r["n_chars"], r["doc_id"]),
         )[:5]
         assert sorted(r["doc_id"] for r in kept) == sorted(r["doc_id"] for r in want)
+
+
+def _py_bpe_reference(word_counts, num_merges, eow="</w>"):
+    """Textbook BPE (Sennrich et al. 2016) in plain python — the
+    semantics bpe_train must reproduce distributed."""
+    vocab = {tuple(list(w) + [eow]): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from pygrametl_spark.functions.text import bpe_apply, bpe_train
+
+    texts = [
+        (1, "low low low low low"),
+        (2, "lower lower newest newest"),
+        (3, "newest newest newest newest widest"),
+        (4, "widest widest low newest"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    counts = {}
+    for _, t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    want = _py_bpe_reference(counts, 12)
+    got = bpe_train(docs, num_merges=12)
+    assert got == want and len(got) >= 8
+
+    # apply reproduces the trained segmentation for a word in the corpus
+    toks = {
+        r["doc_id"]: r["bpe_toks"]
+        for r in bpe_apply(docs, got).collect()
+    }
+    # "low" fully merges into one token (freq 7) + eow handling
+    assert all(len(v) >= 1 for v in toks.values())
+    # greedy fold == reference merge application per word
+    def py_apply(word):
+        syms = list(word) + ["</w>"]
+        for a, b in got:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+    for did, text in texts:
+        want_toks = [s for w in text.split() for s in py_apply(w)]
+        assert toks[did] == want_toks, (did, toks[did], want_toks)
+
+
+def test_bpe_train_deterministic_across_partitionings(spark):
+    from pygrametl_spark.functions.text import bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    a = bpe_train(docs, num_merges=6, max_vocab_words=50)
+    b = bpe_train(docs.repartition(13), num_merges=6, max_vocab_words=50)
+    assert a == b and len(a) == 6
