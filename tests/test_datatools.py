@@ -1732,3 +1732,41 @@ def test_bpe_train_deterministic_across_partitionings(spark):
     a = bpe_train(docs, num_merges=6, max_vocab_words=50)
     b = bpe_train(docs.repartition(13), num_merges=6, max_vocab_words=50)
     assert a == b and len(a) == 6
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_doc_strategy, k=st.integers(min_value=2, max_value=4))
+def test_exact_substring_dedup_matches_bruteforce(spark, texts, k):
+    """Property: the distributed span-hash formulation equals a direct
+    python computation of Lee-et-al span removal for every doc — any
+    corpus, any k."""
+    import hashlib
+
+    from pygrametl_spark.functions.dedup import exact_substring_dedup
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in exact_substring_dedup(docs, k=k).collect()}
+
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    occs = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            occs.setdefault(tuple(ts[p:p + k]), []).append((i, p))
+    removed = {}
+    for span, lst in occs.items():
+        if len(lst) >= 2:
+            first = min(lst)
+            for o in lst:
+                if o != first:
+                    removed.setdefault(o[0], set()).add(o[1])
+    for i, ts in enumerate(toks.values()):
+        cover = set()
+        for p in removed.get(i, ()):  # noqa: B905
+            cover.update(range(p, p + k))
+        kept = [t for j, t in enumerate(ts) if j not in cover]
+        r = got[i]
+        assert r["n_tokens"] == len(ts)
+        assert r["n_dup_spans"] == len(removed.get(i, ()))
+        assert r["n_removed"] == len(cover)
+        assert r["dup_bps"] == (10000 * len(cover)) // len(ts)
+        assert r["kept_fp"] == hashlib.md5(" ".join(kept).encode()).hexdigest()
