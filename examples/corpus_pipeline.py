@@ -6,13 +6,18 @@ every stage an operator this engine ships, each scale-shaped for a
 100 TB corpus (see PERF.md for the per-operator plan audits):
 
 1. hygiene   — C4-style boilerplate line removal, rebuilt in order
-2. filtering — language ID + quality score + repetition gates
-3. dedup     — exact (hash-groupBy) then near-dup clusters over the
-               MinHash-LSH pair graph; one canonical doc per cluster
+2. filtering — language ID + quality score + repetition gates, the
+               CCNet LM perplexity proxy, and the fastText-style hashed
+               linear classifier as the model-based gate
+3. dedup     — exact (hash-groupBy), ExactSubstr duplicated-span
+               removal (docs that are mostly duplicated text go), then
+               near-dup clusters over the MinHash-LSH pair graph; one
+               canonical doc per cluster
 4. leakage   — benchmark decontamination (broadcast eval shingles) and
                a cluster-aware split so near-dups never straddle splits
-5. packing   — token-budget sequence packing per source shard
-6. export    — parquet partitioned by (split, pack shard)
+5. balancing — per-domain quota cap so no source dominates
+6. packing   — token-budget sequence packing per source shard
+7. export    — parquet partitioned by (split, pack shard)
 
 Run: python examples/corpus_pipeline.py [sf_dir] [out_dir]
 """
@@ -31,7 +36,11 @@ from pygrametl_spark import get_spark
 from pygrametl_spark.catalog import load_catalog, spread
 from pygrametl_spark.functions import dedup as dd
 from pygrametl_spark.functions import text as tx
-from pygrametl_spark.functions.sampling import cluster_split, pack_by_token_budget
+from pygrametl_spark.functions.sampling import (
+    cluster_split,
+    pack_by_token_budget,
+    per_group_cap,
+)
 
 
 def run_pipeline(spark, sf_dir: str, out_dir: str):
@@ -71,12 +80,28 @@ def run_pipeline(spark, sf_dir: str, out_dir: str):
     kept = kept.join(
         lm.filter(F.col("lm_score") <= F.lit(cutoff)).select("doc_id"), "doc_id"
     )
+    # model-based gate: the hashed linear classifier (here the
+    # deterministic pseudo-weights; swap in a trained vector via
+    # weights=). Zero-shuffle scan-stage scoring.
+    clf_ok = (
+        tx.hashed_classifier_score(kept)
+        .filter(F.col("score_units") > -400_000)
+        .select("doc_id")
+    )
+    kept = kept.join(clf_ok, "doc_id")
     counts["after_quality"] = kept.count()
 
-    # 3. dedup: exact first (cheap), then near-dup clusters; keep the
-    # canonical representative of every cluster
+    # 3. dedup: exact first (cheap), then ExactSubstr span-level dedup
+    # (drop docs that are mostly duplicated spans of earlier docs),
+    # then near-dup clusters; keep the canonical doc per cluster
     exact = dd.exact_dedup(kept, "doc_id", "text").select("doc_id")
     kept = kept.join(exact, "doc_id")
+    span_ok = (
+        dd.exact_substring_dedup(kept, k=8)
+        .filter(F.col("dup_bps") <= 5000)  # >50% duplicated text -> drop
+        .select("doc_id")
+    )
+    kept = kept.join(span_ok, "doc_id")
     clusters = dd.neardup_clusters(kept, threshold=0.5)
     kept = kept.join(clusters, "doc_id").filter("keep").drop("keep")
     counts["after_dedup"] = kept.count()
@@ -89,13 +114,22 @@ def run_pipeline(spark, sf_dir: str, out_dir: str):
     split = cluster_split(kept, clusters=clusters).select("doc_id", "split")
     counts["after_decontam"] = kept.count()
 
-    # 5. packing: token budgets per source shard
+    # 5. balancing: per-domain quota — no source may exceed its cap
+    # (deterministic longest-first ranking within each source)
+    quota = per_group_cap(
+        kept.withColumn("_len", F.length("text")),
+        "doc_id", "source", cap=200, order_by=[F.col("_len").desc()],
+    ).select("doc_id")
+    kept = kept.join(quota, "doc_id")
+    counts["after_domain_cap"] = kept.count()
+
+    # 6. packing: token budgets per source shard
     packed = pack_by_token_budget(
         kept.withColumn("n_tokens", F.size(tx.tokens()).cast("long")),
         "n_tokens", 512, order_by="doc_id", partition_by="source",
     ).join(split, "doc_id")
 
-    # 6. export: one directory per (split, source, pack) — the layout a
+    # 7. export: one directory per (split, source, pack) — the layout a
     # training loader streams shard-by-shard
     out = packed.select(
         "doc_id", "source", "split", "lang_pred", "n_tokens", "pack_id", "text"
