@@ -1770,3 +1770,32 @@ def test_exact_substring_dedup_matches_bruteforce(spark, texts, k):
         assert r["n_removed"] == len(cover)
         assert r["dup_bps"] == (10000 * len(cover)) // len(ts)
         assert r["kept_fp"] == hashlib.md5(" ".join(kept).encode()).hexdigest()
+
+
+def test_hashed_classifier_composes_with_streaming(spark, tmp_path):
+    """The classifier is a stateless scan-stage expression, so it gates
+    a readStream exactly as it gates a batch frame — the streaming
+    quality-gate deployment shape (score at ingest, no state)."""
+    from pygrametl_spark.functions.text import hashed_classifier_score
+
+    src = str(tmp_path / "src")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    scored = hashed_classifier_score(stream)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("clf_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_feats"], r["score_units"], r["label"])
+        for r in spark.sql("SELECT * FROM clf_stream").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_feats"], r["score_units"], r["label"])
+        for r in hashed_classifier_score(docs).collect()
+    }
+    assert got == want and len(got) == 50
