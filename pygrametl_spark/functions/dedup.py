@@ -681,8 +681,9 @@ def exact_substring_dedup(
        hyper-frequent span is an AQE skew-join case, not a plan change);
     4. per-doc interval union + residual text are in-row array ops.
 
-    Token positions must stay below 1e6 per document (the first-occurrence
-    order key packs ``doc_id * 1e6 + pos``).
+    ``id_col`` must be numeric and token positions must stay below 1e6
+    per document (the first-occurrence order key packs
+    ``doc_id * 1e6 + pos`` into one comparable int64).
 
     Returns one row per input document: ``(id_col, n_tokens,
     n_dup_spans, n_removed, dup_bps, kept_fp)`` where ``n_dup_spans``
