@@ -59,9 +59,21 @@ def main() -> None:
                 if t.isTemporary:
                     spark.catalog.dropTempView(t.name)
             spark.streams.resetTerminated()
+            spark.catalog.clearCache()
         except Exception:  # noqa: BLE001 — hygiene must never fail the bench
             pass
         gc.collect()
+        # Release executor-storage blocks BEFORE the next measurement:
+        # lazy localCheckpoint blocks from mutation-chain queries are
+        # reclaimed asynchronously by the ContextCleaner after their
+        # Python refs die, and that cleanup landing mid-measurement is
+        # measurable noise (events_stream_windows spread 2.8-14.6 s in a
+        # full sweep vs 3.0-3.6 s isolated). A forced JVM GC drains the
+        # cleaner's reference queue synchronously-enough here.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

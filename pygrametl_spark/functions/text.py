@@ -819,16 +819,19 @@ def bloom_decontaminate(
     words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
     bits = F.array(*[F.lit(w).cast("long") for w in words])
 
+    # the bitmap literal is referenced INSIDE the lambda, never bound as
+    # a projected column: a column binding would materialize m/8 bytes
+    # into every corpus row's UnsafeRow (8 KB/row at the default m) —
+    # as a bare literal, constant folding collapses it once per plan.
     probe = df.withColumn("_toks", tokens(text_col)).select(
         F.col(id_col),
         F.array_distinct(shingles_of_tokens(F.col("_toks"), n)).alias("_sharr"),
-        bits.alias("_bits"),
     )
 
     def flagged(s):
         def bit_ok(i):
             p = F.pmod(hash32(F.concat(s, F.lit("#"), i.cast("string"))), F.lit(m))
-            word = F.element_at("_bits", (p / 64).cast("int") + 1)
+            word = F.element_at(bits, (p / 64).cast("int") + 1)
             # python F.shiftright only takes a literal numBits; the SQL
             # expression form accepts a column
             return (
