@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from pygrametl_spark.functions.text import fingerprint
 
-__all__ = ["stream_dedup_exact", "stream_dedup_minhash"]
+__all__ = ["stream_dedup_exact", "stream_dedup_minhash", "minhash_accept_fn"]
 
 
 def _stage_id_sliced(spark: SparkSession, sf_dir: str, n_files: int):
@@ -109,6 +109,48 @@ def stream_dedup_exact(
     return spark.read.parquet(store)
 
 
+def minhash_accept_fn(band_store: str, accepted_store: str, threshold: float):
+    """The foreachBatch body of :func:`stream_dedup_minhash`, exposed so
+    the failure-injection recovery tests exercise the EXACT production
+    logic: reject batch docs near-dup (band collision + est_jaccard >=
+    threshold) of any smaller-id doc in (store ∪ batch), then append the
+    batch's band rows and the surviving ids."""
+    from pygrametl_spark.functions.dedup import MINHASH_K, minhash_band_rows
+
+    def accept(bdf, _bid):
+        sp = bdf.sparkSession
+        bands = minhash_band_rows(bdf).localCheckpoint(eager=True)
+        seen = sp.read.parquet(band_store)
+        everyone = seen.unionByName(bands)
+        eq = F.size(
+            F.filter(F.zip_with("b_sig", "o_sig", lambda x, y: x == y), lambda v: v)
+        )
+        dropped = (
+            bands.select(
+                F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"),
+                "bidx", "bhash",
+            )
+            .join(
+                everyone.select(
+                    F.col("doc_id").alias("o_id"), F.col("sig").alias("o_sig"),
+                    "bidx", "bhash",
+                ),
+                ["bidx", "bhash"],
+            )
+            .filter(F.col("o_id") < F.col("b_id"))
+            .withColumn("_ej", F.round(eq / F.lit(float(MINHASH_K)), 4))
+            .filter(F.col("_ej") >= threshold)
+            .select(F.col("b_id").alias("doc_id"))
+            .distinct()
+        )
+        bands.write.mode("append").parquet(band_store)
+        bdf.select("doc_id").join(dropped, "doc_id", "left_anti").write.mode(
+            "append"
+        ).parquet(accepted_store)
+
+    return accept
+
+
 def stream_dedup_minhash(
     spark: SparkSession,
     sf_dir: str,
@@ -141,10 +183,9 @@ def stream_dedup_minhash(
     both effects are appends keyed by doc_id; a replayed batch re-drops
     the same ids (the store rows it appended earlier make its own docs
     collide with themselves at equal id — excluded by the strict ``<``)
-    so re-appends duplicate rows at most, removed by the final distinct.
+    so re-appends duplicate rows at most, removed by the final distinct
+    (failure-injection tested in tests/test_streaming_recovery.py).
     """
-    from pygrametl_spark.functions.dedup import MINHASH_K, minhash_band_rows
-
     full, stage = _stage_id_sliced(spark, sf_dir, n_files)
     root = os.path.join(
         tempfile.gettempdir(), f"pygrametl_spark_mhstore_{uuid.uuid4().hex[:8]}"
@@ -157,36 +198,7 @@ def stream_dedup_minhash(
         accepted_store
     )
 
-    def accept(bdf, _bid):
-        sp = bdf.sparkSession
-        bands = minhash_band_rows(bdf).localCheckpoint(eager=True)
-        seen = sp.read.parquet(band_store)
-        everyone = seen.unionByName(bands)
-        eq = F.size(
-            F.filter(F.zip_with("b_sig", "o_sig", lambda x, y: x == y), lambda v: v)
-        )
-        dropped = (
-            bands.select(
-                F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"),
-                "bidx", "bhash",
-            )
-            .join(
-                everyone.select(
-                    F.col("doc_id").alias("o_id"), F.col("sig").alias("o_sig"),
-                    "bidx", "bhash",
-                ),
-                ["bidx", "bhash"],
-            )
-            .filter(F.col("o_id") < F.col("b_id"))
-            .withColumn("_ej", F.round(eq / F.lit(float(MINHASH_K)), 4))
-            .filter(F.col("_ej") >= threshold)
-            .select(F.col("b_id").alias("doc_id"))
-            .distinct()
-        )
-        bands.write.mode("append").parquet(band_store)
-        bdf.select("doc_id").join(dropped, "doc_id", "left_anti").write.mode(
-            "append"
-        ).parquet(accepted_store)
+    accept = minhash_accept_fn(band_store, accepted_store, threshold)
 
     files = (
         spark.readStream.schema(full.schema)

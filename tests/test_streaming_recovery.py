@@ -237,3 +237,57 @@ def test_scd2_stream_recovery_idempotent_single_store(spark, tmp_path):
 
     assert stable(crash_dim) == stable(clean_dim)
     assert len(stable(clean_dim)) > 0
+
+
+def test_minhash_stream_recovery_equals_batch_twin(spark, tmp_path):
+    """Near-dup ingest: batch 1's band-store AND accepted-store appends
+    land, then the job dies before the checkpoint commit. On replay the
+    batch's own earlier band rows collide with its docs only at EQUAL id
+    (excluded by the strict <), so the same ids drop again and the
+    duplicate appends collapse under the final distinct — the store
+    still equals the batch twin (drop every id_2 of the corpus-wide
+    LSH pair relation)."""
+    from pygrametl_spark.functions.dedup import minhash_lsh_pairs
+    from pygrametl_spark.streaming.corpus import (
+        _stage_id_sliced,
+        minhash_accept_fn,
+    )
+
+    full, stage = _stage_id_sliced(spark, SF, 3)
+    band_store = str(tmp_path / "bands")
+    accepted_store = str(tmp_path / "accepted")
+    spark.createDataFrame(
+        [], "doc_id long, sig array<bigint>, bidx int, bhash string"
+    ).write.parquet(band_store)
+    spark.createDataFrame([], "doc_id long").write.parquet(accepted_store)
+
+    inner = minhash_accept_fn(band_store, accepted_store, 0.5)
+
+    def make_accept(fail_on_batch=None):
+        state = {"tripped": False}
+
+        def accept(bdf, bid):
+            inner(bdf, bid)
+            if fail_on_batch == bid and not state["tripped"]:
+                state["tripped"] = True
+                raise RuntimeError("injected crash after store appends")
+
+        return accept
+
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="injected crash"):
+        _run_stream(spark, stage, full.schema, make_accept(fail_on_batch=1), ckpt)
+    _run_stream(spark, stage, full.schema, make_accept(), ckpt)
+
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(accepted_store).distinct().collect()
+    )
+    dropped = {
+        r["id_2"] for r in minhash_lsh_pairs(full, threshold=0.5).collect()
+    }
+    want = sorted(
+        r["doc_id"] for r in full.select("doc_id").collect()
+        if r["doc_id"] not in dropped
+    )
+    assert got == want and len(got) > 0
