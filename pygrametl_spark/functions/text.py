@@ -25,7 +25,7 @@ __all__ = [
     "tfidf_topk", "winnow_fingerprints",
     "ngram_lm_train", "ngram_lm_score",
     "hashed_classifier_score", "bloom_decontaminate",
-    "bpe_train", "bpe_apply",
+    "bpe_train", "bpe_apply", "bpe_apply_arrow",
 ]
 
 # Tiny deterministic marker lists (the heuristic, not a model).
@@ -983,3 +983,71 @@ def bpe_apply(
             ).alias(out)
         )
     )
+
+
+def bpe_apply_arrow(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    out: str = "bpe_toks",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Production-scale BPE application: identical semantics to
+    :func:`bpe_apply` (equivalence is test-pinned) but executed as an
+    Arrow-batched ``mapInPandas`` with the merge table broadcast as
+    rank map — the right shape once the merge list reaches real vocab
+    sizes (30k+), where an expression chain per merge would not compile.
+
+    Per word: repeatedly merge the present pair with the LOWEST training
+    rank (the standard BPE inference rule, e.g. GPT-2's encoder), which
+    reproduces training-order application exactly; a per-batch word
+    cache collapses Zipf-repeated words so cost tracks DISTINCT words
+    per batch, not tokens.
+    """
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    out_fields = df.schema.fieldNames() + [out]
+    schema_src = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out} array<string>"]
+    )
+
+    def encode_word(word: str, cache: dict) -> "list[str]":
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word) + [end_of_word]
+        while len(syms) >= 2:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, i)
+            if best is None:
+                break
+            a, b = merges[best[0]]
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        cache[word] = syms
+        return syms
+
+    def run(batches):
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in batches:
+            toks = [
+                [s for w in str(t).split() for s in encode_word(w, cache)]
+                for t in pdf[text_col].fillna("")
+            ]
+            pdf = pdf.copy()
+            pdf[out] = pd.Series(toks, index=pdf.index, dtype=object)
+            yield pdf[out_fields]
+
+    return df.mapInPandas(run, schema=schema_src)

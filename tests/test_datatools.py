@@ -1799,3 +1799,25 @@ def test_hashed_classifier_composes_with_streaming(spark, tmp_path):
         for r in hashed_classifier_score(docs).collect()
     }
     assert got == want and len(got) == 50
+
+
+def test_bpe_apply_arrow_equals_expression_path(spark):
+    """The Arrow production path (rank-based inference, word cache) and
+    the expression path (training-order fold chain) must produce the
+    identical segmentation — the classic BPE equivalence: once a pair's
+    pass has run, that pair can never become adjacent again, so
+    training-order passes == lowest-rank-first iteration."""
+    from pygrametl_spark.functions.text import bpe_apply, bpe_apply_arrow, bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    merges = bpe_train(docs, num_merges=15, max_vocab_words=80)
+    assert len(merges) == 15
+    a = {
+        r["doc_id"]: r["bpe_toks"]
+        for r in bpe_apply(docs, merges).collect()
+    }
+    b = {
+        r["doc_id"]: r["bpe_toks"]
+        for r in bpe_apply_arrow(docs, merges).collect()
+    }
+    assert a == b and len(a) == 120
