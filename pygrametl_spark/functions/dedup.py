@@ -27,6 +27,7 @@ __all__ = [
     "minhash_signatures_long", "minhash_lsh_pairs", "minhash_band_rows",
     "minhash_lsh_pairs_between", "simhash32", "ngram_jaccard_pairs",
     "neardup_clusters", "exact_substring_dedup",
+    "exact_substring_dedup_against",
 ]
 
 # Affine permutations h_i(x) = (a_i*x + b_i) mod P over the 32-bit hash
@@ -719,6 +720,102 @@ def exact_substring_dedup(
     rem = occ.join(dups, "_key").filter(F.col("_ord") != F.col("_first")).select(
         "_id", "_pos"
     )
+    per_doc = rem.groupBy("_id").agg(
+        F.sort_array(F.collect_list("_pos")).alias("_starts"),
+        F.count("*").alias("n_dup_spans"),
+    )
+    out = base.join(per_doc, "_id", "left")
+    covered = F.array_distinct(
+        F.flatten(F.transform("_starts", lambda s: F.sequence(s, s + k - 1)))
+    )
+    kept_idx = F.array_except(F.sequence(F.lit(0), F.col("_n") - 1), covered)
+    kept_text = F.concat_ws(
+        " ", F.transform(kept_idx, lambda i: F.element_at("_toks", i + 1))
+    )
+    has = F.col("_starts").isNotNull()
+    n_removed = F.when(has, F.size(covered)).otherwise(F.lit(0)).cast("long")
+    return (
+        out.withColumn("n_removed", n_removed)
+        .withColumn(
+            "kept_fp",
+            F.md5(F.when(has, kept_text).otherwise(F.concat_ws(" ", "_toks"))),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.col("n_removed"),
+            F.expr("(10000 * n_removed) div _n").cast("long").alias("dup_bps"),
+            F.col("kept_fp"),
+        )
+    )
+
+
+def exact_substring_dedup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hashed: bool = True,
+) -> DataFrame:
+    """Incremental ExactSubstr: scrub a NEW batch against an already-
+    accepted corpus — the batch-vs-corpus member of the incremental
+    dedup family (exact: :func:`dedup_against`; near-dup:
+    :func:`minhash_lsh_pairs_between`).
+
+    A batch span occurrence is removed iff its ``k``-token span occurs
+    ANYWHERE in the corpus (the corpus was accepted first, so it always
+    wins) OR earlier within the batch itself (the same first-occurrence
+    rule as :func:`exact_substring_dedup`). Corpus documents are never
+    modified.
+
+    Scale shape: the corpus side reduces to its DISTINCT span-hash set
+    (map-side-combined aggregate — 8 bytes per distinct span, the
+    "fingerprints not text" store pattern); batch occurrences equi-join
+    against it. Batch-internal duplication reuses the same aggregate
+    formulation as the batch operator. Same output schema as
+    :func:`exact_substring_dedup`, restricted to batch documents.
+    """
+    def occ_of(df):
+        toks = tokens(text_col)
+        base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).withColumn(
+            "_n", F.size("_toks")
+        )
+        starts = F.when(
+            F.col("_n") >= k, F.sequence(F.lit(0), F.col("_n") - k)
+        ).otherwise(F.array().cast("array<int>"))
+        spans = F.transform(
+            starts, lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", F.slice("_toks", i + 1, k)).alias("span"),
+            )
+        )
+        occ = base.select("_id", F.explode(spans).alias("_sp")).select(
+            "_id", F.col("_sp.pos").alias("_pos"),
+            (F.xxhash64("_sp.span") if hashed else F.col("_sp.span")).alias("_key"),
+        )
+        return base, occ.withColumn(
+            "_ord", F.col("_id") * F.lit(1000000) + F.col("_pos")
+        )
+
+    base, occ = occ_of(new_df)
+    corpus_spans = (
+        occ_of(corpus_df)[1].select("_key").distinct()
+    )
+    # batch-internal duplicated spans (first batch occurrence survives
+    # unless the corpus also has the span)
+    internal = (
+        occ.groupBy("_key")
+        .agg(F.min("_ord").alias("_first"), F.count("*").alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("_key", "_first")
+    )
+    vs_corpus = occ.join(corpus_spans, "_key").select("_id", "_pos")
+    vs_batch = occ.join(internal, "_key").filter(
+        F.col("_ord") != F.col("_first")
+    ).select("_id", "_pos")
+    rem = vs_corpus.unionByName(vs_batch).distinct()
     per_doc = rem.groupBy("_id").agg(
         F.sort_array(F.collect_list("_pos")).alias("_starts"),
         F.count("*").alias("n_dup_spans"),

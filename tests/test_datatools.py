@@ -1821,3 +1821,47 @@ def test_bpe_apply_arrow_equals_expression_path(spark):
         for r in bpe_apply_arrow(docs, merges).collect()
     }
     assert a == b and len(a) == 120
+
+
+def test_exact_substring_dedup_against_semantics(spark):
+    """Incremental ExactSubstr: corpus spans always win (batch loses its
+    occurrences even at position 0); batch-internal dups keep the batch's
+    first occurrence unless the corpus also carries the span."""
+    import hashlib
+
+    from pygrametl_spark.functions.dedup import exact_substring_dedup_against
+
+    corpus = spark.createDataFrame(
+        [(100, "a b c d")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a b c x y"),    # "a b c" in corpus -> removed even though first in batch
+            (2, "p q r s"),      # clean
+            (3, "p q r z p q r z"),  # batch-internal dup "p q r"? k=3: spans p q r / q r s...
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup_against(new, corpus, k=3).collect()
+    }
+
+    def fp(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # doc 1: "a b c"@0 and "b c d"? no ("b c x") -> only pos 0 removed,
+    # covering tokens 0..2
+    assert out[1]["n_removed"] == 3 and out[1]["kept_fp"] == fp("x y")
+    # doc 2: "p q r"@0 also occurs in doc 3 (@0 and @4) -> doc 2 is the
+    # batch-first occurrence (smaller doc id) and survives untouched
+    assert out[2]["n_removed"] == 0 and out[2]["kept_fp"] == fp("p q r s")
+    # doc 3: "p q r"@0 loses to doc 2; "q r z"@1 dups "q r z"@5 (first
+    # wins); "p q r"@4 loses; "r z p"/"z p q" unique; union covers
+    # 0..2 and 4..6 plus... check exact cover:
+    # removed starts: 0 (vs doc2), 4 (vs doc2 + internal), 5 ("q r z" internal? first@1)
+    # spans doc3 k=3: [p q r]@0 [q r z]@1 [r z p]@2 [z p q]@3 [p q r]@4 [q r z]@5
+    # removals: @0 (doc2 first), @4 (doc2), @5 (internal, first@1)
+    # cover = {0,1,2} | {4,5,6} | {5,6,7} = 0..2,4..7 -> 7 removed, kept = token 3 "z"
+    assert out[3]["n_removed"] == 7 and out[3]["kept_fp"] == fp("z")
+    assert out[3]["n_dup_spans"] == 3
