@@ -1865,3 +1865,47 @@ def test_exact_substring_dedup_against_semantics(spark):
     # cover = {0,1,2} | {4,5,6} | {5,6,7} = 0..2,4..7 -> 7 removed, kept = token 3 "z"
     assert out[3]["n_removed"] == 7 and out[3]["kept_fp"] == fp("z")
     assert out[3]["n_dup_spans"] == 3
+
+
+def test_new_ops_edge_inputs(spark):
+    """Empty frames, empty eval sets, unicode text, and a degenerate
+    one-token-repeated document must not crash or produce wrong shapes
+    in the round-3 operators."""
+    from pygrametl_spark.functions.dedup import exact_substring_dedup
+    from pygrametl_spark.functions.text import (
+        bloom_decontaminate,
+        bpe_train,
+        hashed_classifier_score,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_substring_dedup(empty, k=3).count() == 0
+    assert hashed_classifier_score(empty).count() == 0
+    assert bpe_train(empty, num_merges=3) == []
+
+    docs = spark.createDataFrame(
+        [
+            (1, "héllo wörld héllo wörld héllo wörld"),   # unicode + repetition
+            (2, "宇宙 宇宙 宇宙 宇宙 宇宙 宇宙"),            # CJK, one token repeated
+            (3, ""),                                       # empty text
+        ],
+        "doc_id long, text string",
+    )
+    # empty eval set -> all-zero bitmap -> nothing flagged
+    out = {r["doc_id"]: r for r in
+           bloom_decontaminate(docs, empty, m=1024, k_hashes=2).collect()}
+    assert not any(r["contaminated"] for r in out.values())
+
+    es = {r["doc_id"]: r for r in exact_substring_dedup(docs, k=2).collect()}
+    # doc 1: "héllo wörld" spans repeat -> everything after the first
+    # occurrence pair is covered; n_tokens = 6
+    assert es[1]["n_tokens"] == 6 and es[1]["n_removed"] == 4
+    # doc 2: all 5 spans identical; occurrences @1..@4 are removed and
+    # their union covers tokens 1..5 -> only token 0 survives
+    assert es[2]["n_removed"] == 5 and es[2]["dup_bps"] == (10000 * 5) // 6
+    # doc 3: split of "" is [""] -> one token, shorter than k, untouched
+    assert es[3]["n_tokens"] == 1 and es[3]["n_removed"] == 0
+
+    clf = {r["doc_id"]: r for r in hashed_classifier_score(docs).collect()}
+    assert clf[1]["n_feats"] == 6 + 5 and clf[2]["n_feats"] == 6 + 5
+    assert clf[3]["n_feats"] == 1  # the single empty-string token
