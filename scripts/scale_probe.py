@@ -44,7 +44,7 @@ def replicate(spark, table: str, k: int, id_cols: list[str], out_root: str) -> s
     return path
 
 
-def probe(spark, docs_path: str, emb_path: str, ev_path: str) -> dict[str, float]:
+def probe(spark, docs_path: str, emb_path: str, ev_path: str, only=None) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     from pygrametl_spark.functions import dedup as dd
@@ -79,8 +79,10 @@ def probe(spark, docs_path: str, emb_path: str, ev_path: str) -> dict[str, float
         "lm_score": lambda: tx.ngram_lm_score(docs).agg(
             F.sum("n_bigrams")
         ).count(),
+        # n_clusters=None -> auto-scaled with corpus size (fixed k would
+        # be quadratic in K; measured 54x at K=32 vs 12.8x scaled)
         "semantic_dedup": lambda: sim.semantic_dedup(
-            emb, n_clusters=8, iters=2, threshold=0.45
+            emb, n_clusters=None, iters=2, threshold=0.45
         ).filter("NOT keep").count(),
         "exact_substring": lambda: dd.exact_substring_dedup(docs, k=5)
         .agg(F.sum("n_removed")).count(),
@@ -92,6 +94,8 @@ def probe(spark, docs_path: str, emb_path: str, ev_path: str) -> dict[str, float
     }
     times = {}
     for name, fn in ops.items():
+        if only is not None and name not in only:
+            continue
         fn()  # warm-up: codegen/JIT out of the measurement
         t0 = time.time()
         fn()
@@ -171,6 +175,11 @@ def main() -> None:
     args = sys.argv[1:]
     etl = "--etl" in args
     args = [a for a in args if a != "--etl"]
+    only = None
+    for a in list(args):
+        if a.startswith("--ops="):
+            only = set(a[len("--ops="):].split(","))
+            args.remove(a)
     ks = [int(a) for a in args] or ([1, 4, 16, 32] if etl else [1, 2, 4, 8])
     out_root = "/tmp/pygrametl_spark_scaleprobe"
     os.makedirs(out_root, exist_ok=True)
@@ -189,7 +198,7 @@ def main() -> None:
             docs = replicate(spark, "documents", k, ["doc_id"], out_root)
             emb = replicate(spark, "embeddings", k, ["vec_id"], out_root)
             ev = replicate(spark, "events", k, ["event_id", "user_id"], out_root)
-            times = probe(spark, docs, emb, ev)
+            times = probe(spark, docs, emb, ev, only=only)
         results[k] = times
         print(json.dumps({"k": k, "times": times}))
 

@@ -1909,3 +1909,16 @@ def test_new_ops_edge_inputs(spark):
     clf = {r["doc_id"]: r for r in hashed_classifier_score(docs).collect()}
     assert clf[1]["n_feats"] == 6 + 5 and clf[2]["n_feats"] == 6 + 5
     assert clf[3]["n_feats"] == 1  # the single empty-string token
+
+
+def test_semantic_dedup_auto_scales_clusters(spark):
+    """n_clusters=None derives the cluster count from the corpus size
+    (clamped to >=8), so the default config can never go quadratic when
+    the corpus grows; explicit n_clusters is honored unchanged."""
+    from pygrametl_spark.functions.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    auto = semantic_dedup(emb, iters=1, threshold=0.45)
+    # tiny corpus -> clamped to the 8-cluster floor == explicit 8
+    manual = semantic_dedup(emb, n_clusters=8, iters=1, threshold=0.45)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, manual.collect()))

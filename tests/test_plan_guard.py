@@ -51,8 +51,13 @@ CASES = {
     # non-equi condition would plan as BroadcastNestedLoopJoin.
     "range_join_events": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
     # ExactSubstr span dedup: span-hash aggregation + equi-join back,
-    # never a product over span occurrences.
-    "exact_substring": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
+    # never a product over span occurrences; the dup-span table and the
+    # per-doc removal table broadcast back so the occ relation and the
+    # base corpus are never shuffled for the joins.
+    "exact_substring": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        {"broadcast_joins": 2},
+    ),
     # hashed linear classifier: pure scan-stage projection — any join at
     # all means the broadcast-weights design regressed (the only exchange
     # is catalog.spread's round-robin input spreading, local-only).
