@@ -27,7 +27,7 @@ __all__ = [
     "minhash_signatures_long", "minhash_lsh_pairs", "minhash_band_rows",
     "minhash_lsh_pairs_between", "simhash32", "ngram_jaccard_pairs",
     "neardup_clusters", "exact_substring_dedup",
-    "exact_substring_dedup_against",
+    "exact_substring_dedup_against", "span_keys",
 ]
 
 # Affine permutations h_i(x) = (a_i*x + b_i) mod P over the 32-bit hash
@@ -753,11 +753,12 @@ def exact_substring_dedup(
 
 def exact_substring_dedup_against(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
     hashed: bool = True,
+    corpus_spans: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ExactSubstr: scrub a NEW batch against an already-
     accepted corpus — the batch-vs-corpus member of the incremental
@@ -776,7 +777,15 @@ def exact_substring_dedup_against(
     against it. Batch-internal duplication reuses the same aggregate
     formulation as the batch operator. Same output schema as
     :func:`exact_substring_dedup`, restricted to batch documents.
+
+    Pass ``corpus_spans`` (a one-column ``_key`` relation of distinct
+    span hashes) instead of ``corpus_df`` to probe a PERSISTED span
+    store directly — the streaming ingest shape, where the store is
+    appended batch by batch and the corpus text is never re-read.
     """
+    if (corpus_df is None) == (corpus_spans is None):
+        raise ValueError("pass exactly one of corpus_df / corpus_spans")
+
     def occ_of(df):
         toks = tokens(text_col)
         base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).withColumn(
@@ -800,9 +809,10 @@ def exact_substring_dedup_against(
         )
 
     base, occ = occ_of(new_df)
-    corpus_spans = (
-        occ_of(corpus_df)[1].select("_key").distinct()
-    )
+    if corpus_spans is None:
+        corpus_spans = occ_of(corpus_df)[1].select("_key").distinct()
+    else:
+        corpus_spans = corpus_spans.select("_key").distinct()
     # batch-internal duplicated spans (first batch occurrence survives
     # unless the corpus also has the span)
     internal = (
@@ -845,3 +855,27 @@ def exact_substring_dedup_against(
             F.col("kept_fp"),
         )
     )
+
+
+def span_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hashed: bool = True,
+) -> DataFrame:
+    """The distinct ``k``-token span keys of a document set, as the
+    one-column ``_key`` relation :func:`exact_substring_dedup_against`
+    probes — what a streaming ingest appends to its span store per
+    batch (8 bytes per distinct span with ``hashed=True``)."""
+    toks = tokens(text_col)
+    base = df.select(toks.alias("_toks")).withColumn("_n", F.size("_toks"))
+    starts = F.when(
+        F.col("_n") >= k, F.sequence(F.lit(0), F.col("_n") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.explode(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, k)))
+    ).alias("_span")
+    occ = base.select(spans)
+    key = F.xxhash64("_span") if hashed else F.col("_span")
+    return occ.select(key.alias("_key")).distinct()

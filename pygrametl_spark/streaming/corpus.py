@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 from pygrametl_spark.functions.text import fingerprint
 
-__all__ = ["stream_dedup_exact", "stream_dedup_minhash", "minhash_accept_fn"]
+__all__ = ["stream_dedup_exact", "stream_dedup_minhash", "minhash_accept_fn",
+           "stream_dedup_exactsubstr"]
 
 
 def _stage_id_sliced(spark: SparkSession, sf_dir: str, n_files: int):
@@ -213,3 +214,74 @@ def stream_dedup_minhash(
     )
     q.awaitTermination()
     return spark.read.parquet(accepted_store).distinct()
+
+
+def stream_dedup_exactsubstr(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_files: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Incremental SPAN-level dedup on a live document stream — the
+    ExactSubstr member of the streaming dedup family (exact:
+    :func:`stream_dedup_exact`; near-dup: :func:`stream_dedup_minhash`).
+
+    The store holds the distinct k-token span HASHES of everything seen
+    (8 bytes per distinct span — smaller still than the MinHash band
+    store). Per batch: scrub the batch against (store ∪ earlier in
+    batch) via :func:`...dedup.exact_substring_dedup_against`, append
+    the batch's distinct span keys, and append the per-doc results.
+
+    Because micro-batches are id-ordered, "span seen in an earlier
+    batch" == "span whose global first occurrence has a smaller doc_id",
+    so the streaming run's batch twin is EXACTLY the batch operator:
+    ``exact_substring_dedup(full_corpus, k)`` row-for-row (test-pinned).
+    Replay safety: both effects are idempotent appends — the span store
+    is distinct-keyed and a replayed batch recomputes identical per-doc
+    rows (its own spans entering the store does not change its result:
+    within-batch occurrences are already governed by the first-
+    occurrence rule, and every batch span IS in the batch), deduplicated
+    by the final ``dropDuplicates``.
+    """
+    from pygrametl_spark.functions.dedup import (
+        exact_substring_dedup_against,
+        span_keys,
+    )
+
+    full, stage = _stage_id_sliced(spark, sf_dir, n_files)
+    root = os.path.join(
+        tempfile.gettempdir(), f"pygrametl_spark_esstore_{uuid.uuid4().hex[:8]}"
+    )
+    span_store, result_store = f"{root}/spans", f"{root}/results"
+    spark.createDataFrame([], "_key long").write.mode("overwrite").parquet(span_store)
+    spark.createDataFrame(
+        [],
+        "doc_id long, n_tokens long, n_dup_spans long, n_removed long, "
+        "dup_bps long, kept_fp string",
+    ).write.mode("overwrite").parquet(result_store)
+
+    def accept(bdf, _bid):
+        sp = bdf.sparkSession
+        seen = sp.read.parquet(span_store)
+        out = exact_substring_dedup_against(
+            bdf, None, k=k, corpus_spans=seen
+        ).localCheckpoint(eager=True)
+        out.write.mode("append").parquet(result_store)
+        span_keys(bdf, k=k).join(seen, "_key", "left_anti").write.mode(
+            "append"
+        ).parquet(span_store)
+
+    files = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/part*")
+    )
+    q = (
+        files.writeStream.foreachBatch(accept)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="esdedup_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(result_store).dropDuplicates(["doc_id"])

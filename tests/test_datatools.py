@@ -1922,3 +1922,20 @@ def test_semantic_dedup_auto_scales_clusters(spark):
     # tiny corpus -> clamped to the 8-cluster floor == explicit 8
     manual = semantic_dedup(emb, n_clusters=8, iters=1, threshold=0.45)
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, manual.collect()))
+
+
+def test_stream_dedup_exactsubstr_equals_batch_twin(spark):
+    """The streaming span-store ingest must reproduce the batch
+    ExactSubstr operator row-for-row: id-ordered micro-batches make
+    'span seen in an earlier batch' == 'global first occurrence has a
+    smaller doc_id'."""
+    from pygrametl_spark.functions.dedup import exact_substring_dedup
+    from pygrametl_spark.streaming.corpus import stream_dedup_exactsubstr
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        map(tuple, stream_dedup_exactsubstr(spark, sf, n_files=3, k=5).collect())
+    )
+    full = spark.read.parquet(f"{sf}/documents.parquet")
+    want = sorted(map(tuple, exact_substring_dedup(full, k=5).collect()))
+    assert got == want and len(got) == full.count()
