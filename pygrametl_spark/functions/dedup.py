@@ -682,9 +682,9 @@ def exact_substring_dedup(
        hyper-frequent span is an AQE skew-join case, not a plan change);
     4. per-doc interval union + residual text are in-row array ops.
 
-    ``id_col`` must be numeric and token positions must stay below 1e6
-    per document (the first-occurrence order key packs
-    ``doc_id * 1e6 + pos`` into one comparable int64).
+    ``id_col`` must be orderable; the first-occurrence order key is the
+    lexicographic ``struct(doc_id, pos)`` (MIN over structs), so any id
+    range / document length is safe — no packed-int64 overflow class.
 
     Returns one row per input document: ``(id_col, n_tokens,
     n_dup_spans, n_removed, dup_bps, kept_fp)`` where ``n_dup_spans``
@@ -709,7 +709,7 @@ def exact_substring_dedup(
         "_id", F.col("_sp.pos").alias("_pos"),
         (F.xxhash64("_sp.span") if hashed else F.col("_sp.span")).alias("_key"),
     )
-    ordk = (F.col("_id") * F.lit(1000000) + F.col("_pos")).alias("_ord")
+    ordk = F.struct(F.col("_id"), F.col("_pos")).alias("_ord")
     occ = occ.select("_id", "_pos", "_key", ordk)
     dups = (
         occ.groupBy("_key")
@@ -805,7 +805,7 @@ def exact_substring_dedup_against(
             (F.xxhash64("_sp.span") if hashed else F.col("_sp.span")).alias("_key"),
         )
         return base, occ.withColumn(
-            "_ord", F.col("_id") * F.lit(1000000) + F.col("_pos")
+            "_ord", F.struct(F.col("_id"), F.col("_pos"))
         )
 
     base, occ = occ_of(new_df)

@@ -953,35 +953,27 @@ def bpe_apply(
 ) -> DataFrame:
     """Tokenize with a trained BPE merge list: per word, start from
     characters + end-of-word marker and apply each merge in training
-    order as an in-row fold — zero shuffle, scan-stage only.
+    order as an in-row fold over a ``transform`` of the word array —
+    zero shuffle, scan-stage only, one output row per input row
+    (empty/null text yields an empty token array, duplicate rows are
+    preserved — matching :func:`bpe_apply_arrow` exactly).
 
     Expression depth grows with ``len(merges)``; fine for the tens of
     merges typical in tests/small vocabs. For production-sized merge
     tables (30k+), apply via an Arrow-batched pandas UDF instead — the
     semantics here are the spec.
     """
-    word_syms = F.concat(F.split(F.col("_w"), ""), F.array(F.lit(end_of_word)))
-    base = df.withColumn("_toks", tokens(text_col))
-    exploded = base.select(
-        "*", F.posexplode(F.filter("_toks", lambda t: t != "")).alias("_pos", "_w")
-    ).withColumn("_syms", word_syms)
-    for a, b in merges:
-        exploded = exploded.withColumn(
-            "_syms", _merge_pair_fold(F.col("_syms"), a, b)
-        )
-    keep = [c for c in df.columns]
-    return (
-        exploded.groupBy(*keep)
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("_pos"), F.col("_syms")))
-                    ),
-                    lambda s: s["_syms"],
-                )
-            ).alias(out)
-        )
+
+    def encode(w):
+        syms = F.concat(F.split(w, ""), F.array(F.lit(end_of_word)))
+        for a, b in merges:
+            syms = _merge_pair_fold(syms, a, b)
+        return syms
+
+    words = F.filter(tokens(text_col), lambda t: t != "")
+    empty = F.array().cast("array<string>")
+    return df.withColumn(
+        out, F.coalesce(F.flatten(F.transform(words, encode)), empty)
     )
 
 

@@ -137,16 +137,41 @@ def PEP249Sink(
     ``pyformat`` / ``numeric`` identify server drivers (psycopg2,
     MySQLdb, oracledb) that take concurrent writers, so the distributed
     path is used; ``qmark`` is the embedded-engine style (sqlite3,
-    DuckDB, ODBC) and stays on the single-writer driver stream. Pass an
-    explicit bool to override either way.
+    DuckDB, ODBC) and stays on the single-writer driver stream. The
+    auto route probe-pickles ``connect`` first and quietly falls back
+    to the driver-side path when the factory can't cloudpickle (e.g. it
+    closes over an open connection), so existing callers never trade a
+    working load for a serialization error. Pass an explicit bool to
+    override either way — ``parallel=True`` with an unpicklable factory
+    raises immediately with a pointer at ``parallel=False``.
 
     ``create``/``overwrite`` issue ``DROP TABLE IF EXISTS`` + portable
     ``CREATE TABLE`` DDL first. Ref parity: ConnectionWrapper's
     paramstyle translation (ref ``__init__.py:730-800``) becomes the
     ``paramstyle`` knob on one INSERT template.
     """
+
+    def _picklable(fn) -> bool:
+        try:
+            from pyspark.serializers import CloudPickleSerializer
+
+            CloudPickleSerializer().dumps(fn)
+            return True
+        except Exception:
+            return False
+
     if parallel is None:
-        parallel = paramstyle in ("format", "pyformat", "numeric")
+        parallel = paramstyle in ("format", "pyformat", "numeric") and _picklable(
+            connect
+        )
+    elif parallel and not _picklable(connect):
+        raise ValueError(
+            "PEP249Sink(parallel=True) requires a cloudpicklable connect "
+            "factory (each partition task opens its own connection "
+            "executor-side); this factory does not serialize — build the "
+            "connection inside the factory instead of closing over one, "
+            "or pass parallel=False for the driver-side stream."
+        )
     columns = df.columns
     ins = _insert_sql(table, columns, paramstyle)
 

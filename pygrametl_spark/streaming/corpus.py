@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pygrametl_spark.functions.text import fingerprint
 
 __all__ = ["stream_dedup_exact", "stream_dedup_minhash", "minhash_accept_fn",
-           "stream_dedup_exactsubstr"]
+           "stream_dedup_exactsubstr", "exactsubstr_accept_fn"]
 
 
 def _stage_id_sliced(spark: SparkSession, sf_dir: str, n_files: int):
@@ -216,6 +216,44 @@ def stream_dedup_minhash(
     return spark.read.parquet(accepted_store).distinct()
 
 
+def exactsubstr_accept_fn(span_store: str, result_store: str, k: int):
+    """The foreachBatch body of :func:`stream_dedup_exactsubstr`,
+    exposed so the failure-injection recovery tests exercise the EXACT
+    production logic. Replay-safe per batch (foreachBatch retries reuse
+    the same batch id):
+
+    1. scrub the batch against ``span_store WHERE _bid != bid`` — a
+       replayed batch's own already-landed spans are excluded, so the
+       recomputation equals the first attempt;
+    2. append per-doc results anti-joined on ``doc_id`` against rows
+       already present (idempotent; completes partial appends);
+    3. append the batch's net-new span keys tagged with ``bid``
+       (anti-joined against the FULL store, so a replay appends
+       nothing).
+    """
+    from pygrametl_spark.functions.dedup import (
+        exact_substring_dedup_against,
+        span_keys,
+    )
+
+    def accept(bdf, bid):
+        sp = bdf.sparkSession
+        store = sp.read.parquet(span_store)
+        seen = store.filter(F.col("_bid") != F.lit(int(bid))).select("_key")
+        out = exact_substring_dedup_against(
+            bdf, None, k=k, corpus_spans=seen
+        ).localCheckpoint(eager=True)
+        done = sp.read.parquet(result_store).select("doc_id")
+        out.join(done, "doc_id", "left_anti").write.mode("append").parquet(
+            result_store
+        )
+        span_keys(bdf, k=k).join(store.select("_key"), "_key", "left_anti").select(
+            "_key", F.lit(int(bid)).cast("long").alias("_bid")
+        ).write.mode("append").parquet(span_store)
+
+    return accept
+
+
 def stream_dedup_exactsubstr(
     spark: SparkSession,
     sf_dir: str,
@@ -237,40 +275,33 @@ def stream_dedup_exactsubstr(
     batch" == "span whose global first occurrence has a smaller doc_id",
     so the streaming run's batch twin is EXACTLY the batch operator:
     ``exact_substring_dedup(full_corpus, k)`` row-for-row (test-pinned).
-    Replay safety: both effects are idempotent appends — the span store
-    is distinct-keyed and a replayed batch recomputes identical per-doc
-    rows (its own spans entering the store does not change its result:
-    within-batch occurrences are already governed by the first-
-    occurrence rule, and every batch span IS in the batch), deduplicated
-    by the final ``dropDuplicates``.
-    """
-    from pygrametl_spark.functions.dedup import (
-        exact_substring_dedup_against,
-        span_keys,
-    )
 
+    Replay safety (foreachBatch effects are at-least-once): the span
+    store is VERSIONED BY BATCH ID, and each batch scrubs against
+    ``store WHERE _bid != current`` — so when a crashed batch replays
+    after its own span append already landed, its spans are excluded
+    from the corpus side and the recomputation is identical to the
+    first attempt. The per-doc result append is made idempotent by
+    anti-joining on ``doc_id`` against rows already present (a replayed
+    batch's docs are exactly the already-present ones, and a partially
+    landed append is completed with the correctly recomputed rows).
+    Crash-injection tested in tests/test_streaming_recovery.py.
+    """
     full, stage = _stage_id_sliced(spark, sf_dir, n_files)
     root = os.path.join(
         tempfile.gettempdir(), f"pygrametl_spark_esstore_{uuid.uuid4().hex[:8]}"
     )
     span_store, result_store = f"{root}/spans", f"{root}/results"
-    spark.createDataFrame([], "_key long").write.mode("overwrite").parquet(span_store)
+    spark.createDataFrame([], "_key long, _bid long").write.mode(
+        "overwrite"
+    ).parquet(span_store)
     spark.createDataFrame(
         [],
         "doc_id long, n_tokens long, n_dup_spans long, n_removed long, "
         "dup_bps long, kept_fp string",
     ).write.mode("overwrite").parquet(result_store)
 
-    def accept(bdf, _bid):
-        sp = bdf.sparkSession
-        seen = sp.read.parquet(span_store)
-        out = exact_substring_dedup_against(
-            bdf, None, k=k, corpus_spans=seen
-        ).localCheckpoint(eager=True)
-        out.write.mode("append").parquet(result_store)
-        span_keys(bdf, k=k).join(seen, "_key", "left_anti").write.mode(
-            "append"
-        ).parquet(span_store)
+    accept = exactsubstr_accept_fn(span_store, result_store, k)
 
     files = (
         spark.readStream.schema(full.schema)

@@ -1823,6 +1823,31 @@ def test_bpe_apply_arrow_equals_expression_path(spark):
     assert a == b and len(a) == 120
 
 
+def test_bpe_apply_keeps_empty_and_duplicate_rows(spark):
+    """One output row per input row, always: empty/null text yields an
+    empty token array (not a dropped row) and fully-duplicate input rows
+    each keep their own row — matching bpe_apply_arrow exactly (the r3
+    explode/groupBy shape silently lost both classes)."""
+    from pygrametl_spark.functions.text import bpe_apply, bpe_apply_arrow
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa ab"), (2, ""), (3, None), (4, "same text"),
+         (4, "same text")],
+        "doc_id long, text string",
+    )
+    merges = [("a", "a"), ("a", "b")]
+    got = bpe_apply(docs, merges).orderBy("doc_id").collect()
+    assert len(got) == 5  # no row lost, duplicates preserved
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["doc_id"], []).append(r["bpe_toks"])
+    assert by_id[2] == [[]] and by_id[3] == [[]]
+    assert len(by_id[4]) == 2 and by_id[4][0] == by_id[4][1]
+    arrow = bpe_apply_arrow(docs, merges).orderBy("doc_id").collect()
+    assert sorted(map(tuple, ((r["doc_id"], tuple(r["bpe_toks"])) for r in got))) \
+        == sorted(map(tuple, ((r["doc_id"], tuple(r["bpe_toks"])) for r in arrow)))
+
+
 def test_exact_substring_dedup_against_semantics(spark):
     """Incremental ExactSubstr: corpus spans always win (batch loses its
     occurrences even at position 0); batch-internal dups keep the batch's

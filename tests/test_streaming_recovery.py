@@ -239,6 +239,63 @@ def test_scd2_stream_recovery_idempotent_single_store(spark, tmp_path):
     assert len(stable(clean_dim)) > 0
 
 
+def test_exactsubstr_stream_recovery_equals_batch_twin(spark, tmp_path):
+    """ExactSubstr span-dedup ingest: batch 1's result AND span-store
+    appends land, then the job dies before the checkpoint commit. This
+    is the window where a naive replay is WRONG — the batch's own spans
+    are now in the store, so an unversioned scrub would see every batch
+    span as "already in the corpus" and remove first occurrences too.
+    The store is versioned by batch id (replays exclude their own
+    spans) and the result append anti-joins on doc_id, so the final
+    corpus must still equal the batch twin row-for-row."""
+    from pygrametl_spark.functions.dedup import exact_substring_dedup
+    from pygrametl_spark.streaming.corpus import (
+        _stage_id_sliced,
+        exactsubstr_accept_fn,
+    )
+
+    full, stage = _stage_id_sliced(spark, SF, 3)
+    span_store = str(tmp_path / "spans")
+    result_store = str(tmp_path / "results")
+    spark.createDataFrame([], "_key long, _bid long").write.parquet(span_store)
+    spark.createDataFrame(
+        [],
+        "doc_id long, n_tokens long, n_dup_spans long, n_removed long, "
+        "dup_bps long, kept_fp string",
+    ).write.parquet(result_store)
+
+    inner = exactsubstr_accept_fn(span_store, result_store, 5)
+
+    def make_accept(fail_on_batch=None):
+        state = {"tripped": False}
+
+        def accept(bdf, bid):
+            inner(bdf, bid)
+            if fail_on_batch == bid and not state["tripped"]:
+                state["tripped"] = True
+                raise RuntimeError("injected crash after store appends")
+
+        return accept
+
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="injected crash"):
+        _run_stream(spark, stage, full.schema, make_accept(fail_on_batch=1), ckpt)
+    # batch 1's spans DID land before the crash — the poisoned-replay window
+    assert spark.read.parquet(span_store).filter("_bid = 1").count() > 0
+    _run_stream(spark, stage, full.schema, make_accept(), ckpt)
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(result_store)
+        .dropDuplicates(["doc_id"]).collect()
+    }
+    want = {tuple(r) for r in exact_substring_dedup(full, k=5).collect()}
+    assert got == want and len(got) > 0
+    # and the result store itself has no duplicate/conflicting doc rows
+    n = spark.read.parquet(result_store).count()
+    assert n == len(want)
+
+
 def test_minhash_stream_recovery_equals_batch_twin(spark, tmp_path):
     """Near-dup ingest: batch 1's band-store AND accepted-store appends
     land, then the job dies before the checkpoint commit. On replay the
