@@ -7,12 +7,15 @@ over partitions — the only sane shape for CPU-heavy media work at
 100 TB (one Python worker per partition, whole Arrow batches, no
 per-row serde).
 
-The actual media decoding is STUBBED in this container (no PIL/ffmpeg):
-``decode_image_meta`` raises ``NotImplementedError`` when asked for a
-real decode and otherwise produces a *deterministic fake* derived from
-the payload's md5 — the Spark-side plumbing (schema, batching, UDF
-signature, partitioning) is real and tested, and the fake is
-reproducible in SQL for the oracle.
+Image DIMENSION decode is REAL: ``real_decode=True`` parses PNG IHDR /
+JPEG SOF / GIF logical-screen / BMP headers from the payload bytes in
+pure Python (no PIL needed — the same header math `file`/identify use),
+falling back to the *deterministic fake* (derived from the payload md5,
+reproducible in SQL for the oracle) for payloads that are not images.
+Pixel-level work (full decode, resample, frame extraction) would need
+PIL/ffmpeg, absent from this container, so those stay Arrow-batched
+deterministic fakes — the Spark-side plumbing (schema, batching, UDF
+signature, partitioning) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -27,9 +30,109 @@ from pyspark.sql import functions as F
 __all__ = [
     "to_binary_payload", "decode_image_meta", "resize_image",
     "sample_frames", "extract_features", "write_wds_shards", "FAKE_FORMATS",
+    "parse_image_header", "synth_image_payloads",
 ]
 
 FAKE_FORMATS = ["png", "jpeg", "webp"]
+
+
+def parse_image_header(payload: bytes) -> "tuple[int, int, str] | None":
+    """Pure-Python image header parse → ``(width, height, format)`` or
+    ``None`` when the payload is not a recognized image. Reads only the
+    header bytes (PNG IHDR, JPEG SOF0-15 marker scan, GIF logical
+    screen descriptor, BMP info header) — no media libraries."""
+    b = bytes(payload)
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        return (
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+            "png",
+        )
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+            "gif",
+        )
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone
+                i += 2
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(b):
+                    return None
+                height = int.from_bytes(b[i + 5:i + 7], "big")
+                width = int.from_bytes(b[i + 7:i + 9], "big")
+                return (width, height, "jpeg")
+            i += 2 + int.from_bytes(b[i + 2:i + 4], "big")
+        return None
+    if len(b) >= 26 and b[:2] == b"BM":
+        width = int.from_bytes(b[18:22], "little", signed=True)
+        height = int.from_bytes(b[22:26], "little", signed=True)
+        return (width, abs(height), "bmp")  # negative height = top-down rows
+    return None
+
+
+def _synth_payload(kind: str, width: int, height: int) -> bytes:
+    """A minimal VALID image header for tests/oracles: fixed byte sizes
+    (png=33, jpeg=16, gif=13) so an oracle can state byte_len as a
+    literal per format."""
+    if kind == "png":
+        ihdr = (
+            width.to_bytes(4, "big") + height.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0])
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR" + ihdr
+            + b"\x00\x00\x00\x00"
+        )
+    if kind == "jpeg":
+        sof = (
+            b"\xff\xc0" + (11).to_bytes(2, "big") + bytes([8])
+            + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+            + bytes([1, 0x11, 0])
+        )
+        return b"\xff\xd8" + sof + b"\xff\xd9"
+    if kind == "gif":
+        return (
+            b"GIF89a" + width.to_bytes(2, "little")
+            + height.to_bytes(2, "little") + b"\x00\x00\x00"
+        )
+    raise ValueError(f"unknown kind {kind!r}")
+
+
+def synth_image_payloads(
+    df: DataFrame, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Deterministic VALID image payloads keyed by id — the test-data
+    synthesizer for the real-decode path: format cycles png/jpeg/gif by
+    ``id % 3``, ``width = 16 + id % 240``, ``height = 16 + (id*7) % 240``
+    (an oracle states the expected dims with the same integer math,
+    which the header PARSER must then recover from the bytes)."""
+    schema = f"{id_col} long, {out} binary"
+    kinds = ["png", "jpeg", "gif"]
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    out: [
+                        _synth_payload(
+                            kinds[i % 3], 16 + i % 240, 16 + (i * 7) % 240
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(synth, schema=schema)
 
 
 def to_binary_payload(df: DataFrame, src_col: str, out: str = "payload") -> DataFrame:
@@ -47,18 +150,14 @@ def decode_image_meta(
 ) -> DataFrame:
     """Per-payload "decode" producing (id, byte_len, width, height, format).
 
-    Runs as ``mapInPandas``: each Arrow batch is processed vectorized in
-    one Python call. With ``real_decode=True`` this is where PIL/ffmpeg
-    would run — unavailable here, so it raises ``NotImplementedError``.
-    The deterministic fake derives width/height/format from the md5 of
-    the payload bytes (exactly reproducible in SQL).
+    Runs as ``mapInPandas``: each Arrow batch is processed in one Python
+    call. With ``real_decode=True`` the width/height/format come from
+    the ACTUAL payload bytes via :func:`parse_image_header` (PNG / JPEG
+    / GIF / BMP, pure Python — no PIL), with the deterministic fake as
+    the fallback for non-image payloads. ``real_decode=False`` is
+    fake-only: width/height/format derive from the md5 of the payload
+    bytes (exactly reproducible in SQL for the oracle).
     """
-    if real_decode:
-        raise NotImplementedError(
-            "media libraries are not available in this container; "
-            "the deterministic fake decode exercises the full Spark plumbing"
-        )
-
     schema = f"{id_col} long, byte_len long, width long, height long, format string"
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -66,15 +165,24 @@ def decode_image_meta(
 
         for pdf in batches:
             payloads = pdf[payload_col]
-            hashes = [hashlib.md5(bytes(p)).hexdigest() for p in payloads]
-            h32 = [int(h[:8], 16) for h in hashes]
+            widths, heights, formats = [], [], []
+            for p in payloads:
+                b = bytes(p)
+                parsed = parse_image_header(b) if real_decode else None
+                if parsed is None:
+                    h = int(hashlib.md5(b).hexdigest()[:8], 16)
+                    parsed = (16 + h % 256, 16 + (h // 256) % 256,
+                              FAKE_FORMATS[h % 3])
+                widths.append(parsed[0])
+                heights.append(parsed[1])
+                formats.append(parsed[2])
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype("int64"),
                     "byte_len": payloads.map(len).astype("int64"),
-                    "width": pd.Series([16 + (h % 256) for h in h32], dtype="int64"),
-                    "height": pd.Series([16 + ((h // 256) % 256) for h in h32], dtype="int64"),
-                    "format": [FAKE_FORMATS[h % 3] for h in h32],
+                    "width": pd.Series(widths, dtype="int64"),
+                    "height": pd.Series(heights, dtype="int64"),
+                    "format": formats,
                 }
             )
 
@@ -99,18 +207,14 @@ def resize_image(
     """Aspect-preserving resize to ``target_w`` wide.
 
     Same plumbing as :func:`decode_image_meta` (Arrow-batched
-    ``mapInPandas``, one Python call per batch). The fake derives the
-    source dims from the payload md5 exactly as the decode does, then
-    scales with integer arithmetic (``out_h = src_h*target_w // src_w``)
-    so the oracle replays it; the "resized payload" is summarized as an
-    md5 checksum (a real pipeline would emit the binary itself).
+    ``mapInPandas``, one Python call per batch). With
+    ``real_decode=True`` the SOURCE dims come from
+    :func:`parse_image_header` (fake-fallback for non-images); the
+    actual pixel resample would need PIL, so the "resized payload" is
+    summarized as an md5 checksum either way (a real pipeline would
+    emit the binary itself). Scaling is integer arithmetic
+    (``out_h = src_h*target_w // src_w``) so the oracle replays it.
     """
-    if real_decode:
-        raise NotImplementedError(
-            "media libraries are not available in this container; "
-            "the deterministic fake exercises the full Spark plumbing"
-        )
-
     schema = f"{id_col} long, out_w long, out_h long, resized_md5 string"
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -120,6 +224,11 @@ def resize_image(
             hexes, h32 = _md5_h32(pdf[payload_col])
             src_w = [16 + (h % 256) for h in h32]
             src_h = [16 + ((h // 256) % 256) for h in h32]
+            if real_decode:
+                for j, p in enumerate(pdf[payload_col]):
+                    parsed = parse_image_header(bytes(p))
+                    if parsed is not None:
+                        src_w[j], src_h[j] = parsed[0], parsed[1]
             out_h = [h * target_w // w for w, h in zip(src_w, src_h)]
             yield pd.DataFrame(
                 {

@@ -18,10 +18,24 @@ DataFrame re-reads from storage, so
 Versioned subdirectories (``v1``, ``v2`` …) avoid overwriting a path
 that the next plan is still reading; old versions are pruned
 best-effort, keeping the previous one as a rollback point.
+
+Commit protocol (torn-write safe): each version is written to a hidden
+staging directory first, a ``_COMMITTED`` manifest is fsynced inside
+it, and the staging directory is atomically renamed to ``v{N}`` (POSIX
+rename is atomic within a filesystem — the counterpart of the
+reference's transactional materialization, where every table lands via
+a ConnectionWrapper commit, ref ``pygrametl/__init__.py:971-974``). A
+crash at ANY point before the rename leaves only staging debris, which
+recovery ignores and the next writer sweeps; a version directory is
+considered committed only if its manifest exists, so a torn directory
+from a pre-protocol writer can never be restored as latest. On an
+object store without atomic rename, swap this class for a table format
+(Delta/Iceberg) — the call sites are unchanged.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -31,15 +45,33 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["StatePersistence"]
 
 _VERSION = re.compile(r"^v(\d+)$")
+_STAGING = re.compile(r"^_staging_v\d+_")
+_MANIFEST = "_COMMITTED"
 
 
 class StatePersistence:
-    """Write-through parquet persistence with version rotation."""
+    """Write-through parquet persistence with version rotation and an
+    atomic (staging + fsynced manifest + rename) commit per version."""
 
     def __init__(self, path: str, keep: int = 2):
         self.path = path
         self.keep = keep
+        self._sweep_staging()
         self.version = self._latest() or 0
+
+    def _sweep_staging(self) -> None:
+        """Remove debris from writers that crashed before their rename —
+        staging dirs are invisible to recovery, so this is pure hygiene."""
+        if not os.path.isdir(self.path):
+            return
+        for d in os.listdir(self.path):
+            if _STAGING.match(d):
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    def _committed(self, version: int) -> bool:
+        return os.path.exists(
+            os.path.join(self.path, f"v{version}", _MANIFEST)
+        )
 
     def _versions(self) -> list[int]:
         if not os.path.isdir(self.path):
@@ -47,7 +79,7 @@ class StatePersistence:
         out = []
         for d in os.listdir(self.path):
             m = _VERSION.match(d)
-            if m:
+            if m and self._committed(int(m.group(1))):
                 out.append(int(m.group(1)))
         return sorted(out)
 
@@ -56,10 +88,33 @@ class StatePersistence:
         return vs[-1] if vs else None
 
     def write(self, df: DataFrame) -> DataFrame:
-        """Persist ``df`` as the next version; return the re-read frame."""
+        """Persist ``df`` as the next version (atomic commit); return
+        the re-read frame."""
+        import uuid
+
         self.version += 1
+        staging = os.path.join(
+            self.path, f"_staging_v{self.version}_{uuid.uuid4().hex[:8]}"
+        )
         target = os.path.join(self.path, f"v{self.version}")
-        df.write.mode("overwrite").parquet(target)
+        df.write.mode("overwrite").parquet(staging)
+        manifest = os.path.join(staging, _MANIFEST)
+        with open(manifest, "w") as f:
+            json.dump(
+                {"version": self.version, "schema": df.schema.jsonValue()}, f
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        # a torn v{N} from a pre-protocol writer (no manifest) may squat
+        # on the name; it was never committed, so clearing it is safe
+        if os.path.isdir(target) and not self._committed(self.version):
+            shutil.rmtree(target, ignore_errors=True)
+        os.rename(staging, target)  # the commit point — atomic
+        dfd = os.open(self.path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)  # make the rename itself durable
+        finally:
+            os.close(dfd)
         for v in self._versions()[: -self.keep] if self.keep else []:
             shutil.rmtree(os.path.join(self.path, f"v{v}"), ignore_errors=True)
         return df.sparkSession.read.parquet(target)
@@ -75,7 +130,7 @@ class StatePersistence:
     def read_version(self, spark: SparkSession, version: int) -> DataFrame:
         """A specific retained version (within the ``keep`` window)."""
         target = os.path.join(self.path, f"v{version}")
-        if not os.path.isdir(target):
+        if not (os.path.isdir(target) and self._committed(version)):
             raise ValueError(
                 f"version v{version} not retained under {self.path} "
                 f"(kept: {self._versions()})"

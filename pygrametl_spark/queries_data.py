@@ -1209,6 +1209,29 @@ FROM h
 """
 
 
+def q_multimodal_realdecode(spark, sf_dir):
+    """REAL header decode end-to-end: synthesize valid PNG/JPEG/GIF
+    payloads whose dims derive from doc_id by fixed integer math, then
+    recover width/height/format from the BYTES via parse_image_header
+    (functions/multimodal.py) — the oracle states the expected values
+    with the same math, so a parsing bug hash-mismatches."""
+    docs = load_catalog(spark, sf_dir).documents
+    payloads = mm.synth_image_payloads(docs.select("doc_id"))
+    return mm.decode_image_meta(payloads, real_decode=True)
+
+
+ORACLE_MM_REALDECODE = """
+SELECT doc_id,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 16 ELSE 13 END AS BIGINT)
+           AS byte_len,
+       CAST(16 + doc_id % 240 AS BIGINT) AS width,
+       CAST(16 + (doc_id * 7) % 240 AS BIGINT) AS height,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END
+           AS format
+FROM documents
+"""
+
+
 def q_multimodal_resize(spark, sf_dir):
     docs = load_catalog(spark, sf_dir).documents
     return mm.resize_image(mm.to_binary_payload(docs, "text"), target_w=64)
@@ -1358,6 +1381,7 @@ DATA_QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_realdecode": q_multimodal_realdecode,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_features": q_multimodal_features,
@@ -1408,6 +1432,7 @@ DATA_ORACLES = {
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_lsh_buckets": ORACLE_ANN_LSH_BUCKETS,
     "multimodal_decode": ORACLE_MULTIMODAL,
+    "multimodal_realdecode": ORACLE_MM_REALDECODE,
     "multimodal_resize": ORACLE_MM_RESIZE,
     "multimodal_frames": ORACLE_MM_FRAMES,
     "multimodal_features": _mm_features_oracle(),

@@ -97,6 +97,7 @@ PART_COLS: dict[str, list[str]] = {
     "winnow_fp": ["doc_id", "wfp"],
     "lm_score": ["doc_id", "n_bigrams", "lm_score"],
     "multimodal_decode": ["doc_id", "byte_len", "width", "height", "format"],
+    "multimodal_realdecode": ["doc_id", "byte_len", "width", "height", "format"],
     "multimodal_resize": ["doc_id", "out_w", "out_h", "resized_md5"],
     "multimodal_frames": ["doc_id", "frame_idx", "ts_ms", "frame_md5"],
     "multimodal_features": ["doc_id", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7"],
@@ -298,6 +299,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
         ],
         [
             ("decode", "multimodal_decode"),
+            ("realdecode", "multimodal_realdecode"),
             ("resize", "multimodal_resize"),
             ("frames", "multimodal_frames"),
             ("features", "multimodal_features"),

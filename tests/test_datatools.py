@@ -154,10 +154,70 @@ def test_multimodal_decode_deterministic(spark, docs):
     assert 16 <= out[1]["width"] < 272
 
 
-def test_multimodal_real_decode_is_stubbed(spark, docs):
-    payloads = mm.to_binary_payload(docs, "text")
-    with pytest.raises(NotImplementedError):
-        mm.decode_image_meta(payloads, real_decode=True)
+def test_parse_image_header_real_formats():
+    """The pure-Python header parser recovers dims from actual bytes:
+    synthesized minimal files, a JPEG whose SOF sits behind APP0+EXIF
+    segments (the real-world layout), BMP, truncation, and non-images."""
+    p = mm.parse_image_header
+    assert p(mm._synth_payload("png", 640, 480)) == (640, 480, "png")
+    assert p(mm._synth_payload("jpeg", 31, 17)) == (31, 17, "jpeg")
+    assert p(mm._synth_payload("gif", 1, 65535)) == (1, 65535, "gif")
+    # JPEG with APP0 (JFIF) and APP1 (EXIF) before the SOF marker
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    app1 = b"\xff\xe1" + (10).to_bytes(2, "big") + b"Exif\x00\x00\x00\x00"
+    sof2 = (  # progressive (SOF2) counts too
+        b"\xff\xc2" + (11).to_bytes(2, "big") + bytes([8])
+        + (600).to_bytes(2, "big") + (800).to_bytes(2, "big")
+        + bytes([1, 0x11, 0])
+    )
+    assert p(b"\xff\xd8" + app0 + app1 + sof2 + b"\xff\xd9") == (800, 600, "jpeg")
+    # BMP, including the top-down (negative height) variant
+    bmp = (
+        b"BM" + bytes(16)
+        + (320).to_bytes(4, "little") + (-200).to_bytes(4, "little", signed=True)
+    )
+    assert p(bmp) == (320, 200, "bmp")
+    # truncated / non-image payloads -> None (callers fall back to fake)
+    assert p(mm._synth_payload("png", 9, 9)[:20]) is None
+    assert p(b"\xff\xd8\xff") is None
+    assert p(b"just some text") is None
+    assert p(b"") is None
+
+
+def test_multimodal_real_decode_parses_headers(spark, docs):
+    """real_decode=True recovers the synthesized dims from the payload
+    BYTES (parser, not md5 math), and falls back to the deterministic
+    fake for payloads that are not images."""
+    ids = docs.select("doc_id")
+    out = {
+        r["doc_id"]: r
+        for r in mm.decode_image_meta(
+            mm.synth_image_payloads(ids), real_decode=True
+        ).collect()
+    }
+    kinds = ["png", "jpeg", "gif"]
+    for did, r in out.items():
+        assert r["width"] == 16 + did % 240
+        assert r["height"] == 16 + (did * 7) % 240
+        assert r["format"] == kinds[did % 3]
+    # non-image payloads take the md5-fake path (same values as fake mode)
+    text_payloads = mm.to_binary_payload(docs, "text")
+    fake = {r["doc_id"]: tuple(r) for r in mm.decode_image_meta(text_payloads).collect()}
+    real = {
+        r["doc_id"]: tuple(r)
+        for r in mm.decode_image_meta(text_payloads, real_decode=True).collect()
+    }
+    assert real == fake
+    # resize with real_decode uses parsed source dims
+    rz = {
+        r["doc_id"]: r
+        for r in mm.resize_image(
+            mm.synth_image_payloads(ids), target_w=64, real_decode=True
+        ).collect()
+    }
+    for did, r in rz.items():
+        w, h = 16 + did % 240, 16 + (did * 7) % 240
+        assert r["out_w"] == 64 and r["out_h"] == h * 64 // w
 
 
 def test_multimodal_resize_preserves_aspect(spark, docs):

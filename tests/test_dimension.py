@@ -181,6 +181,54 @@ def test_durable_state_version_diff(spark, tmp_path):
         sp.read_version(spark, 99)
 
 
+def test_durable_state_atomic_commit_torn_write(spark, tmp_path):
+    """Crash-consistency of the version commit: a writer that dies
+    between the parquet write and the version flip (rename) must leave
+    the PREVIOUS version as the restorable latest, with no torn state
+    visible; the next writer sweeps the staging debris and commits the
+    next version normally. A pre-protocol torn ``v{N}`` directory (no
+    manifest) is likewise never restored."""
+    import os
+
+    from pygrametl_spark.operators.state import StatePersistence
+
+    root = str(tmp_path / "st")
+    sp = StatePersistence(root, keep=3)
+    sp.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    want = [(1, "a")]
+
+    # crash window: parquet + manifest written to staging, rename never
+    # happens (simulated by doing exactly what write() does, then dying)
+    staging = os.path.join(root, "_staging_v2_deadbeef")
+    spark.createDataFrame([(9, "torn")], "id long, v string").write.mode(
+        "overwrite"
+    ).parquet(staging)
+    with open(os.path.join(staging, "_COMMITTED"), "w") as f:
+        f.write("{}")
+
+    # recovery: fresh handle sees only v1, sweeps the staging debris
+    sp2 = StatePersistence(root, keep=3)
+    assert sp2.version == 1
+    assert sorted(tuple(r) for r in sp2.read_latest(spark).collect()) == want
+    assert not any(d.startswith("_staging") for d in os.listdir(root))
+
+    # a torn v2 from a pre-protocol writer (partial files, no manifest)
+    torn = os.path.join(root, "v2")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.snappy.parquet"), "wb") as f:
+        f.write(b"\x00\x01 not a parquet file")
+    sp3 = StatePersistence(root, keep=3)
+    assert sp3.version == 1  # torn dir is not a committed version
+    assert sorted(tuple(r) for r in sp3.read_latest(spark).collect()) == want
+
+    # next write claims v2: clears the squatter, commits atomically
+    out = sp3.write(spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert sorted(tuple(r) for r in out.collect()) == [(2, "b")]
+    sp4 = StatePersistence(root, keep=3)
+    assert sp4.version == 2
+    assert sorted(tuple(r) for r in sp4.read_latest(spark).collect()) == [(2, "b")]
+
+
 def test_dimension_survives_endload_and_reload(spark, tmp_path):
     """The engine-level durability path: endload persists the dimension
     to the warehouse dir; a fresh session reloads identical contents."""
