@@ -150,3 +150,22 @@ class Engine:
 
     def table(self, name: str):
         return self._tables[name].table
+
+    def sql(self, query: str):
+        """Run ANSI SQL over the registered warehouse: every registered
+        table's CURRENT DataFrame is exposed as a temp view named after
+        its registration, then the query executes via ``spark.sql``.
+
+        This is the reference's ``SQLTransformingSource`` germ (ref
+        ``datasources.py:250-311`` — rows staged into a temp table, a
+        user query transforms them) generalized to the whole warehouse:
+        instead of one staged source, the full registry is queryable,
+        and the result is a lazy DataFrame whose plan Catalyst optimizes
+        END-TO-END through the view boundary (filters push through into
+        each table's own plan — views are not materialization barriers).
+        Views are created lazily per call so the query always sees each
+        table's latest ensure/scdensure state, never a stale snapshot.
+        """
+        for name, reg in self._tables.items():
+            reg.table.df.createOrReplaceTempView(name)
+        return self.spark.sql(query)

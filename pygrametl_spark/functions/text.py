@@ -24,7 +24,7 @@ __all__ = [
     "char_entropy", "chunk_by_tokens", "remove_boilerplate_lines",
     "tfidf_topk", "winnow_fingerprints",
     "ngram_lm_train", "ngram_lm_score",
-    "hashed_classifier_score", "bloom_decontaminate",
+    "hashed_classifier_score", "bloom_decontaminate", "build_bloom_bitmap",
     "bpe_train", "bpe_apply", "bpe_apply_arrow",
 ]
 
@@ -764,6 +764,50 @@ def hashed_classifier_score(
     ).withColumn("label", F.col("score_units") > 0)
 
 
+# bitmap memo for repeated gating runs against the same eval set:
+# keyed by the eval PLAN's semantic hash (Catalyst-normalized, stable
+# across re-created identical DataFrames in a session) + the filter
+# shape. Each entry is m/8 bytes (8 KB at the default m), so the cache
+# is tiny; it lives on the driver only.
+_BLOOM_CACHE: dict = {}
+
+
+def build_bloom_bitmap(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    m: int = 65536,
+    k_hashes: int = 3,
+) -> list:
+    """Build the ``m``-bit Bloom bitmap of the eval set's ``n``-token
+    shingles as a list of ``m/64`` signed 64-bit words — the reusable
+    artifact for repeated :func:`bloom_decontaminate` runs (pass it as
+    ``bitmap=``). The collect is bounded by ``m`` distinct positions
+    regardless of eval size."""
+    if m % 64 != 0:
+        raise ValueError("m must be a multiple of 64")
+    from pygrametl_spark.functions.dedup import hash32
+
+    ev = eval_df.withColumn("_toks", tokens(text_col)).select(
+        F.explode(
+            F.array_distinct(shingles_of_tokens(F.col("_toks"), n))
+        ).alias("_s")
+    )
+    pos_cols = [
+        F.pmod(hash32(F.concat(F.col("_s"), F.lit(f"#{i}"))), F.lit(m))
+        for i in range(k_hashes)
+    ]
+    positions = (
+        ev.select(F.explode(F.array(*pos_cols)).alias("_p")).distinct().collect()
+    )
+    words = [0] * (m // 64)
+    for r in positions:
+        p = int(r["_p"])
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement into signed 64-bit for the Spark long literal
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
 def bloom_decontaminate(
     df: DataFrame,
     eval_df: DataFrame,
@@ -772,6 +816,8 @@ def bloom_decontaminate(
     n: int = 3,
     m: int = 65536,
     k_hashes: int = 3,
+    bitmap: "list | None" = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Bloom-filter benchmark decontamination: flag corpus documents
     sharing any ``n``-token shingle with the eval set, probing an
@@ -794,29 +840,34 @@ def bloom_decontaminate(
     bitmap literal — zero shuffle on the corpus side.
 
     Returns ``(id_col, n_flagged, contaminated)``.
+
+    The eval-side bitmap build (a job + a bounded collect, ~0.4 s fixed
+    cost) is amortized across repeated gating runs: pass a prebuilt
+    ``bitmap`` (from :func:`build_bloom_bitmap`), or leave ``cache=True``
+    and identical eval plans reuse the memoized bitmap (keyed by the
+    eval DataFrame's Catalyst semantic hash — re-creating the same
+    DataFrame from the same source still hits).
     """
     if m % 64 != 0:
         raise ValueError("m must be a multiple of 64")
     from pygrametl_spark.functions.dedup import hash32
 
-    ev = eval_df.withColumn("_toks", tokens(text_col)).select(
-        F.explode(
-            F.array_distinct(shingles_of_tokens(F.col("_toks"), n))
-        ).alias("_s")
-    )
-    pos_cols = [
-        F.pmod(hash32(F.concat(F.col("_s"), F.lit(f"#{i}"))), F.lit(m))
-        for i in range(k_hashes)
-    ]
-    positions = (
-        ev.select(F.explode(F.array(*pos_cols)).alias("_p")).distinct().collect()
-    )
-    words = [0] * (m // 64)
-    for r in positions:
-        p = int(r["_p"])
-        words[p // 64] |= 1 << (p % 64)
-    # two's-complement into signed 64-bit for the Spark long literal
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    if bitmap is None:
+        key = None
+        if cache:
+            try:
+                key = (eval_df.semanticHash(), text_col, n, m, k_hashes)
+            except Exception:  # noqa: BLE001 — hash unsupported: build fresh
+                key = None
+        if key is not None and key in _BLOOM_CACHE:
+            bitmap = _BLOOM_CACHE[key]
+        else:
+            bitmap = build_bloom_bitmap(eval_df, text_col, n, m, k_hashes)
+            if key is not None:
+                _BLOOM_CACHE[key] = bitmap
+    elif len(bitmap) != m // 64:
+        raise ValueError(f"bitmap must have m/64 = {m // 64} words")
+    words = bitmap
     bits = F.array(*[F.lit(w).cast("long") for w in words])
 
     # the bitmap literal is referenced INSIDE the lambda, never bound as

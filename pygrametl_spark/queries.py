@@ -828,6 +828,48 @@ def q_sql_transforming(spark, sf_dir):
 ORACLE_Q5 = _Q5_SQL
 
 
+def q_engine_sql(spark, sf_dir):
+    """Engine.sql: ANSI SQL over the REGISTERED warehouse — every
+    registered table becomes a queryable view reflecting its current
+    (post-ensure) state, and Catalyst optimizes straight through the
+    view boundary (the SQLTransformingSource germ generalized, ref
+    datasources.py:250-311). The query joins a dimension the engine has
+    just ensure()'d with a registered fact — so the result proves the
+    SQL surface sees live operator state, not a load-time snapshot."""
+    from pygrametl_spark.engine import Engine
+
+    cat = load_catalog(spark, sf_dir)
+    eng = Engine(spark, "/tmp/pygrametl_spark_engine_sql_wh")
+    dim = Dimension(
+        "nation_d", "n_nationkey", ["n_name", "n_regionkey"],
+        lookupatts=["n_name"], df=cat.nation,
+    )
+    fact = FactTable(
+        "supplier_f", ["s_suppkey", "s_nationkey"], ["s_acctbal"],
+        df=cat.supplier.select("s_suppkey", "s_nationkey", "s_acctbal"),
+    )
+    eng.register(dim)
+    eng.register(fact, dependson=[dim])
+    return eng.sql("""
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               ROUND(CAST(SUM(CAST(ROUND(s_acctbal, 6) AS DECIMAL(27,6)))
+                          AS DOUBLE), 2) AS total_acctbal
+        FROM supplier_f JOIN nation_d ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """)
+
+
+ORACLE_ENGINE_SQL = """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(CAST(SUM(CAST(ROUND(s_acctbal, 6) AS DECIMAL(27,6)))
+                  AS DOUBLE), 2) AS total_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -873,6 +915,7 @@ ALL_QUERIES = {
     "topk_pergroup": q_topk_pergroup,
     "union_source": q_union_source,
     "sql_transforming": q_sql_transforming,
+    "engine_sql": q_engine_sql,
     **DATA_QUERIES,
     **EXTRA_QUERIES,
     **MORE_QUERIES,
@@ -909,6 +952,7 @@ ALL_ORACLES = {
     "topk_pergroup": ORACLE_TOPK_PERGROUP,
     "union_source": ORACLE_UNION,
     "sql_transforming": ORACLE_Q5,
+    "engine_sql": ORACLE_ENGINE_SQL,
     **DATA_ORACLES,
     **EXTRA_ORACLES,
     **MORE_ORACLES,

@@ -66,6 +66,8 @@ PART_COLS: dict[str, list[str]] = {
     "dim_getbyvals": ["p_partkey", "p_name", "p_size"],
     "snowflake_lookuprow": ["c_custkey", "name", "nation", "region"],
     "snowflake_ensure": ["c_custkey", "c_name", "n_nationkey", "c_acctbal"],
+    "sql_transforming": ["n_name", "revenue"],
+    "engine_sql": ["n_name", "n_suppliers", "total_acctbal"],
     "scd2_type1_all_versions": [
         "id", "user_id", "event_type", "version", "fromdate", "todate", "latest_value",
     ],
@@ -216,6 +218,15 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("c_acctbal", "double"),
         ],
         [("lookup", "snowflake_lookuprow"), ("ensure", "snowflake_ensure")],
+    ),
+    # SQL surface: the staged-source transform (TPC-H Q5 through
+    # SQLTransformingSource) + Engine.sql over registered warehouse tables
+    "sql_transforming": (
+        [
+            ("n_name", "string"), ("revenue", "double"),
+            ("n_suppliers", "bigint"), ("total_acctbal", "double"),
+        ],
+        [("q5", "sql_transforming"), ("enginesql", "engine_sql")],
     ),
     "scd2_type1_overrides": (
         [

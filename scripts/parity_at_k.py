@@ -41,7 +41,11 @@ TABLES = [
 # (orders<->lineitem) stay consistent and all keys stay unique. events
 # keeps user_id so history depth per member grows Kx (the SCD2 stress);
 # documents/embeddings replicate verbatim text/vectors — a dup-heavy
-# corpus, exactly what a dedup pipeline sees.
+# corpus, exactly what a dedup pipeline sees. Natural/business keys
+# (customer.c_name, the lookupatt of every name-keyed dimension query)
+# must ALSO stay unique per copy — verbatim duplicates make name-keyed
+# ensure/lookup tiebreaks engine-nondeterministic, a harness artifact
+# rather than an engine bug.
 REPL = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"],
@@ -50,6 +54,7 @@ REPL = {
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
+UNIQUIFY_NAMES = {"customer": ["c_name"]}
 SHIFT = 100_000_000
 
 
@@ -71,11 +76,28 @@ def build_full_sfdir(spark, k: int) -> str:
                 c = df
                 for col in REPL[t]:
                     c = c.withColumn(col, F.col(col) + F.lit(i * SHIFT))
+                if i > 0:
+                    for col in UNIQUIFY_NAMES.get(t, []):
+                        c = c.withColumn(
+                            col, F.concat(F.col(col), F.lit(f"~r{i}"))
+                        )
                 copies.append(c)
             out = copies[0]
             for c in copies[1:]:
                 out = out.unionByName(c)
-            out.write.mode("overwrite").parquet(dst)
+            # single FILE (not a part-file directory) so the replicated
+            # layout is byte-layout-identical to the base sf dirs — the
+            # DB-API queries read_parquet('<path>') a concrete file, and
+            # DuckDB views need no glob special-casing
+            staging = dst + "._staging"
+            out.coalesce(1).write.mode("overwrite").parquet(staging)
+            part = next(
+                f for f in os.listdir(staging) if f.endswith(".parquet")
+            )
+            os.replace(os.path.join(staging, part), dst)
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
         else:
             os.symlink(f"{BASE}/{t}.parquet", dst)
     return sf_dir

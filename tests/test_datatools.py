@@ -2024,3 +2024,54 @@ def test_stream_dedup_exactsubstr_equals_batch_twin(spark):
     full = spark.read.parquet(f"{sf}/documents.parquet")
     want = sorted(map(tuple, exact_substring_dedup(full, k=5).collect()))
     assert got == want and len(got) == full.count()
+
+
+def test_bloom_bitmap_cache_and_prebuilt(spark, docs):
+    """Repeated gating with the same eval set amortizes the bitmap
+    build: the second call hits the semantic-hash memo (no rebuild job),
+    a prebuilt bitmap= short-circuits entirely, and all paths return
+    identical results. (VERDICT r3 item 9.)"""
+    import time
+
+    from pygrametl_spark.functions import text as T
+
+    ev = docs.filter("doc_id % 7 = 0").select("doc_id", "text")
+    T._BLOOM_CACHE.clear()
+
+    t0 = time.time()
+    first = {tuple(r) for r in T.bloom_decontaminate(docs, ev, m=1024, k_hashes=2).collect()}
+    t_first = time.time() - t0
+    assert len(T._BLOOM_CACHE) == 1
+
+    # second call: same eval PLAN re-created from scratch still hits
+    ev2 = docs.filter("doc_id % 7 = 0").select("doc_id", "text")
+    builds = {"n": 0}
+    real_build = T.build_bloom_bitmap
+
+    def counting_build(*a, **k):
+        builds["n"] += 1
+        return real_build(*a, **k)
+
+    T.build_bloom_bitmap = counting_build
+    try:
+        second = {tuple(r) for r in T.bloom_decontaminate(docs, ev2, m=1024, k_hashes=2).collect()}
+        assert builds["n"] == 0  # memo hit — no rebuild
+    finally:
+        T.build_bloom_bitmap = real_build
+    assert second == first
+
+    # prebuilt bitmap path: identical result, no eval_df touched
+    bm = T.build_bloom_bitmap(ev, m=1024, k_hashes=2)
+    third = {
+        tuple(r)
+        for r in T.bloom_decontaminate(
+            docs, ev, m=1024, k_hashes=2, bitmap=bm, cache=False
+        ).collect()
+    }
+    assert third == first
+    # wrong-sized bitmap is rejected
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        T.bloom_decontaminate(docs, ev, m=2048, bitmap=bm)
+    del t_first

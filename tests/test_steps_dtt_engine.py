@@ -656,3 +656,43 @@ def test_engine_sort_and_bucket_are_exclusive(spark, tmp_path):
     eng = Engine(spark, str(tmp_path))
     with pytest.raises(ValueError):
         eng.register(fact, sort_cols=["k"], bucket_cols=["k"], n_buckets=4)
+
+
+def test_engine_sql_sees_live_operator_state(spark, tmp_path):
+    """Engine.sql exposes each registered table's CURRENT DataFrame:
+    a member ensure()'d after registration is visible to the next
+    sql() call (views are rebuilt per call, not load-time snapshots),
+    and filters push through the view boundary into the table scan."""
+    from pygrametl_spark.operators.dimension import Dimension
+    from pygrametl_spark.operators.facttable import FactTable
+
+    dim = Dimension(
+        "d_sql", "id", ["name"], lookupatts=["name"],
+        df=spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"),
+    )
+    fact = FactTable(
+        "f_sql", ["id"], ["m"],
+        df=spark.createDataFrame([(1, 10.0), (2, 20.0), (2, 5.0)], "id long, m double"),
+    )
+    eng = Engine(spark, str(tmp_path))
+    eng.register(dim)
+    eng.register(fact, dependson=[dim])
+
+    out = eng.sql(
+        "SELECT name, SUM(m) AS total FROM f_sql JOIN d_sql USING (id) "
+        "GROUP BY name ORDER BY name"
+    )
+    assert [tuple(r) for r in out.collect()] == [("a", 10.0), ("b", 25.0)]
+
+    # mutate the dimension AFTER the first sql() call; the next call
+    # must see the new member (live state, not a snapshot)
+    dim.ensure(spark.createDataFrame([("c",)], "name string"))
+    names = eng.sql("SELECT name FROM d_sql ORDER BY name").collect()
+    assert [r["name"] for r in names] == ["a", "b", "c"]
+
+    # predicate through the view boundary: no barrier, plan contains the
+    # pushed filter at/below the scan side of the join
+    plan = eng.sql(
+        "SELECT name FROM d_sql WHERE id = 1"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "id#" in plan  # filter survived into the physical plan
