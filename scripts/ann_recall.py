@@ -1,0 +1,122 @@
+"""ANN recall measurement (VERDICT r3 item 6): recall@k of every
+approximate tier against exact brute-force cosine ground truth, on the
+real embeddings table.
+
+The correctness gate hash-verifies each tier against an oracle replaying
+the SAME algorithm — that proves determinism, not retrieval quality.
+This harness measures quality: for each query, recall@k =
+|approx top-k ∩ exact top-k| / k, averaged over queries.
+
+Usage: python scripts/ann_recall.py [sf_dir] [k] [n_queries]
+Writes RECALL.json at the repo root and prints a table for PERF.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def topk_sets(df) -> dict:
+    """(query_id -> frozenset of neighbor_ids) from a (query_id, rank,
+    neighbor_id, score) frame."""
+    out: dict = {}
+    for r in df.select("query_id", "neighbor_id").collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def recall(approx: dict, truth: dict, k: int) -> float:
+    if not truth:
+        return float("nan")
+    total = sum(len(approx.get(q, set()) & t) / min(k, len(t)) for q, t in truth.items())
+    return round(total / len(truth), 4)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+
+    from pygrametl_spark.catalog import load_catalog
+    from pygrametl_spark.functions import similarity as sim
+    from pygrametl_spark.session import get_spark
+
+    spark = get_spark("ann-recall")
+    emb = load_catalog(spark, sf_dir).embeddings
+    n_corpus = emb.count()
+    queries = emb.filter(f"vec_id < {n_q}")
+    print(f"# corpus={n_corpus} queries={n_q} k={k} ({sf_dir})")
+
+    t0 = time.time()
+    truth = topk_sets(sim.cosine_topk(emb, queries, k=k))
+    t_exact = round(time.time() - t0, 1)
+    print(f"# exact ground truth: {t_exact}s")
+
+    results: dict[str, dict] = {}
+
+    def run(name, fn):
+        t = time.time()
+        r = recall(topk_sets(fn()), truth, k)
+        secs = round(time.time() - t, 1)
+        results[name] = {"recall": r, "secs": secs}
+        print(f"{name:28s} recall@{k} = {r:.4f}  ({secs}s)")
+
+    for bands, ppb in [(4, 6), (8, 6), (16, 6), (8, 4)]:
+        run(
+            f"lsh_b{bands}_p{ppb}",
+            lambda b=bands, p=ppb: sim.lsh_topk(
+                emb, queries, n_bands=b, planes_per_band=p, k=k
+            ),
+        )
+
+    cent = sim.kmeans_refine(emb, n_clusters=16, iters=2)
+    for nprobe in [1, 2, 4, 8]:
+        run(
+            f"ivf16_np{nprobe}",
+            lambda np_=nprobe: sim.ivf_topk(
+                emb, queries, n_clusters=16, nprobe=np_, k=k, centroids=cent
+            ),
+        )
+
+    run("sq8", lambda: sim.sq8_topk(emb, queries, k=k))
+
+    books = sim.pq_train(emb, m=8, k=16, iters=2)
+    codes = sim.pq_codes(emb, books)
+    run("pq_m8_k16", lambda: sim.pq_topk(codes, queries, books, k=k))
+
+    # finer codebooks: same 8 B/vector payload (codes stay <256), ~4x
+    # the (one-off) training work — the PQ quality lever
+    books64 = sim.pq_train(emb, m=8, k=64, iters=3)
+    codes64 = sim.pq_codes(emb, books64)
+    run("pq_m8_k64", lambda: sim.pq_topk(codes64, queries, books64, k=k))
+
+    idx = os.path.join(tempfile.gettempdir(), "pygrametl_spark_recall_ivfpq")
+    sim.ivfpq_write_index(emb, idx, n_clusters=16, m=8, k=16, iters=2, books=books)
+    for nprobe in [4, 8]:
+        run(
+            f"ivfpq16_np{nprobe}",
+            lambda np_=nprobe: sim.ivfpq_topk(
+                spark, idx, queries, nprobe=np_, k=k
+            ),
+        )
+
+    out = {
+        "sf_dir": sf_dir, "corpus": n_corpus, "n_queries": n_q, "k": k,
+        "exact_secs": t_exact, "tiers": results,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RECALL.json"
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"-> {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -2075,3 +2075,48 @@ def test_bloom_bitmap_cache_and_prebuilt(spark, docs):
     with _pt.raises(ValueError):
         T.bloom_decontaminate(docs, ev, m=2048, bitmap=bm)
     del t_first
+
+
+def test_ann_recall_floors(spark):
+    """Retrieval QUALITY floors vs exact brute-force ground truth (the
+    oracle gate proves determinism, not quality — VERDICT r3 item 6).
+    Every tier is fully deterministic on the fixed corpus, so floors sit
+    just under the measured values (scripts/ann_recall.py, RECALL.json):
+    sq8 0.996, ivf16/np8 0.912, lsh(8 bands, 4 planes) 0.676."""
+    from pygrametl_spark.catalog import load_catalog
+    from pygrametl_spark.functions import similarity as sim
+
+    emb = load_catalog(spark, "/root/testdata/sf0.001").embeddings
+    queries = emb.filter("vec_id < 25")
+    k = 10
+
+    def sets(df):
+        out = {}
+        for r in df.select("query_id", "neighbor_id").collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = sets(sim.cosine_topk(emb, queries, k=k))
+
+    def recall(approx):
+        return sum(
+            len(approx.get(q, set()) & t) / len(t) for q, t in truth.items()
+        ) / len(truth)
+
+    cent = sim.kmeans_refine(emb, n_clusters=16, iters=2)
+    r_ivf = recall(sets(sim.ivf_topk(emb, queries, n_clusters=16, nprobe=8,
+                                     k=k, centroids=cent)))
+    assert r_ivf >= 0.90, r_ivf
+
+    r_sq8 = recall(sets(sim.sq8_topk(emb, queries, k=k)))
+    assert r_sq8 >= 0.99, r_sq8
+
+    r_lsh = recall(sets(sim.lsh_topk(emb, queries, n_bands=8,
+                                     planes_per_band=4, k=k)))
+    assert r_lsh >= 0.65, r_lsh
+    # recall must rise with bands (the documented knob)
+    r_lsh4 = recall(sets(sim.lsh_topk(emb, queries, n_bands=4,
+                                      planes_per_band=6, k=k)))
+    r_lsh16 = recall(sets(sim.lsh_topk(emb, queries, n_bands=16,
+                                       planes_per_band=6, k=k)))
+    assert r_lsh16 > r_lsh4
