@@ -32,6 +32,16 @@ def main() -> None:
     from pygrametl_spark.session import get_spark
 
     headline = list(QUERIES)  # the full 50-entry registry, driver order
+    # Randomized-order confirmation sweep (position-effect triage): with
+    # SPARK_GRAFT_BENCH_ORDER=random, queries run in a seeded shuffle
+    # (SPARK_GRAFT_BENCH_SEED, default 0) — a per-query median that moves
+    # with execution order is position noise (codegen-cache / JIT state),
+    # not a regression. The published bench keeps the registry order.
+    if os.environ.get("SPARK_GRAFT_BENCH_ORDER") == "random":
+        import random
+
+        rng = random.Random(int(os.environ.get("SPARK_GRAFT_BENCH_SEED", "0")))
+        rng.shuffle(headline)
 
     spark = get_spark("bench")
     spark.range(1).count()  # session spin-up outside any timing
@@ -76,6 +86,7 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list] = {}
     errors: dict[str, str] = {}
     for name in headline:
         _session_hygiene()
@@ -110,6 +121,7 @@ def main() -> None:
                 runs.append(time.time() - t0)
             med = sorted(runs)[len(runs) // 2]
             timings[name] = round(med, 3)
+            spreads[name] = [round(min(runs), 3), round(max(runs), 3)]
             print(
                 f"# {name}: {timings[name]:.3f}s median of "
                 f"{[round(r, 3) for r in runs]} ({n} rows)",
@@ -125,6 +137,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # [min, max] of the timed iterations behind each median — a
+        # round-over-round delta inside the recorded spread is noise,
+        # outside it is a real move (regression detectability, r4)
+        "spread": spreads,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

@@ -16,13 +16,13 @@ checks. (Net-new surface; the reference is batch-only, SURVEY §2.11.)
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pygrametl_spark.functions.text import fingerprint
+from pygrametl_spark.streaming.scratch import scratch_dir, scratch_path
 
 __all__ = ["stream_dedup_exact", "stream_dedup_minhash", "minhash_accept_fn",
            "stream_dedup_exactsubstr", "exactsubstr_accept_fn"]
@@ -31,13 +31,17 @@ __all__ = ["stream_dedup_exact", "stream_dedup_minhash", "minhash_accept_fn",
 def _stage_id_sliced(spark: SparkSession, sf_dir: str, n_files: int):
     """Stage documents as ``n_files`` doc_id-ordered parquet files (one
     per micro-batch with ``maxFilesPerTrigger=1``) — the arrival order a
-    monotonically-keyed ingest has. Returns (full_df, stage_path)."""
+    monotonically-keyed ingest has. Returns (full_df, stage_path).
+
+    HARNESS-ONLY: the per-slice driver loop (one filtered write per
+    micro-batch file) is O(n_files) driver round-trips, fine for
+    simulating arrival order at test/bench scale but never a production
+    ingest path — a real deployment's files arrive from the outside and
+    this function does not exist in it. Slices are cached (keyed by
+    source path + n_files) so repeated bench drains pay it once."""
     path = f"{sf_dir}/documents.parquet"
     full = spark.read.parquet(path)
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"pygrametl_spark_docslice_{abs(hash((path, n_files))) % 10**8}",
-    )
+    stage = scratch_path(f"docslice_{abs(hash((path, n_files))) % 10**8}")
     if not os.path.isdir(stage) or len(os.listdir(stage)) != n_files:
         bounds = full.select(
             F.percentile_approx("doc_id", [i / n_files for i in range(1, n_files)], 10000).alias("b")
@@ -78,9 +82,7 @@ def stream_dedup_exact(
     twin. Returns the accepted (doc_id, fp) relation.
     """
     full, stage = _stage_id_sliced(spark, sf_dir, n_files)
-    store = os.path.join(
-        tempfile.gettempdir(), f"pygrametl_spark_dedupstore_{uuid.uuid4().hex[:8]}"
-    )
+    store = scratch_path(f"dedupstore_{uuid.uuid4().hex[:8]}")
     empty = spark.createDataFrame([], "doc_id long, fp string")
     empty.write.mode("overwrite").parquet(store)
 
@@ -102,7 +104,7 @@ def stream_dedup_exact(
     )
     q = (
         files.writeStream.foreachBatch(accept)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dedup_stream_ckpt_"))
+        .option("checkpointLocation", scratch_dir("dedup_stream_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -188,9 +190,7 @@ def stream_dedup_minhash(
     (failure-injection tested in tests/test_streaming_recovery.py).
     """
     full, stage = _stage_id_sliced(spark, sf_dir, n_files)
-    root = os.path.join(
-        tempfile.gettempdir(), f"pygrametl_spark_mhstore_{uuid.uuid4().hex[:8]}"
-    )
+    root = scratch_path(f"mhstore_{uuid.uuid4().hex[:8]}")
     band_store, accepted_store = f"{root}/bands", f"{root}/accepted"
     spark.createDataFrame(
         [], "doc_id long, sig array<bigint>, bidx int, bhash string"
@@ -208,7 +208,7 @@ def stream_dedup_minhash(
     )
     q = (
         files.writeStream.foreachBatch(accept)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="mhdedup_stream_ckpt_"))
+        .option("checkpointLocation", scratch_dir("mhdedup_stream_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -288,9 +288,7 @@ def stream_dedup_exactsubstr(
     Crash-injection tested in tests/test_streaming_recovery.py.
     """
     full, stage = _stage_id_sliced(spark, sf_dir, n_files)
-    root = os.path.join(
-        tempfile.gettempdir(), f"pygrametl_spark_esstore_{uuid.uuid4().hex[:8]}"
-    )
+    root = scratch_path(f"esstore_{uuid.uuid4().hex[:8]}")
     span_store, result_store = f"{root}/spans", f"{root}/results"
     spark.createDataFrame([], "_key long, _bid long").write.mode(
         "overwrite"
@@ -310,7 +308,7 @@ def stream_dedup_exactsubstr(
     )
     q = (
         files.writeStream.foreachBatch(accept)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="esdedup_stream_ckpt_"))
+        .option("checkpointLocation", scratch_dir("esdedup_stream_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )

@@ -11,11 +11,12 @@ from __future__ import annotations
 
 import contextlib
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from pygrametl_spark.streaming.scratch import scratch_dir, scratch_path
 
 
 @contextlib.contextmanager
@@ -60,9 +61,7 @@ def _raw_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.isfile(path):
         # the file stream source needs a directory; expose the single file
         # through a scratch symlink dir (a real deployment streams a dir)
-        link_dir = os.path.join(
-            tempfile.gettempdir(), f"pygrametl_spark_stream_{abs(hash(path)) % 10**8}"
-        )
+        link_dir = scratch_path(f"linkdir_{abs(hash(path)) % 10**8}")
         os.makedirs(link_dir, exist_ok=True)
         link = os.path.join(link_dir, "events.parquet")
         if not os.path.exists(link):
@@ -260,10 +259,7 @@ def _stage_time_sliced(spark: SparkSession, sf_dir: str, n_files: int, tag: str)
         full = full.withColumn("ts", F.col("ts").cast("timestamp"))
     ts_is_long = dict(full.dtypes).get("ts") == "bigint"
 
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"pygrametl_spark_{tag}v2_{abs(hash((path, n_files))) % 10**8}",
-    )
+    stage = scratch_path(f"{tag}v2_{abs(hash((path, n_files))) % 10**8}")
     if not os.path.isdir(stage) or len(os.listdir(stage)) != n_files:
         ts_long = F.col("ts") if ts_is_long else F.unix_micros("ts")
         bounds = full.select(
@@ -341,7 +337,7 @@ def stream_scd2_maintain(
     )
     q = (
         files.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="scd2_stream_ckpt_"))
+        .option("checkpointLocation", scratch_dir("scd2_stream_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
