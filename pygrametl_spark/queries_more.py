@@ -734,21 +734,30 @@ def q_events_sessionize(spark, sf_dir):
 
 
 ORACLE_SESSIONIZE = """
-WITH o AS (
-  SELECT user_id, ts, value,
+WITH g AS (
+  -- collapse same-(user, ts) events FIRST: the engine sessionizes over
+  -- per-timestamp groups, so simultaneous events are always one session.
+  -- Running lag/ROWS framing over raw rows is NONDETERMINISTIC under
+  -- tied ts (the tie that carries new_s=1 lands at an arbitrary spot in
+  -- the ROWS order, splitting tied rows across two sessions) — found by
+  -- the K=10 replication gate, where every ts is tied 10 ways.
+  SELECT user_id, ts, COUNT(*) AS cnt, SUM(value) AS sv
+  FROM events GROUP BY user_id, ts
+), o AS (
+  SELECT user_id, ts, cnt, sv,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 6 HOUR
               THEN 1 ELSE 0 END AS new_s
-  FROM events
+  FROM g
 ), s AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, cnt, sv,
          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
   FROM o
 ), sess AS (
   SELECT user_id, sid,
          strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
          strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
-         COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+         CAST(SUM(cnt) AS BIGINT) AS n_events, ROUND(SUM(sv), 2) AS sum_value
   FROM s GROUP BY user_id, sid
 )
 SELECT user_id, session_start, session_end, n_events, sum_value

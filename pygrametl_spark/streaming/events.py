@@ -108,6 +108,7 @@ def stream_windowed_event_counts(
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
+            .option("checkpointLocation", scratch_dir("memsink_ckpt_"))
             .outputMode("complete")
             .trigger(availableNow=True)
             .start()
@@ -157,6 +158,7 @@ def stream_enriched_event_counts(
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
+            .option("checkpointLocation", scratch_dir("memsink_ckpt_"))
             .outputMode("complete")
             .trigger(availableNow=True)
             .start()
@@ -233,6 +235,7 @@ def stream_click_to_purchase_join(
             joined.select("click_id", "buy_id")
             .writeStream.format("memory")
             .queryName(name)
+            .option("checkpointLocation", scratch_dir("memsink_ckpt_"))
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
@@ -437,6 +440,7 @@ def stream_sessionize(
     q = (
         sessions.writeStream.format("memory")
         .queryName(name)
+        .option("checkpointLocation", scratch_dir("memsink_ckpt_"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -494,6 +498,7 @@ def stream_dedup_within_watermark(
         q = (
             dd.writeStream.format("memory")
             .queryName(name)
+            .option("checkpointLocation", scratch_dir("memsink_ckpt_"))
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
