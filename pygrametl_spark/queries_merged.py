@@ -109,6 +109,7 @@ PART_COLS: dict[str, list[str]] = {
     "ann_kmeans": ["vec_id", "cluster"],
     "ann_pq_codes": ["vec_id", "sub", "code"],
     "ann_sq8_topk": ["query_id", "rank", "neighbor_id", "qcosine"],
+    "ann_pq_rerank": ["query_id", "rank", "neighbor_id", "cosine"],
     "scalar_helpers": ["p_partkey", "name", "size", "even", "dbstr", "sqlstr"],
     "datespan": ["dateid", "date", "monthname", "weekday", "year", "month", "day", "quarter"],
     "dataset_split": ["doc_id", "split"],
@@ -360,6 +361,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("kmeans", "ann_kmeans"),
             ("sq8", "ann_sq8_topk"),
             ("pq", "ann_pq_codes"),
+            ("rerank", "ann_pq_rerank"),
             ("semdedup", "ann_semdedup"),
         ],
     ),

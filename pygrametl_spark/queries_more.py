@@ -557,24 +557,41 @@ def q_ann_pq_codes(spark, sf_dir):
     )
 
 
-def _pq_oracle(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """Unrolled PQ trajectory (the per-subspace analogue of
-    :func:`_kmeans_oracle`): deterministic seeds = first k vectors'
-    subvectors (components ROUNDed to 6), per round an argmin assignment
-    on ROUND(squared-L2, 6) with ties to the lowest code, per-(sub,
-    code, dim) means rounded to 6, empty codes keep their previous
-    centroid."""
+def q_ann_pq_rerank(spark, sf_dir):
+    """ADC shortlist → exact re-rank top-k (similarity.pq_topk_rerank,
+    the FAISS ``refine`` pattern): the same m=4×8 PQ trajectory as
+    ``ann_pq_codes``, a 20-deep per-query ADC shortlist from the codes
+    alone, then exact cosine over only the shortlisted raw vectors —
+    the whole retrieval chain (training, encode, lossy score, boundary
+    ties, exact re-rank) value-verified against the unrolled SQL
+    replay."""
+    from pygrametl_spark.functions import similarity as sim
+
+    emb = load_catalog(spark, sf_dir).embeddings
+    books = sim.pq_train(emb, m=4, k=8, iters=2)
+    codes = sim.pq_codes(emb, books)
+    queries = emb.filter("vec_id < 5")
+    return sim.pq_topk_rerank(codes, queries, books, emb, shortlist=20, k=5)
+
+
+def _pq_dist_sql(d: int, cent_rel: str) -> str:
+    diff = (
+        f"(CAST(e.embedding[{cent_rel}.sub * {d} + j] AS DOUBLE)"
+        f" - {cent_rel}.cent[j])"
+    )
+    return (
+        f"ROUND(list_sum(list_transform(generate_series(1, {d}),"
+        f" j -> {diff} * {diff})), 6)"
+    )
+
+
+def _pq_train_ctes(m: int, k: int, iters: int, dim: int) -> list[str]:
+    """The unrolled PQ training trajectory as CTE strings (seeds,
+    cent0..cent{iters}); shared by the pq-codes and pq-rerank oracles."""
     d = dim // m
 
     def dist(cent_rel: str) -> str:
-        diff = (
-            f"(CAST(e.embedding[{cent_rel}.sub * {d} + j] AS DOUBLE)"
-            f" - {cent_rel}.cent[j])"
-        )
-        return (
-            f"ROUND(list_sum(list_transform(generate_series(1, {d}),"
-            f" j -> {diff} * {diff})), 6)"
-        )
+        return _pq_dist_sql(d, cent_rel)
 
     ctes = [
         f"""seeds AS (
@@ -614,15 +631,104 @@ def _pq_oracle(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64) -> str:
         FROM u{it} GROUP BY sub, code) n
   ON p.sub = n.sub AND p.code = n.code
 )""")
+    ctes.append(f"""codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT e.vec_id, c.sub, c.code,
+           row_number() OVER (
+             PARTITION BY e.vec_id, c.sub
+             ORDER BY {dist('c')} ASC, c.code ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent{iters} c) WHERE rn = 1
+)""")
+    return ctes
+
+
+def _pq_oracle(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled PQ trajectory (the per-subspace analogue of
+    :func:`_kmeans_oracle`): deterministic seeds = first k vectors'
+    subvectors (components ROUNDed to 6), per round an argmin assignment
+    on ROUND(squared-L2, 6) with ties to the lowest code, per-(sub,
+    code, dim) means rounded to 6, empty codes keep their previous
+    centroid."""
+    ctes = _pq_train_ctes(m, k, iters, dim)
     return f"""
 WITH {", ".join(ctes)}
-SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code FROM (
-  SELECT e.vec_id, c.sub, c.code,
+SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+FROM codes
+"""
+
+
+def _pq_rerank_oracle(
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    nq: int = 5,
+    shortlist: int = 20,
+    topk: int = 5,
+) -> str:
+    """ADC shortlist + exact re-rank replay (similarity.pq_topk_rerank):
+    the PQ training/encode trajectory of :func:`_pq_oracle`, then per
+    (query, candidate) the asymmetric-distance score — per-subspace
+    dot(query subvector, centroid[code]) summed in subspace order,
+    normalized by |q| and the reconstruction norm built from
+    ROUND(|centroid|^2, 6) summands exactly as the engine's codebook
+    literals are — shortlist cut at (adc DESC, id ASC), and a final
+    exact-cosine re-rank over the shortlist."""
+    from pygrametl_spark.queries_data import _cos_sql
+
+    d = dim // m
+    ctes = _pq_train_ctes(m, k, iters, dim)
+    ctes.append(f"""qn AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnorm
+  FROM embeddings WHERE vec_id < {nq}
+)""")
+    ctes.append(f"""persub AS (
+  SELECT co.vec_id AS neighbor_id, q.query_id, co.sub, q.qnorm,
+         list_dot_product(
+           q.qv[co.sub * {d} + 1 : co.sub * {d} + {d}], c.cent) AS sdot,
+         ROUND(list_dot_product(c.cent, c.cent), 6) AS csq
+  FROM codes co
+  JOIN cent{iters} c ON co.sub = c.sub AND co.code = c.code
+  CROSS JOIN qn q
+  WHERE co.vec_id <> q.query_id
+)""")
+    ctes.append("""adc AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_sum(list(sdot ORDER BY sub)) /
+               NULLIF(any_value(qnorm) *
+                      sqrt(list_sum(list(csq ORDER BY sub))), 0.0),
+               6) AS adc_score
+  FROM persub GROUP BY query_id, neighbor_id
+)""")
+    ctes.append(f"""shortl AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY adc_score DESC NULLS LAST, neighbor_id ASC
+           ) AS rn
+    FROM adc) WHERE rn <= {shortlist}
+)""")
+    ctes.append(f"""rr AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_cos_sql('q.qv', 'e.embedding')} AS cosine
+  FROM shortl s
+  JOIN qn q USING (query_id)
+  JOIN embeddings e ON e.vec_id = s.neighbor_id
+)""")
+    return f"""
+WITH {", ".join(ctes)}
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
          row_number() OVER (
-           PARTITION BY e.vec_id, c.sub
-           ORDER BY {dist('c')} ASC, c.code ASC
-         ) AS rn
-  FROM embeddings e CROSS JOIN cent{iters} c) WHERE rn = 1
+           PARTITION BY query_id
+           ORDER BY cosine DESC NULLS LAST, neighbor_id ASC
+         ) AS rank
+  FROM rr) WHERE rank <= {topk}
 """
 
 
@@ -1030,6 +1136,7 @@ MORE_QUERIES = {
     "ann_kmeans": q_ann_kmeans,
     "ann_semdedup": q_ann_semdedup,
     "ann_pq_codes": q_ann_pq_codes,
+    "ann_pq_rerank": q_ann_pq_rerank,
     "ann_sq8_topk": q_ann_sq8_topk,
     "ann_ivf_index": q_ann_ivf_index,
     "dim_getbykey": q_dim_getbykey,
@@ -1058,6 +1165,7 @@ MORE_ORACLES = {
     "ann_kmeans": _kmeans_oracle(),
     "ann_semdedup": _semdedup_oracle(),
     "ann_pq_codes": _pq_oracle(),
+    "ann_pq_rerank": _pq_rerank_oracle(),
     "ann_sq8_topk": ORACLE_ANN_SQ8,
     "ann_ivf_index": _ivf_oracle(),
     "dim_getbykey": ORACLE_GETBYKEY,

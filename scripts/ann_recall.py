@@ -75,6 +75,15 @@ def main() -> None:
             ),
         )
 
+    # multiprobe: same corpus hashing/index size as 8x6, query side
+    # additionally probes every Hamming-1 bucket per band
+    run(
+        "lsh_b8_p6_multiprobe",
+        lambda: sim.lsh_topk(
+            emb, queries, n_bands=8, planes_per_band=6, k=k, multiprobe=True
+        ),
+    )
+
     cent = sim.kmeans_refine(emb, n_clusters=16, iters=2)
     for nprobe in [1, 2, 4, 8]:
         run(
@@ -90,19 +99,49 @@ def main() -> None:
     codes = sim.pq_codes(emb, books)
     run("pq_m8_k16", lambda: sim.pq_topk(codes, queries, books, k=k))
 
+    # ADC shortlist -> exact re-rank (FAISS refine): the recall fix for
+    # PQ-hostile distributions at the cost of <=R raw vectors per query
+    for sl in [50, 100]:
+        run(
+            f"pq_m8_k16_rerank{sl}",
+            lambda s=sl: sim.pq_topk_rerank(
+                codes, queries, books, emb, shortlist=s, k=k
+            ),
+        )
+
     # finer codebooks: same 8 B/vector payload (codes stay <256), ~4x
     # the (one-off) training work — the PQ quality lever
     books64 = sim.pq_train(emb, m=8, k=64, iters=3)
     codes64 = sim.pq_codes(emb, books64)
     run("pq_m8_k64", lambda: sim.pq_topk(codes64, queries, books64, k=k))
 
+    # the two quality levers composed: finer codebooks give the ADC
+    # ordering enough signal for a fixed-size shortlist to capture the
+    # true neighbors, and the exact pass restores their order
+    run(
+        "pq_m8_k64_rerank100",
+        lambda: sim.pq_topk_rerank(
+            codes64, queries, books64, emb, shortlist=100, k=k
+        ),
+    )
+
     idx = os.path.join(tempfile.gettempdir(), "pygrametl_spark_recall_ivfpq")
-    sim.ivfpq_write_index(emb, idx, n_clusters=16, m=8, k=16, iters=2, books=books)
+    sim.ivfpq_write_index(
+        emb, idx, n_clusters=16, m=8, k=16, iters=2, books=books,
+        store_raw=True,
+    )
     for nprobe in [4, 8]:
         run(
             f"ivfpq16_np{nprobe}",
             lambda np_=nprobe: sim.ivfpq_topk(
                 spark, idx, queries, nprobe=np_, k=k
+            ),
+        )
+    for nprobe in [4, 8]:
+        run(
+            f"ivfpq16_np{nprobe}_rerank100",
+            lambda np_=nprobe: sim.ivfpq_topk(
+                spark, idx, queries, nprobe=np_, k=k, rerank=100
             ),
         )
 

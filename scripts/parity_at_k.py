@@ -187,14 +187,27 @@ def main() -> None:
             print(f"FAIL {name}: {detail[:400]}")
             n_fail += 1
 
-    summary = {
-        "k": k, "base": BASE, "passed": n_pass, "rows_only": n_skip,
-        "failed": n_fail,
-    }
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         f"PARITY_K{k}.json",
     )
+    # A filtered run (explicit query args) refreshes just those entries
+    # inside the existing full report instead of clobbering it.
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f).get("queries", {})
+        prior.update(report)
+        report = prior
+        n_pass = sum(1 for r in report.values() if r.get("hash_match"))
+        n_fail = sum(
+            1 for r in report.values()
+            if r.get("err") or r.get("hash_match") is False
+        )
+        n_skip = len(report) - n_pass - n_fail
+    summary = {
+        "k": k, "base": BASE, "passed": n_pass, "rows_only": n_skip,
+        "failed": n_fail,
+    }
     with open(out_path, "w") as f:
         json.dump({"summary": summary, "queries": report}, f, indent=1)
     print(f"\n{n_pass} passed, {n_skip} rows-only, {n_fail} failed -> {out_path}")
