@@ -9,10 +9,13 @@ the offline half of a RAG system, with every stage an engine operator:
 2. embed    — deterministic feature vectors over the chunk bytes
               (multimodal.extract_features: the md5-derived stand-in for
               a real embedding model, same Arrow mapInPandas plumbing)
-3. index    — persisted IVF-PQ (similarity.ivfpq_write_index): coarse
-              routing + product-quantized codes per cluster partition
+3. index    — persisted IVF-PQ (similarity.ivfpq_write_index,
+              store_raw=True): coarse routing + product-quantized codes
+              per cluster partition, plus the raw tier for re-ranking
 4. probe    — ivfpq_topk: dynamic partition pruning + ADC scoring;
-              raw vectors are never read at query time
+              rerank=R re-scores the ADC top-R exactly from only the
+              probed raw partitions (the FAISS refine pattern — the
+              production recall fix, PERF.md "ANN recall")
 
 Run: python examples/retrieval_index.py [sf_dir] [out_dir]
 """
@@ -75,12 +78,17 @@ def run_pipeline(spark, sf_dir: str, out_dir: str):
     )
 
     index_dir = os.path.join(out_dir, "ivfpq")
-    sim.ivfpq_write_index(vecs, index_dir, n_clusters=4, m=4, k=16)
+    sim.ivfpq_write_index(
+        vecs, index_dir, n_clusters=4, m=4, k=16, store_raw=True
+    )
 
     # probe with the first few chunks as queries: each must find itself
-    # impossible (self filtered) but near-identical overlapping chunks rank high
+    # impossible (self filtered) but near-identical overlapping chunks
+    # rank high; the ADC top-20 are re-scored exactly from the raw tier
     queries = vecs.orderBy("vec_id").limit(3)
-    hits = sim.ivfpq_topk(spark, index_dir, queries, nprobe=2, k=3)
+    hits = sim.ivfpq_topk(
+        spark, index_dir, queries, nprobe=2, k=3, rerank=20
+    )
     return chunks, vecs, hits, index_dir
 
 

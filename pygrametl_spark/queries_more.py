@@ -559,16 +559,17 @@ def q_ann_pq_codes(spark, sf_dir):
 
 def q_ann_pq_rerank(spark, sf_dir):
     """ADC shortlist → exact re-rank top-k (similarity.pq_topk_rerank,
-    the FAISS ``refine`` pattern): the same m=4×8 PQ trajectory as
-    ``ann_pq_codes``, a 20-deep per-query ADC shortlist from the codes
-    alone, then exact cosine over only the shortlisted raw vectors —
-    the whole retrieval chain (training, encode, lossy score, boundary
-    ties, exact re-rank) value-verified against the unrolled SQL
-    replay."""
+    the FAISS ``refine`` pattern): an m=4×8 PQ trajectory (iters=1 —
+    the 2-round trajectory is already gated by ``ann_pq_codes``; one
+    round keeps this part's training cost off the bench's hot path), a
+    20-deep per-query ADC shortlist from the codes alone, then exact
+    cosine over only the shortlisted raw vectors — the whole retrieval
+    chain (training, encode, lossy score, boundary ties, exact re-rank)
+    value-verified against the unrolled SQL replay."""
     from pygrametl_spark.functions import similarity as sim
 
     emb = load_catalog(spark, sf_dir).embeddings
-    books = sim.pq_train(emb, m=4, k=8, iters=2)
+    books = sim.pq_train(emb, m=4, k=8, iters=1)
     codes = sim.pq_codes(emb, books)
     queries = emb.filter("vec_id < 5")
     return sim.pq_topk_rerank(codes, queries, books, emb, shortlist=20, k=5)
@@ -1165,7 +1166,7 @@ MORE_ORACLES = {
     "ann_kmeans": _kmeans_oracle(),
     "ann_semdedup": _semdedup_oracle(),
     "ann_pq_codes": _pq_oracle(),
-    "ann_pq_rerank": _pq_rerank_oracle(),
+    "ann_pq_rerank": _pq_rerank_oracle(iters=1),
     "ann_sq8_topk": ORACLE_ANN_SQ8,
     "ann_ivf_index": _ivf_oracle(),
     "dim_getbykey": ORACLE_GETBYKEY,
