@@ -46,6 +46,18 @@ def main() -> None:
     spark = get_spark("bench")
     spark.range(1).count()  # session spin-up outside any timing
 
+    # Sacrificial first-slot run: whatever query is measured FIRST in a
+    # sweep absorbs a ~2x session-start penalty that its own two
+    # warm-ups do not cover (measured r4: q01 0.55-1.03 s at slot 1 vs
+    # 0.29 s mid-sweep in a randomized-order sweep; the randomized
+    # sweep's own first entry, newest_version, was +42% — the penalty
+    # follows the SLOT, not the query). One untimed full execution of
+    # the first entry, plus hygiene, moves that cost off the record.
+    try:
+        QUERIES[headline[0]](spark, sf_dir).count()
+    except Exception:  # noqa: BLE001 — the timed path reports real errors
+        pass
+
     # Per-query warm-up (excluded from timings; JMH-style untimed
     # iterations of the exact workload, run immediately before each
     # query's timed run): first executions pay one-time costs unrelated
@@ -102,9 +114,17 @@ def main() -> None:
         # timed iterations: single runs swing by seconds from JIT/codegen
         # cache state (measured 1.7 s vs 6.2 s for the identical query
         # across sweeps), which is measurement noise, not query cost.
+        # Streaming-family entries drain real micro-batch streams whose
+        # per-run cost carries Python-worker / checkpoint-IO jitter the
+        # batch entries don't have; median-of-5 (vs 3) keeps their
+        # round-over-round medians regression-readable (r4).
+        base_iters = 5 if name in (
+            "events_stream_windows", "events_sessionize",
+            "scd2_streaming_maintain", "dedup_exact",
+        ) else 3
         try:
             runs = []
-            for _ in range(3):
+            for _ in range(base_iters):
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 n = df.count()
@@ -113,7 +133,7 @@ def main() -> None:
             # re-JIT of interpreted HOF paths lands mid-sweep at random)
             # get up to 3 extra iterations so the median converges.
             while (
-                len(runs) < 6
+                len(runs) < max(6, base_iters + 1)
                 and (max(runs) - min(runs)) > 0.3 * sorted(runs)[len(runs) // 2]
             ):
                 t0 = time.time()
