@@ -86,7 +86,12 @@ def pair_dot_arrow() -> Column:
 
 
 def cosine_expr(a: str, b: str) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    """Cosine similarity; NULL when either vector has zero norm — the
+    same semantics as the SQL oracles (DuckDB x/0 is NULL), and under
+    Spark 4's default ANSI mode the nullif is REQUIRED: a bare division
+    throws DIVIDE_BY_ZERO on the first all-zero embedding (found by the
+    pq-rerank hypothesis property test, round 4)."""
+    return dot_expr(a, b) / F.nullif(norm_expr(a) * norm_expr(b), F.lit(0.0))
 
 
 def cosine_topk(
@@ -201,7 +206,8 @@ def ivf_assign(
             "_cents",
             lambda c: F.struct(
                 F.round(
-                    _dot_cols(F.col(vec_col), c["_cent"]) / (F.col("_vnorm") * c["_cnorm"]), 6
+                    _dot_cols(F.col(vec_col), c["_cent"])
+                    / F.nullif(F.col("_vnorm") * c["_cnorm"], F.lit(0.0)), 6
                 ).alias("cos"),
                 (-c["_cid"]).alias("ncid"),
             ),
@@ -303,7 +309,10 @@ def ivf_topk(
         "_cos",
         F.round(
             _dot_cols(F.col("_qv"), F.col("_cent"))
-            / (F.sqrt(_dot_cols(F.col("_qv"), F.col("_qv"))) * F.col("_cnorm")),
+            / F.nullif(
+                F.sqrt(_dot_cols(F.col("_qv"), F.col("_qv"))) * F.col("_cnorm"),
+                F.lit(0.0),
+            ),
             6,
         ),
     )
@@ -401,7 +410,10 @@ def ivf_topk_from_index(
         "_cos",
         F.round(
             _dot_cols(F.col("_qv"), F.col("_cent"))
-            / (F.sqrt(_dot_cols(F.col("_qv"), F.col("_qv"))) * F.col("_cnorm")),
+            / F.nullif(
+                F.sqrt(_dot_cols(F.col("_qv"), F.col("_qv"))) * F.col("_cnorm"),
+                F.lit(0.0),
+            ),
             6,
         ),
     )
@@ -618,7 +630,9 @@ def lsh_banded_neardup(
         dot = pair_dot_arrow()(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
     else:
         dot = dot_expr(f"a.{vec_col}", f"b.{vec_col}")
-    cos = F.round(dot / (F.col("a._norm") * F.col("b._norm")), 6)
+    cos = F.round(
+        dot / F.nullif(F.col("a._norm") * F.col("b._norm"), F.lit(0.0)), 6
+    )
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
@@ -1365,7 +1379,10 @@ def ivfpq_topk(
         "_cos",
         F.round(
             _dot_cols(F.col("_qv"), F.col("_cent"))
-            / (F.sqrt(_dot_cols(F.col("_qv"), F.col("_qv"))) * F.col("_cnorm")),
+            / F.nullif(
+                F.sqrt(_dot_cols(F.col("_qv"), F.col("_qv"))) * F.col("_cnorm"),
+                F.lit(0.0),
+            ),
             6,
         ),
     )

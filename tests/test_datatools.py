@@ -2122,6 +2122,44 @@ def test_ann_recall_floors(spark):
     assert r_lsh16 > r_lsh4
 
 
+_vec_strategy = st.lists(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+        min_size=8, max_size=8,
+    ),
+    min_size=6, max_size=12,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vecs=_vec_strategy)
+def test_pq_rerank_full_shortlist_is_exact_property(spark, vecs):
+    """For ARBITRARY float vectors (including zeros and near-duplicates):
+    pq_topk_rerank with a full-corpus shortlist must equal cosine_topk
+    row-for-row — the ADC stage may order candidates arbitrarily badly,
+    but the exact re-rank over a complete shortlist cannot lose or
+    misrank anything."""
+    from pygrametl_spark.functions import similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.filter("vec_id < 3")
+    books = sim.pq_train(df, m=2, k=4, iters=1)
+    codes = sim.pq_codes(df, books)
+    got = sorted(
+        map(tuple, sim.pq_topk_rerank(
+            codes, queries, books, df, shortlist=len(vecs), k=4
+        ).collect())
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in sim.cosine_topk(df, queries, k=4).collect()
+    )
+    assert got == want
+
+
 def test_pq_rerank_and_multiprobe_quality(spark, tmp_path):
     """Round-4 recall fixes for the lossy tiers.
 
