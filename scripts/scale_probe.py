@@ -44,6 +44,19 @@ def replicate(spark, table: str, k: int, id_cols: list[str], out_root: str) -> s
     return path
 
 
+_BOOKS_CACHE: dict = {}
+
+
+def _books(sim, emb):
+    """PQ codebooks per corpus (trained once per probe scale — training
+    cost is measured separately by the pq trajectory gates; this probe
+    measures the retrieval chain's growth)."""
+    key = id(emb)
+    if key not in _BOOKS_CACHE:
+        _BOOKS_CACHE[key] = sim.pq_train(emb, m=8, k=16, iters=1)
+    return _BOOKS_CACHE[key]
+
+
 def probe(spark, docs_path: str, emb_path: str, ev_path: str, only=None) -> dict[str, float]:
     from pyspark.sql import functions as F
 
@@ -91,6 +104,18 @@ def probe(spark, docs_path: str, emb_path: str, ev_path: str, only=None) -> dict
         "bloom_decontam": lambda: tx.bloom_decontaminate(
             docs, docs.filter("doc_id % 50 = 0"), m=65536, k_hashes=3
         ).filter("contaminated").count(),
+        # rerank cost model: ADC scan grows linearly with corpus, the
+        # exact pass is bounded at <=shortlist raw vectors per query
+        "pq_rerank": lambda: sim.pq_topk_rerank(
+            sim.pq_codes(emb, _books(sim, emb)), emb.filter("vec_id < 5"),
+            _books(sim, emb), emb, shortlist=50, k=5,
+        ).count(),
+        # probe set x(planes+1) on the broadcast query side only; the
+        # corpus hashing pass is identical to single-probe
+        "lsh_multiprobe": lambda: sim.lsh_topk(
+            emb, emb.filter("vec_id < 5"), n_bands=8, planes_per_band=6,
+            k=5, multiprobe=True,
+        ).count(),
     }
     times = {}
     for name, fn in ops.items():
