@@ -1185,6 +1185,79 @@ def _lsh_bucket_oracle() -> str:
 ORACLE_ANN_LSH_BUCKETS = _lsh_bucket_oracle()
 
 
+def q_ann_lsh_mp_topk(spark, sf_dir):
+    """Multi-probe LSH retrieval end-to-end (similarity.lsh_topk with
+    multiprobe=True, Lv et al. 2007): banded sign-bit buckets on BOTH
+    sides, the query side additionally probing every Hamming-1 bucket
+    per band, candidate dedup, exact cosine, per-query rank — the whole
+    chain replayed in SQL (plane family, bucket arithmetic, XOR probe
+    expansion, tie order). Small 4-band × 4-plane config so the gate
+    stays cheap; the production 8×6 config is recall-measured in
+    RECALL.json."""
+    emb = load_catalog(spark, sf_dir).embeddings
+    queries = emb.filter("vec_id < 3")
+    return sim.lsh_topk(
+        emb, queries, n_bands=4, planes_per_band=4, k=5, multiprobe=True
+    )
+
+
+def _lsh_mp_topk_oracle(
+    n_bands: int = 4, planes_per_band: int = 4, dim: int = 64,
+    nq: int = 3, k: int = 5,
+) -> str:
+    planes = ", ".join(
+        "[" + ", ".join(repr(sim._plane_weight(p, i)) for i in range(dim)) + "]"
+        for p in range(n_bands * planes_per_band)
+    )
+    proj = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> CAST(embedding[i] AS DOUBLE) * w[{idx}][i]))"
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN {proj.format(idx=f'band * {planes_per_band} + {p + 1}')} >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(planes_per_band)
+    )
+    cos = _cos_sql("qv", "cv")
+    return f"""
+WITH pl AS (SELECT [{planes}] AS w),
+bands AS (SELECT unnest(generate_series(0, {n_bands - 1})) AS band),
+bk AS (
+  SELECT vec_id, embedding, band, ({bucket}) AS bucket
+  FROM embeddings CROSS JOIN pl CROSS JOIN bands
+),
+flips AS (SELECT unnest(generate_series(-1, {planes_per_band - 1})) AS f),
+probes AS (
+  SELECT DISTINCT vec_id AS query_id, embedding AS qv, band,
+         CASE WHEN f < 0 THEN bucket ELSE xor(bucket, (1 << f)) END AS bucket
+  FROM bk CROSS JOIN flips WHERE vec_id < {nq}
+),
+cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         any_value(p.qv) AS qv, any_value(c.embedding) AS cv
+  FROM bk c JOIN probes p ON c.band = p.band AND c.bucket = p.bucket
+  WHERE c.vec_id <> p.query_id
+  GROUP BY p.query_id, c.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {cos} AS cosine FROM cand
+),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY cosine DESC NULLS LAST, neighbor_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+FROM r WHERE rank <= {k}
+"""
+
+
+ORACLE_ANN_LSH_MP_TOPK = _lsh_mp_topk_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing + streaming
 # ---------------------------------------------------------------------------
@@ -1380,6 +1453,7 @@ DATA_QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ann_topk": q_ann_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_lsh_mp_topk": q_ann_lsh_mp_topk,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_realdecode": q_multimodal_realdecode,
     "multimodal_resize": q_multimodal_resize,
@@ -1431,6 +1505,7 @@ DATA_ORACLES = {
     "embedding_neardup": ORACLE_EMB_NEARDUP,
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_lsh_buckets": ORACLE_ANN_LSH_BUCKETS,
+    "ann_lsh_mp_topk": ORACLE_ANN_LSH_MP_TOPK,
     "multimodal_decode": ORACLE_MULTIMODAL,
     "multimodal_realdecode": ORACLE_MM_REALDECODE,
     "multimodal_resize": ORACLE_MM_RESIZE,

@@ -110,6 +110,7 @@ PART_COLS: dict[str, list[str]] = {
     "ann_pq_codes": ["vec_id", "sub", "code"],
     "ann_sq8_topk": ["query_id", "rank", "neighbor_id", "qcosine"],
     "ann_pq_rerank": ["query_id", "rank", "neighbor_id", "cosine"],
+    "ann_lsh_mp_topk": ["query_id", "rank", "neighbor_id", "cosine"],
     "scalar_helpers": ["p_partkey", "name", "size", "even", "dbstr", "sqlstr"],
     "datespan": ["dateid", "date", "monthname", "weekday", "year", "month", "day", "quarter"],
     "dataset_split": ["doc_id", "split"],
@@ -362,6 +363,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("sq8", "ann_sq8_topk"),
             ("pq", "ann_pq_codes"),
             ("rerank", "ann_pq_rerank"),
+            ("multiprobe", "ann_lsh_mp_topk"),
             ("semdedup", "ann_semdedup"),
         ],
     ),
