@@ -1472,8 +1472,14 @@ def ivfpq_append_index(
     full rebuild with the same quantizers (test-verified). Re-train and
     rewrite when the distribution drifts, as every production IVF-PQ
     deployment periodically does.
+
+    An index written with ``store_raw=True`` gets its ``raw/`` tier
+    appended too — otherwise new vectors would surface in the ADC
+    shortlist but silently vanish from ``rerank=`` results (the exact
+    pass inner-joins the raw tier).
     """
     import json
+    import os
 
     spark = df.sparkSession
     with open(f"{path}/codebooks.json") as fh:
@@ -1486,3 +1492,7 @@ def ivfpq_append_index(
         _pq_assign_codes(vec_col, _pq3_lit(books), len(books), d).alias("codes"),
     )
     coded.write.mode("append").partitionBy("cluster").parquet(f"{path}/codes")
+    if os.path.isdir(f"{path}/raw"):
+        assigned.select(id_col, "cluster", vec_col).write.mode(
+            "append"
+        ).partitionBy("cluster").parquet(f"{path}/raw")

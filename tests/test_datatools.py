@@ -1107,6 +1107,30 @@ def test_ivfpq_append_matches_rebuild(spark, tmp_path):
     want = sim.ivfpq_topk(spark, full, queries, nprobe=2, k=4).collect()
     assert {tuple(r) for r in got} == {tuple(r) for r in want}
 
+    # with a store_raw index, append must extend the raw tier too, or
+    # appended vectors make the ADC shortlist but vanish from rerank's
+    # inner join — append-then-rerank must equal rebuild-then-rerank
+    incr = str(tmp_path / "incr")
+    sim.ivfpq_write_index(
+        old, incr, n_clusters=4, m=8, k=16, books=books, store_raw=True
+    )
+    sim.ivfpq_append_index(new, incr)
+    got_rr = sim.ivfpq_topk(
+        spark, incr, queries, nprobe=4, k=4, rerank=10
+    ).collect()
+    fullr = str(tmp_path / "fullr")
+    sim.ivfpq_write_index(
+        emb, fullr, centroids=cent, books=books, store_raw=True
+    )
+    want_rr = sim.ivfpq_topk(
+        spark, fullr, queries, nprobe=4, k=4, rerank=10
+    ).collect()
+    assert {tuple(r) for r in got_rr} == {tuple(r) for r in want_rr}
+    appended_ids = {r["vec_id"] for r in new.collect()}
+    assert appended_ids & {r["neighbor_id"] for r in got_rr}, (
+        "appended vectors must be retrievable through the rerank path"
+    )
+
 
 def test_scdensure_batch_replay_is_idempotent(spark):
     """Re-applying the same batch (the foreachBatch retry case) changes
