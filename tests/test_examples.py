@@ -81,7 +81,7 @@ def test_retrieval_index_pipeline(spark, tmp_path):
     assert {r["query_id"] for r in rows} == {
         r["vec_id"] for r in vecs.orderBy("vec_id").limit(3).collect()
     }
-    assert all(r["adc_score"] is not None for r in rows)
+    assert all(r["cosine"] is not None for r in rows)
     # the index directory has the IVF-PQ layout, incl. the raw rerank tier
     assert os.path.isdir(f"{index_dir}/codes") and os.path.isdir(f"{index_dir}/centroids")
     assert os.path.isfile(f"{index_dir}/codebooks.json")
