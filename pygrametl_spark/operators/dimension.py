@@ -223,13 +223,15 @@ class Dimension:
             return self.idfinder(new_members, offset)
         return assign_dense_keys(new_members, self.lookupatts, self.key, offset)
 
-    def durable(self, path: str) -> "Dimension":
+    def durable(self, path: str, protocol: str = "rename") -> "Dimension":
         """Write-through state (the production persistence path — see
         operators/state.py): every mutation persists to ``path`` and a
-        fresh session resumes with :meth:`restore`."""
+        fresh session resumes with :meth:`restore`. ``protocol="pointer"``
+        commits via an immutable pointer log instead of rename — the
+        object-store-safe path (S3-style stores have no atomic rename)."""
         from pygrametl_spark.operators.state import StatePersistence
 
-        self._persistence = StatePersistence(path)
+        self._persistence = StatePersistence(path, protocol=protocol)
         if self._df is not None:
             self._df = self._persistence.write(self._df)
         return self

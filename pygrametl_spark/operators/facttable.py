@@ -68,11 +68,12 @@ class FactTable:
     materialize_updates = True
     _persistence = None
 
-    def durable(self, path: str) -> "FactTable":
-        """Write-through state (production persistence — operators/state.py)."""
+    def durable(self, path: str, protocol: str = "rename") -> "FactTable":
+        """Write-through state (production persistence — operators/state.py).
+        ``protocol="pointer"`` for object stores without atomic rename."""
         from pygrametl_spark.operators.state import StatePersistence
 
-        self._persistence = StatePersistence(path)
+        self._persistence = StatePersistence(path, protocol=protocol)
         if self._df is not None:
             self._df = self._persistence.write(self._df)
         return self

@@ -19,22 +19,48 @@ Versioned subdirectories (``v1``, ``v2`` …) avoid overwriting a path
 that the next plan is still reading; old versions are pruned
 best-effort, keeping the previous one as a rollback point.
 
-Commit protocol (torn-write safe): each version is written to a hidden
-staging directory first, a ``_COMMITTED`` manifest is fsynced inside
-it, and the staging directory is atomically renamed to ``v{N}`` (POSIX
-rename is atomic within a filesystem — the counterpart of the
-reference's transactional materialization, where every table lands via
-a ConnectionWrapper commit, ref ``pygrametl/__init__.py:971-974``). A
-crash at ANY point before the rename leaves only staging debris, which
-recovery ignores and the next writer sweeps; a version directory is
-considered committed only if its manifest exists, so a torn directory
-from a pre-protocol writer can never be restored as latest. On an
-object store without atomic rename, swap this class for a table format
-(Delta/Iceberg) — the call sites are unchanged.
+Commit protocols (both torn-write safe):
+
+``protocol="rename"`` (default — the POSIX fast path): each version is
+written to a hidden staging directory first, a ``_COMMITTED`` manifest
+is fsynced inside it, and the staging directory is atomically renamed
+to ``v{N}`` (POSIX rename is atomic within a filesystem — the
+counterpart of the reference's transactional materialization, where
+every table lands via a ConnectionWrapper commit, ref
+``pygrametl/__init__.py:971-974``). A crash at ANY point before the
+rename leaves only staging debris, which recovery ignores and the next
+writer sweeps; a version directory is considered committed only if its
+manifest exists, so a torn directory from a pre-protocol writer can
+never be restored as latest.
+
+``protocol="pointer"`` (object-store safe — NO rename anywhere): the
+version's parquet lands under an immutable uniquely-named data
+directory ``o{N}_{uuid}``, its ``_COMMITTED`` manifest is fsynced
+(data-complete marker), and the COMMIT POINT is the one-shot creation
+of an immutable checksummed pointer file ``p{N}.json`` naming the data
+directory — the same metadata-versioning shape Iceberg uses for its
+``v{N}.metadata.json`` and Delta for ``_delta_log/{N}.json``, where a
+single-key PUT of a never-overwritten object is the only atomicity the
+store must provide. Readers resolve latest = the highest pointer that
+(a) parses with a matching content checksum and (b) names a data
+directory whose manifest exists; a crash before the pointer write, or
+mid-pointer-write (partial file -> checksum mismatch), leaves the
+previous version as latest, and the next writer sweeps unreferenced
+``o*`` debris. No rename, no overwrite, no directory-listing
+consistency needed beyond list-after-write of immutable keys.
+
+Both protocols can read a directory written by the other (the version
+set is the union), so a store can migrate by constructing its next
+handle with the other protocol. Single writer per path assumed, as in
+the reference's one-connection load (concurrent writers race version
+numbers; the pointer protocol's create-exclusive pointer write turns
+that race into a clean failure on POSIX, the analogue of an
+if-none-match conditional PUT).
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -46,78 +72,192 @@ __all__ = ["StatePersistence"]
 
 _VERSION = re.compile(r"^v(\d+)$")
 _STAGING = re.compile(r"^_staging_v\d+_")
+_OBJDIR = re.compile(r"^o(\d+)_[0-9a-f]+$")
+_POINTER = re.compile(r"^p(\d+)\.json$")
 _MANIFEST = "_COMMITTED"
 
 
-class StatePersistence:
-    """Write-through parquet persistence with version rotation and an
-    atomic (staging + fsynced manifest + rename) commit per version."""
+def _fsync_dir(path: str) -> None:
+    dfd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
-    def __init__(self, path: str, keep: int = 2):
+
+class StatePersistence:
+    """Write-through parquet persistence with version rotation and a
+    torn-write-safe commit per version — ``protocol="rename"`` (POSIX
+    atomic rename) or ``protocol="pointer"`` (rename-free immutable
+    pointer log, object-store safe). See the module docstring."""
+
+    def __init__(self, path: str, keep: int = 2, protocol: str = "rename"):
+        if protocol not in ("rename", "pointer"):
+            raise ValueError(f"unknown commit protocol {protocol!r}")
         self.path = path
         self.keep = keep
-        self._sweep_staging()
+        self.protocol = protocol
+        self._sweep_debris()
         self.version = self._latest() or 0
 
-    def _sweep_staging(self) -> None:
-        """Remove debris from writers that crashed before their rename —
-        staging dirs are invisible to recovery, so this is pure hygiene."""
+    def _sweep_debris(self) -> None:
+        """Remove debris from writers that crashed before their commit
+        point — staging dirs (rename protocol) and data dirs no valid
+        pointer references (pointer protocol) are invisible to recovery,
+        so this is pure hygiene. Single writer per path assumed."""
         if not os.path.isdir(self.path):
             return
+        valid = self._pointer_dirs()
+        referenced = set(valid.values())
         for d in os.listdir(self.path):
-            if _STAGING.match(d):
+            if _STAGING.match(d) or (
+                _OBJDIR.match(d) and d not in referenced
+            ):
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+            else:
+                m = _POINTER.match(d)
+                # a torn pointer (checksum/parse fail, or dangling target)
+                # is by definition not a commit; left in place it would
+                # block the next writer's create-exclusive pointer write
+                if m and int(m.group(1)) not in valid:
+                    try:
+                        os.remove(os.path.join(self.path, d))
+                    except OSError:
+                        pass
 
     def _committed(self, version: int) -> bool:
         return os.path.exists(
             os.path.join(self.path, f"v{version}", _MANIFEST)
         )
 
+    def _pointer_dirs(self) -> dict:
+        """{version: data-dir basename} for every VALID pointer: the
+        file parses, its content checksum matches, and the named data
+        directory's manifest exists. A partial pointer from a mid-write
+        crash fails the checksum and is simply not a commit."""
+        out: dict = {}
+        if not os.path.isdir(self.path):
+            return out
+        for f in os.listdir(self.path):
+            m = _POINTER.match(f)
+            if not m:
+                continue
+            try:
+                with open(os.path.join(self.path, f)) as fh:
+                    line, digest = fh.read().rsplit("\n", 1)
+                if hashlib.sha256(line.encode()).hexdigest() != digest.strip():
+                    continue
+                meta = json.loads(line)
+            except (ValueError, OSError):
+                continue  # torn / partial pointer: not committed
+            target = meta.get("dir", "")
+            if (
+                meta.get("version") == int(m.group(1))
+                and _OBJDIR.match(target)
+                and os.path.exists(
+                    os.path.join(self.path, target, _MANIFEST)
+                )
+            ):
+                out[int(m.group(1))] = target
+        return out
+
     def _versions(self) -> list[int]:
         if not os.path.isdir(self.path):
             return []
-        out = []
+        out = set(self._pointer_dirs())
         for d in os.listdir(self.path):
             m = _VERSION.match(d)
             if m and self._committed(int(m.group(1))):
-                out.append(int(m.group(1)))
+                out.add(int(m.group(1)))
         return sorted(out)
 
     def _latest(self) -> int | None:
         vs = self._versions()
         return vs[-1] if vs else None
 
-    def write(self, df: DataFrame) -> DataFrame:
-        """Persist ``df`` as the next version (atomic commit); return
-        the re-read frame."""
-        import uuid
+    def _dir_for(self, version: int) -> str | None:
+        """Absolute data directory of a committed version under either
+        protocol (``v{N}`` wins if both exist), or None."""
+        if self._committed(version):
+            return os.path.join(self.path, f"v{version}")
+        target = self._pointer_dirs().get(version)
+        return os.path.join(self.path, target) if target else None
 
-        self.version += 1
-        staging = os.path.join(
-            self.path, f"_staging_v{self.version}_{uuid.uuid4().hex[:8]}"
-        )
-        target = os.path.join(self.path, f"v{self.version}")
-        df.write.mode("overwrite").parquet(staging)
-        manifest = os.path.join(staging, _MANIFEST)
-        with open(manifest, "w") as f:
+    def _write_manifest(self, dirname: str, df: DataFrame) -> None:
+        with open(os.path.join(dirname, _MANIFEST), "w") as f:
             json.dump(
                 {"version": self.version, "schema": df.schema.jsonValue()}, f
             )
             f.flush()
             os.fsync(f.fileno())
+
+    def write(self, df: DataFrame) -> DataFrame:
+        """Persist ``df`` as the next version (atomic commit under the
+        handle's protocol); return the re-read frame."""
+        import uuid
+
+        self.version += 1
+        if self.protocol == "pointer":
+            target = self._commit_pointer(df, uuid.uuid4().hex[:8])
+        else:
+            target = self._commit_rename(df, uuid.uuid4().hex[:8])
+        self._prune()
+        return df.sparkSession.read.parquet(target)
+
+    def _commit_rename(self, df: DataFrame, nonce: str) -> str:
+        staging = os.path.join(
+            self.path, f"_staging_v{self.version}_{nonce}"
+        )
+        target = os.path.join(self.path, f"v{self.version}")
+        df.write.mode("overwrite").parquet(staging)
+        self._write_manifest(staging, df)
         # a torn v{N} from a pre-protocol writer (no manifest) may squat
         # on the name; it was never committed, so clearing it is safe
         if os.path.isdir(target) and not self._committed(self.version):
             shutil.rmtree(target, ignore_errors=True)
         os.rename(staging, target)  # the commit point — atomic
-        dfd = os.open(self.path, os.O_RDONLY)
+        _fsync_dir(self.path)  # make the rename itself durable
+        return target
+
+    def _commit_pointer(self, df: DataFrame, nonce: str) -> str:
+        data = f"o{self.version}_{nonce}"
+        target = os.path.join(self.path, data)
+        df.write.mode("overwrite").parquet(target)
+        self._write_manifest(target, df)
+        _fsync_dir(self.path)  # data dir + manifest durable first
+        line = json.dumps(
+            {"version": self.version, "dir": data}, sort_keys=True
+        )
+        content = line + "\n" + hashlib.sha256(line.encode()).hexdigest()
+        ptr = os.path.join(self.path, f"p{self.version}.json")
+        # create-exclusive: the pointer is written ONCE and never
+        # overwritten — the POSIX analogue of an if-none-match PUT, so a
+        # lost version-number race fails loudly instead of clobbering
+        fd = os.open(ptr, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
         try:
-            os.fsync(dfd)  # make the rename itself durable
+            os.write(fd, content.encode())
+            os.fsync(fd)  # the commit point — pointer durable
         finally:
-            os.close(dfd)
-        for v in self._versions()[: -self.keep] if self.keep else []:
+            os.close(fd)
+        _fsync_dir(self.path)
+        return target
+
+    def _prune(self) -> None:
+        if not self.keep:
+            return
+        pointers = self._pointer_dirs()
+        for v in self._versions()[: -self.keep]:
+            # pointer first: once it is gone the data dir is unreferenced
+            # debris even if this prune dies between the two removals
+            if v in pointers:
+                try:
+                    os.remove(os.path.join(self.path, f"p{v}.json"))
+                except OSError:
+                    pass
+                shutil.rmtree(
+                    os.path.join(self.path, pointers[v]), ignore_errors=True
+                )
             shutil.rmtree(os.path.join(self.path, f"v{v}"), ignore_errors=True)
-        return df.sparkSession.read.parquet(target)
 
     def read_latest(self, spark: SparkSession) -> DataFrame:
         """Latest persisted state — the fresh-session recovery path."""
@@ -125,12 +265,12 @@ class StatePersistence:
         if latest is None:
             raise ValueError(f"no persisted state under {self.path}")
         self.version = latest
-        return spark.read.parquet(os.path.join(self.path, f"v{latest}"))
+        return spark.read.parquet(self._dir_for(latest))
 
     def read_version(self, spark: SparkSession, version: int) -> DataFrame:
         """A specific retained version (within the ``keep`` window)."""
-        target = os.path.join(self.path, f"v{version}")
-        if not (os.path.isdir(target) and self._committed(version)):
+        target = self._dir_for(version)
+        if target is None:
             raise ValueError(
                 f"version v{version} not retained under {self.path} "
                 f"(kept: {self._versions()})"

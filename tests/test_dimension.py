@@ -248,3 +248,117 @@ def test_dimension_survives_endload_and_reload(spark, tmp_path):
     )
     # the reload reflects the endloaded snapshot, not the later mutation
     assert sorted(tuple(r) for r in reloaded.df.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_durable_state_pointer_protocol_crash_matrix(spark, tmp_path):
+    """The rename-free (object-store-safe) commit: data dir + fsynced
+    manifest + one-shot checksummed pointer file. A writer killed at ANY
+    of the three windows — after the parquet write, after the manifest,
+    or mid-pointer-write (partial pointer) — leaves the PREVIOUS version
+    as the restorable latest; the next handle sweeps the unreferenced
+    data-dir debris; a completed commit is immediately visible. No
+    os.rename is involved anywhere on the pointer path."""
+    import hashlib
+    import json
+    import os
+
+    from pygrametl_spark.operators.state import StatePersistence
+
+    root = str(tmp_path / "st")
+    sp = StatePersistence(root, keep=3, protocol="pointer")
+    sp.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    want = [(1, "a")]
+    assert os.path.isfile(os.path.join(root, "p1.json"))
+    assert not any(d.startswith("v") for d in os.listdir(root))
+
+    def latest(handle_root):
+        h = StatePersistence(handle_root, keep=3, protocol="pointer")
+        return h.version, sorted(
+            tuple(r) for r in h.read_latest(spark).collect()
+        )
+
+    # crash window 1: parquet written, no manifest, no pointer
+    d1 = os.path.join(root, "o2_aaaa0001")
+    spark.createDataFrame([(9, "torn")], "id long, v string").write.mode(
+        "overwrite"
+    ).parquet(d1)
+    assert latest(root) == (1, want)
+    assert not os.path.isdir(d1)  # swept as unreferenced debris
+
+    # crash window 2: parquet + manifest written, pointer never written —
+    # the manifest alone is NOT the commit point
+    d2 = os.path.join(root, "o2_aaaa0002")
+    spark.createDataFrame([(9, "torn")], "id long, v string").write.mode(
+        "overwrite"
+    ).parquet(d2)
+    with open(os.path.join(d2, "_COMMITTED"), "w") as f:
+        f.write("{}")
+    assert latest(root) == (1, want)
+    assert not os.path.isdir(d2)
+
+    # crash window 3: pointer file exists but is torn mid-write
+    # (checksum does not match) — not a commit, reader falls back to v1
+    d3 = os.path.join(root, "o2_aaaa0003")
+    spark.createDataFrame([(9, "torn")], "id long, v string").write.mode(
+        "overwrite"
+    ).parquet(d3)
+    with open(os.path.join(d3, "_COMMITTED"), "w") as f:
+        f.write("{}")
+    line = json.dumps({"version": 2, "dir": "o2_aaaa0003"}, sort_keys=True)
+    with open(os.path.join(root, "p2.json"), "w") as f:
+        f.write(line[: len(line) // 2])  # partial write, no checksum line
+    assert latest(root) == (1, want)
+
+    # the squatting torn pointer must not block the next real commit:
+    # recovery sweeps it (it is not a commit) so the create-exclusive
+    # pointer write of the real v2 succeeds
+    sp2 = StatePersistence(root, keep=3, protocol="pointer")
+    assert not os.path.exists(os.path.join(root, "p2.json"))
+    out = sp2.write(spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert sorted(tuple(r) for r in out.collect()) == [(2, "b")]
+    assert latest(root) == (2, [(2, "b")])
+
+    # a VALID complete pointer commits: verify the checksum discipline
+    # by reconstructing p2's content and comparing to what write() made
+    with open(os.path.join(root, "p2.json")) as f:
+        body, digest = f.read().rsplit("\n", 1)
+    assert hashlib.sha256(body.encode()).hexdigest() == digest.strip()
+
+    # version rotation prunes pointer + data dir together
+    sp2.write(spark.createDataFrame([(3, "c")], "id long, v string"))
+    sp2.write(spark.createDataFrame([(4, "d")], "id long, v string"))
+    sp3 = StatePersistence(root, keep=3, protocol="pointer")
+    sp3.write(spark.createDataFrame([(5, "e")], "id long, v string"))
+    names = os.listdir(root)
+    assert "p1.json" not in names and "p2.json" not in names
+    assert not any(n.startswith(("o1_", "o2_")) for n in names)
+    assert latest(root) == (5, [(5, "e")])
+
+
+def test_durable_state_protocol_interop_and_dimension_api(spark, tmp_path):
+    """A store written under one protocol is readable (and resumable)
+    under the other — the version set is the union — and the Dimension
+    facade exposes the pointer path via durable(protocol=...)."""
+    from pygrametl_spark.operators.state import StatePersistence
+
+    root = str(tmp_path / "mix")
+    a = StatePersistence(root, keep=4, protocol="rename")
+    a.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    b = StatePersistence(root, keep=4, protocol="pointer")
+    assert b.version == 1  # resumes the rename-committed history
+    b.write(spark.createDataFrame([(2, "b")], "id long, v string"))
+    c = StatePersistence(root, keep=4, protocol="rename")
+    assert c.version == 2
+    assert sorted(tuple(r) for r in c.read_latest(spark).collect()) == [(2, "b")]
+    got = sorted(tuple(r) for r in c.diff(spark).collect())
+    assert got == [("added", 2, "b"), ("removed", 1, "a")]
+
+    d = Dimension(
+        "ptr_dim", "id", ["name"], lookupatts=["name"],
+        df=spark.createDataFrame([(1, "a")], "id long, name string"),
+    ).durable(str(tmp_path / "ptr_dim"), protocol="pointer")
+    d.ensure(spark.createDataFrame([("b",)], ["name"]))
+    d2 = Dimension("ptr_dim", "id", ["name"], lookupatts=["name"]).restore(
+        spark, str(tmp_path / "ptr_dim")
+    )
+    assert d2.df.count() == 2
