@@ -145,6 +145,28 @@ def main() -> None:
             ),
         )
 
+    # the production IVF-PQ configuration hunt (VERDICT r4 next-round
+    # #3): k=16 codebooks cap the composed chain at 0.57 — the ADC
+    # shortlist misses true neighbors that the exact pass then cannot
+    # recover. k=64 codebooks (same 8 B/vector payload) raised flat PQ
+    # +rerank100 to 0.80; composed with IVF the pruning ceiling is
+    # ivf16_np{nprobe} (0.854 at np8), so the curve below sweeps nprobe
+    # x rerank depth to find the >=0.8 point.
+    idx64 = os.path.join(
+        tempfile.gettempdir(), "pygrametl_spark_recall_ivfpq64"
+    )
+    sim.ivfpq_write_index(
+        emb, idx64, n_clusters=16, m=8, k=64, iters=3, books=books64,
+        store_raw=True,
+    )
+    for nprobe, rr in [(8, 100), (8, 200), (12, 100), (12, 200)]:
+        run(
+            f"ivfpq16_np{nprobe}_k64_rerank{rr}",
+            lambda np_=nprobe, r_=rr: sim.ivfpq_topk(
+                spark, idx64, queries, nprobe=np_, k=k, rerank=r_
+            ),
+        )
+
     out = {
         "sf_dir": sf_dir, "corpus": n_corpus, "n_queries": n_q, "k": k,
         "exact_secs": t_exact, "tiers": results,
