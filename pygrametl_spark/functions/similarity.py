@@ -1371,7 +1371,14 @@ def ivfpq_topk(
     :func:`pq_topk_rerank` (the score IS the exact cosine, so it is
     named that; the ADC-only path keeps ``adc_score``). This is the
     recall fix for PQ-hostile distributions at the cost of reading
-    ≤ R raw vectors per query (RECALL.json / PERF.md "ANN recall").
+    ≤ R raw vectors per query.
+
+    Measured production configuration (RECALL.json, sf0.1, recall@10):
+    16 clusters with k=64 codebooks, nprobe=8 + rerank=200 → **0.806**;
+    nprobe=12 + rerank=200 → **0.880** (vs 0.572 for the r4 k=16
+    chain). Codebook resolution and shortlist depth are the levers;
+    probe width buys the last decade. Floor-pinned in
+    tests/test_datatools.py::test_pq_rerank_and_multiprobe_quality.
     """
     import json
 
