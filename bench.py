@@ -32,6 +32,14 @@ def main() -> None:
     from pygrametl_spark.session import get_spark
 
     headline = list(QUERIES)  # the full 50-entry registry, driver order
+    # SPARK_GRAFT_BENCH_ONLY=name1,name2 — subset sweep for targeted
+    # confirmation runs (e.g. 3 sweeps of one noisy entry). Subset runs
+    # are diagnostics: they still print the compact line but their
+    # basket is partial, so never record one as an official round bench.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        headline = [n for n in headline if n in names]
     # Randomized-order confirmation sweep (position-effect triage): with
     # SPARK_GRAFT_BENCH_ORDER=random, queries run in a seeded shuffle
     # (SPARK_GRAFT_BENCH_SEED, default 0) — a per-query median that moves
@@ -204,7 +212,8 @@ def main() -> None:
     # totals + basket + 2-dp per-query medians, no spreads — and is
     # printed LAST so a bounded tail always contains it whole.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo_dir, "BENCH_FULL.json"), "w") as fh:
+    artifact = "BENCH_SUBSET.json" if only else "BENCH_FULL.json"
+    with open(os.path.join(repo_dir, artifact), "w") as fh:
         json.dump(full, fh, indent=1)
     compact = {
         "metric": "headline_queries_total",
@@ -213,7 +222,7 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "basket": basket,
         "sf": full["sf"],
-        "full": "BENCH_FULL.json",
+        "full": artifact,
     }
     if errors:
         compact["errors"] = {k: v[:80] for k, v in errors.items()}
