@@ -1299,6 +1299,7 @@ def ivfpq_write_index(
     iters: int = 2,
     books: "list[list[list[float]]] | None" = None,
     store_raw: bool = False,
+    residual: bool = False,
 ) -> "list[list[list[float]]]":
     """Persist an IVF-PQ index — the canonical two-level ANN layout
     (FAISS ``IVFx,PQm``): vectors are routed to their coarse cluster
@@ -1317,19 +1318,47 @@ def ivfpq_write_index(
     re-score from only the probed raw partitions (FAISS
     ``IVFx,PQm,Refine``). The raw store is the 4*D-byte tier you keep
     on cheap storage and touch only for the shortlist.
+
+    ``residual=True`` encodes RESIDUALS ``x - centroid(x)`` instead of
+    raw vectors — the actual FAISS IVFADC formulation (Jégou et al.
+    2011 §IV-A): codebooks quantize within-cell displacements, whose
+    dynamic range shrinks with cluster quality, so the same m bytes
+    carry more signal wherever the corpus has coarse structure. Probe
+    reconstruction ``x ≈ c + decode(code)`` stays fully in-row
+    (:func:`ivfpq_topk` adds the per-(cluster, code) cross terms from
+    a broadcast table; the plan shape is unchanged). The codebooks
+    sidecar records the flag so probes and appends self-configure.
+
+    The default stays ``False``, a measured decision: on a CLUSTERED
+    corpus residual beats raw encoding +0.21 recall@10 at identical
+    config (test_ivfpq_residual_encoding), but on the near-isotropic
+    synthetic corpus it is strictly worse (RECALL.json
+    ivfpq16_np8_residual 0.082 vs 0.182 raw) — with no coarse structure
+    the centroid subtraction only adds noise for the codebooks to
+    absorb. Choose per corpus; the exactness invariant (all clusters
+    probed + full rerank ≡ brute force) holds for both. ``books``
+    passed in must match the formulation (residual-trained for
+    ``residual=True``).
     """
     import json
     import os
 
     cent = centroids if centroids is not None else _centroids(df, id_col, vec_col, n_clusters)
+    assigned = ivf_assign(df, id_col=id_col, vec_col=vec_col, centroids=cent)
+    enc_col = vec_col
+    if residual:
+        assigned = _residualize(assigned, cent, vec_col)
+        enc_col = "_res"
     if books is None:
-        books = pq_train(df, id_col=id_col, vec_col=vec_col, m=m, k=k, iters=iters)
+        books = pq_train(
+            assigned if residual else df,
+            id_col=id_col, vec_col=enc_col, m=m, k=k, iters=iters,
+        )
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
     d = len(books[0][0])
-    assigned = ivf_assign(df, id_col=id_col, vec_col=vec_col, centroids=cent)
     coded = assigned.select(
         id_col, "cluster",
-        _pq_assign_codes(vec_col, _pq3_lit(books), len(books), d).alias("codes"),
+        _pq_assign_codes(enc_col, _pq3_lit(books), len(books), d).alias("codes"),
     )
     coded.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/codes")
     if store_raw:
@@ -1338,8 +1367,60 @@ def ivfpq_write_index(
         ).partitionBy("cluster").parquet(f"{path}/raw")
     os.makedirs(path, exist_ok=True)
     with open(f"{path}/codebooks.json", "w") as fh:
-        json.dump(books, fh)
+        json.dump({"books": books, "residual": True} if residual else books, fh)
     return books
+
+
+def _residualize(assigned: DataFrame, cent: DataFrame, vec_col: str) -> DataFrame:
+    """Add ``_res = round(x - centroid(cluster), 6)`` to an
+    :func:`ivf_assign` output — one broadcast join against the tiny
+    centroid relation plus an in-row zip_with; no corpus shuffle."""
+    c = cent.select(F.col("_cid").alias("cluster"), F.col("_cent").alias("_rc"))
+    return (
+        assigned.join(F.broadcast(c), "cluster")
+        .withColumn(
+            "_res",
+            F.zip_with(
+                F.col(vec_col), F.col("_rc"),
+                lambda x, y: F.round(x.cast("double") - y.cast("double"), 6),
+            ),
+        )
+        .drop("_rc")
+    )
+
+
+def _ccd_map_lit(cent: DataFrame, books, d: int) -> Column:
+    """``map<bigint, array<array<double>>>``: cluster id →
+    ``dot(centroid_sub, book[sub][code])`` per (sub, code) — the
+    residual-reconstruction cross terms, collected once from the tiny
+    centroid relation (n_clusters rows) and parsed as one literal
+    (n_clusters × m × k doubles; 16×8×64 ≈ 8k tokens, milliseconds)."""
+    rows = cent.select("_cid", "_cent").collect()
+    m = len(books)
+    entries = []
+    for r in rows:
+        cv = [float(x) for x in r["_cent"]]
+        mat = "array(" + ",".join(
+            "array(" + ",".join(
+                _dlit(sum(cv[i * d + j] * books[i][c][j] for j in range(d)))
+                for c in range(len(books[i]))
+            ) + ")"
+            for i in range(m)
+        ) + ")"
+        entries.append(f"{int(r['_cid'])}L, {mat}")
+    return F.expr("map(" + ",".join(entries) + ")")
+
+
+def _load_books_meta(path: str):
+    """(books, residual_flag) from the codebooks sidecar — legacy
+    indexes stored the bare books list; residual indexes a dict."""
+    import json
+
+    with open(f"{path}/codebooks.json") as fh:
+        meta = json.load(fh)
+    if isinstance(meta, dict):
+        return meta["books"], bool(meta.get("residual"))
+    return meta, False
 
 
 def ivfpq_topk(
@@ -1380,10 +1461,7 @@ def ivfpq_topk(
     probe width buys the last decade. Floor-pinned in
     tests/test_datatools.py::test_pq_rerank_and_multiprobe_quality.
     """
-    import json
-
-    with open(f"{path}/codebooks.json") as fh:
-        books = json.load(fh)
+    books, residual = _load_books_meta(path)
     cent = spark.read.parquet(f"{path}/centroids")
     codes = spark.read.parquet(f"{path}/codes")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
@@ -1399,10 +1477,18 @@ def ivfpq_topk(
         ),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
+    probe_cols = ["query_id", "_qv", F.col("_cid").alias("cluster")]
+    if residual:
+        # residual reconstruction needs dot(q, c) and |c|² per probed
+        # pair — both free here where the centroid is already in-row
+        probe_cols += [
+            _dot_cols(F.col("_qv"), F.col("_cent")).alias("_qdotc"),
+            (F.col("_cnorm") * F.col("_cnorm")).alias("_cnsq"),
+        ]
     probes = (
         qc.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "_qv", F.col("_cid").alias("cluster"))
+        .select(*probe_cols)
     )
     cand = codes.join(F.broadcast(probes), "cluster").filter(
         F.col(id_col) != F.col("query_id")
@@ -1428,11 +1514,44 @@ def ivfpq_topk(
         )
 
     adc_dot = sum([sub_dot(i) for i in range(m)], F.lit(0.0).cast("double"))
-    rec_n = F.sqrt(sum([sub_csq(i) for i in range(m)], F.lit(0.0).cast("double")))
+    csq_sum = sum([sub_csq(i) for i in range(m)], F.lit(0.0).cast("double"))
     qn = F.sqrt(_dot_cols(F.col("_qv"), F.col("_qv")))
-    scored = cand.withColumn(
-        "adc_score", F.round(adc_dot / F.nullif(qn * rec_n, F.lit(0.0)), 6)
-    )
+    if residual:
+        # x ≈ c + decode(code):  dot(q,x) = dot(q,c) + dot(q,decode)
+        # and |x|² = |c|² + 2·dot(c,decode) + |decode|². The cross term
+        # dot(c, decode) is a pure (cluster, sub, code) constant —
+        # precomputed driver-side into one parsed map literal (tiny:
+        # n_clusters × m × k doubles), so scoring stays in-row.
+        ccd_map = _ccd_map_lit(cent, books, d)
+        ccd_sum = sum(
+            [
+                F.element_at(
+                    F.element_at(
+                        F.element_at(ccd_map, F.col("cluster")), i + 1
+                    ),
+                    F.element_at("codes", i + 1).cast("int") + 1,
+                )
+                for i in range(m)
+            ],
+            F.lit(0.0).cast("double"),
+        )
+        rec_n = F.sqrt(
+            F.greatest(
+                F.col("_cnsq") + F.lit(2.0) * ccd_sum + csq_sum, F.lit(0.0)
+            )
+        )
+        scored = cand.withColumn(
+            "adc_score",
+            F.round(
+                (F.col("_qdotc") + adc_dot) / F.nullif(qn * rec_n, F.lit(0.0)),
+                6,
+            ),
+        )
+    else:
+        rec_n = F.sqrt(csq_sum)
+        scored = cand.withColumn(
+            "adc_score", F.round(adc_dot / F.nullif(qn * rec_n, F.lit(0.0)), 6)
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc_nulls_last(), F.col(id_col).asc()
     )
@@ -1498,18 +1617,20 @@ def ivfpq_append_index(
     shortlist but silently vanish from ``rerank=`` results (the exact
     pass inner-joins the raw tier).
     """
-    import json
     import os
 
     spark = df.sparkSession
-    with open(f"{path}/codebooks.json") as fh:
-        books = json.load(fh)
+    books, residual = _load_books_meta(path)
     cent = spark.read.parquet(f"{path}/centroids")
     d = len(books[0][0])
     assigned = ivf_assign(df, id_col=id_col, vec_col=vec_col, centroids=cent)
+    enc_col = vec_col
+    if residual:  # encode with the index's own formulation
+        assigned = _residualize(assigned, cent, vec_col)
+        enc_col = "_res"
     coded = assigned.select(
         id_col, "cluster",
-        _pq_assign_codes(vec_col, _pq3_lit(books), len(books), d).alias("codes"),
+        _pq_assign_codes(enc_col, _pq3_lit(books), len(books), d).alias("codes"),
     )
     coded.write.mode("append").partitionBy("cluster").parquet(f"{path}/codes")
     if os.path.isdir(f"{path}/raw"):

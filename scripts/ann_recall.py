@@ -167,6 +167,22 @@ def main() -> None:
             ),
         )
 
+    # residual encoding (FAISS IVFADC): expected to LOSE on this
+    # near-isotropic corpus (no coarse structure for residuals to
+    # shrink — the win case is clustered corpora, see
+    # test_ivfpq_residual_encoding: +0.21 there); measured here so the
+    # default (residual=False) is a recorded decision, not a guess.
+    idxres = os.path.join(
+        tempfile.gettempdir(), "pygrametl_spark_recall_ivfpq_res"
+    )
+    sim.ivfpq_write_index(
+        emb, idxres, n_clusters=16, m=8, k=16, iters=2, residual=True,
+    )
+    run(
+        "ivfpq16_np8_residual",
+        lambda: sim.ivfpq_topk(spark, idxres, queries, nprobe=8, k=k),
+    )
+
     out = {
         "sf_dir": sf_dir, "corpus": n_corpus, "n_queries": n_q, "k": k,
         "exact_secs": t_exact, "tiers": results,

@@ -2284,3 +2284,92 @@ def test_pq_rerank_and_multiprobe_quality(spark, tmp_path):
         sim.ivfpq_topk(spark, idx, queries, nprobe=6, k=k, rerank=100)))
     assert r_prod >= 0.85, r_prod
     assert r_prod > r_k16_same, (r_prod, r_k16_same)
+
+
+def test_ivfpq_residual_encoding(spark, tmp_path):
+    """residual=True (FAISS IVFADC, Jégou et al. 2011 §IV-A): codes
+    quantize x - centroid(x). (a) On a corpus WITH coarse structure
+    (well-separated centers + small displacements) residual encoding
+    beats raw encoding at identical config by a wide margin — raw
+    codebooks waste codewords spanning center offsets, residual ones
+    only span the displacement ball (measured 0.633 vs 0.423
+    recall@10). (b) The in-row reconstruction algebra is exact: all
+    clusters probed + full rerank ≡ brute force. (c) Appends
+    self-configure from the sidecar and encode residuals with the
+    stored centroids: append-then-probe == rebuild-then-probe."""
+    import hashlib
+
+    from pygrametl_spark.functions import similarity as sim
+
+    def h(s, lo, hi):
+        v = int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 0xFFFFFFFF
+        return lo + (hi - lo) * v
+
+    D, C, N = 32, 6, 360
+    centers = [[h(f"c{c}_{j}", -5, 5) for j in range(D)] for c in range(C)]
+    rows = [
+        (
+            i,
+            [
+                round(centers[i % C][j] + h(f"d{i}_{j}", -0.35, 0.35), 6)
+                for j in range(D)
+            ],
+        )
+        for i in range(N)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id < 30")
+    k = 10
+
+    def sets(d):
+        out = {}
+        for r in d.select("query_id", "neighbor_id").collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = sim.cosine_topk(df, queries, k=k)
+    truth = sets(exact)
+
+    def recall(a):
+        return sum(
+            len(a.get(q, set()) & t) / len(t) for q, t in truth.items()
+        ) / len(truth)
+
+    cent = sim.kmeans_refine(df, n_clusters=6, iters=3)
+    ir, iv = str(tmp_path / "res"), str(tmp_path / "raw")
+    sim.ivfpq_write_index(
+        df, ir, n_clusters=6, centroids=cent, m=8, k=16, iters=2,
+        residual=True, store_raw=True,
+    )
+    sim.ivfpq_write_index(
+        df, iv, n_clusters=6, centroids=cent, m=8, k=16, iters=2,
+    )
+    r_res = recall(sets(sim.ivfpq_topk(spark, ir, queries, nprobe=2, k=k)))
+    r_raw = recall(sets(sim.ivfpq_topk(spark, iv, queries, nprobe=2, k=k)))
+    assert r_res >= r_raw + 0.15, (r_res, r_raw)
+    assert r_res >= 0.60, r_res
+
+    # (b) pruning off + full rerank: the residual reconstruction terms
+    # (qdotc, |c|², cross-term map) must cancel to exact brute force
+    allp = sim.ivfpq_topk(spark, ir, queries, nprobe=6, k=k, rerank=N)
+    assert sorted(map(tuple, allp.collect())) == sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in exact.collect()
+    )
+
+    # (c) append encodes with the index's own residual formulation
+    old = df.filter("vec_id % 3 != 0")
+    new = df.filter("vec_id % 3 = 0")
+    inc = str(tmp_path / "inc")
+    books = sim.ivfpq_write_index(
+        old, inc, centroids=cent, m=8, k=16, iters=2, residual=True,
+    )
+    sim.ivfpq_append_index(new, inc)
+    full = str(tmp_path / "full")
+    sim.ivfpq_write_index(
+        df, full, centroids=cent, books=books, residual=True,
+    )
+    q2 = df.filter("vec_id IN (1, 14)")
+    got = {tuple(r) for r in sim.ivfpq_topk(spark, inc, q2, nprobe=3, k=4).collect()}
+    want = {tuple(r) for r in sim.ivfpq_topk(spark, full, q2, nprobe=3, k=4).collect()}
+    assert got == want
