@@ -1461,9 +1461,18 @@ def ivfpq_topk(
     probe width buys the last decade. Floor-pinned in
     tests/test_datatools.py::test_pq_rerank_and_multiprobe_quality.
     """
+    import os as _os
+
     books, residual = _load_books_meta(path)
     cent = spark.read.parquet(f"{path}/centroids")
     codes = spark.read.parquet(f"{path}/codes")
+    if _os.path.isdir(f"{path}/codes_stream"):
+        # streaming-maintained tier (streaming/ann.py): batch-id-
+        # versioned partitions under the same cluster keys — probes see
+        # base ∪ streamed, and cluster pruning applies to both tiers
+        codes = codes.unionByName(
+            spark.read.parquet(f"{path}/codes_stream").drop("_bid")
+        )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     qc = q.crossJoin(F.broadcast(cent)).withColumn(
         "_cos",
@@ -1569,8 +1578,6 @@ def ivfpq_topk(
         .filter(F.col("rank") <= rerank)
         .select("query_id", "_qv", "cluster", F.col(id_col).alias("neighbor_id"))
     )
-    import os as _os
-
     if not _os.path.isdir(f"{path}/raw"):
         raise ValueError(
             f"ivfpq_topk(rerank={rerank}) needs the raw vector tier at "
@@ -1578,6 +1585,10 @@ def ivfpq_topk(
             "ivfpq_write_index(..., store_raw=True)"
         )
     raw = spark.read.parquet(f"{path}/raw")
+    if _os.path.isdir(f"{path}/raw_stream"):
+        raw = raw.unionByName(
+            spark.read.parquet(f"{path}/raw_stream").drop("_bid")
+        )
     exact = raw.select(
         "cluster", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ).join(F.broadcast(short), ["cluster", "neighbor_id"])

@@ -1,0 +1,168 @@
+"""Streaming IVF-PQ index maintenance: continuous embedding ingest into
+a persisted ANN index with EXACTLY-ONCE batch effects.
+
+The production shape: quantizers (coarse centroids + PQ codebooks) are
+trained offline on a base corpus and frozen
+(:func:`~pygrametl_spark.functions.similarity.ivfpq_write_index`);
+new embeddings arrive as a stream and must become searchable without
+rewriting the index. ``foreachBatch`` effects are AT-LEAST-ONCE — a
+crash after the write but before the checkpoint commit replays the
+batch, and a plain ``mode("append")`` would then DUPLICATE every vector
+of that batch in the index (duplicate candidates, corrupted top-k).
+
+The exactly-once mechanism here is the Delta/Iceberg txn-version guard
+rebuilt on plain parquet partitions: each micro-batch writes its codes
+under ``codes_stream/`` partitioned by ``(cluster, _bid)`` with DYNAMIC
+partition overwrite, so a replay of batch N overwrites exactly batch
+N's own ``_bid=N`` partitions and nothing else — idempotent by
+construction, no read-before-write, no global lock. Probes
+(:func:`~pygrametl_spark.functions.similarity.ivfpq_topk`) read the
+base ``codes/`` unioned with ``codes_stream/``; cluster partition
+pruning applies to both tiers, and the extra ``_bid`` directory level
+only sub-partitions the pruned directories. ``raw_stream/`` mirrors the
+``raw/`` re-rank tier the same way when the base index stores it.
+
+Crash/replay pinned by tests/test_streaming_recovery.py; stream-vs-
+one-shot-rebuild equality by tests/test_datatools.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pygrametl_spark.streaming.scratch import scratch_dir, scratch_path
+
+__all__ = ["ivfpq_upsert_fn", "stream_ivfpq_maintain"]
+
+
+def ivfpq_upsert_fn(path: str):
+    """The ``foreachBatch`` body: encode a micro-batch of
+    ``(vec_id, embedding)`` rows with the index's OWN frozen quantizers
+    (read from the sidecars — residual indexes residualize, exactly as
+    :func:`ivfpq_append_index` does) and commit it as the batch's own
+    ``(cluster, _bid)`` partitions. Replay-safe: dynamic partition
+    overwrite makes re-running batch N a byte-level no-op-equivalent.
+    """
+    from pygrametl_spark.functions.similarity import (
+        _load_books_meta, _pq3_lit, _pq_assign_codes, _residualize,
+        ivf_assign,
+    )
+
+    def upsert(bdf: DataFrame, bid: int) -> None:
+        spark = bdf.sparkSession
+        books, residual = _load_books_meta(path)
+        cent = spark.read.parquet(f"{path}/centroids")
+        d = len(books[0][0])
+        assigned = ivf_assign(bdf, centroids=cent)
+        enc_col = "embedding"
+        if residual:
+            assigned = _residualize(assigned, cent, "embedding")
+            enc_col = "_res"
+        coded = assigned.select(
+            "vec_id", "cluster",
+            _pq_assign_codes(enc_col, _pq3_lit(books), len(books), d).alias(
+                "codes"
+            ),
+            F.lit(int(bid)).alias("_bid"),
+        )
+        (
+            coded.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cluster", "_bid")
+            .parquet(f"{path}/codes_stream")
+        )
+        if os.path.isdir(f"{path}/raw"):
+            (
+                assigned.select(
+                    "vec_id", "cluster", "embedding",
+                    F.lit(int(bid)).alias("_bid"),
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cluster", "_bid")
+                .parquet(f"{path}/raw_stream")
+            )
+
+    return upsert
+
+
+def stream_ivfpq_maintain(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_files: int = 2,
+    n_clusters: int = 8,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    store_raw: bool = True,
+    index_path: str | None = None,
+) -> str:
+    """Harness entry: split the embeddings table into a BASE half (the
+    offline corpus the quantizers are trained on, written as a normal
+    IVF-PQ index) and a streamed half arriving as ``n_files``
+    micro-batches upserted through :func:`ivfpq_upsert_fn`. Returns the
+    index path; probe it with ``ivfpq_topk`` — results are identical to
+    a one-shot index over the full corpus built with the same quantizers
+    (test-pinned), because encoding is deterministic given frozen
+    centroids/codebooks and the union read order cannot affect a
+    rank-by-score-and-id result."""
+    import uuid
+
+    from pygrametl_spark.catalog import load_catalog
+    from pygrametl_spark.functions.similarity import ivfpq_write_index
+
+    emb = load_catalog(spark, sf_dir).embeddings
+    mid = emb.select(
+        F.percentile_approx("vec_id", 0.5, 10000).alias("m")
+    ).first()["m"]
+    base, incoming = emb.filter(F.col("vec_id") <= mid), emb.filter(
+        F.col("vec_id") > mid
+    )
+    path = index_path or scratch_path(f"ivfpq_stream_{uuid.uuid4().hex[:8]}")
+    ivfpq_write_index(
+        base, path, n_clusters=n_clusters, m=m, k=k, iters=iters,
+        store_raw=store_raw,
+    )
+
+    stage = scratch_path(
+        f"annslice_{abs(hash((sf_dir, n_files))) % 10**8}"
+    )
+    if not os.path.isdir(stage) or len(os.listdir(stage)) != n_files:
+        bounds = incoming.select(
+            F.percentile_approx(
+                "vec_id", [i / n_files for i in range(1, n_files)], 10000
+            ).alias("b")
+        ).first()["b"]
+        cuts = [None, *bounds, None]
+        os.makedirs(stage, exist_ok=True)
+        for i in range(n_files):
+            sl = incoming
+            if cuts[i] is not None:
+                sl = sl.filter(F.col("vec_id") >= cuts[i])
+            if cuts[i + 1] is not None:
+                sl = sl.filter(F.col("vec_id") < cuts[i + 1])
+            sl.coalesce(1).write.mode("overwrite").parquet(f"{stage}/part{i}")
+        for i in range(n_files):  # mtime order = processing order
+            for f in os.listdir(f"{stage}/part{i}"):
+                os.utime(
+                    f"{stage}/part{i}/{f}",
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+
+    files = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/part*")
+    )
+    q = (
+        files.writeStream.foreachBatch(ivfpq_upsert_fn(path))
+        .option("checkpointLocation", scratch_dir("ivfpq_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return path

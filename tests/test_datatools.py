@@ -2373,3 +2373,29 @@ def test_ivfpq_residual_encoding(spark, tmp_path):
     got = {tuple(r) for r in sim.ivfpq_topk(spark, inc, q2, nprobe=3, k=4).collect()}
     want = {tuple(r) for r in sim.ivfpq_topk(spark, full, q2, nprobe=3, k=4).collect()}
     assert got == want
+
+
+def test_stream_ivfpq_maintain_harness(spark):
+    """The streaming-maintenance harness entry: base half indexed
+    offline, incoming half drained through the exactly-once upsert;
+    the returned index has both tiers and a probe covering base AND
+    streamed ids (full recovery semantics in
+    test_streaming_recovery.py::test_ivfpq_stream_recovery_exactly_once)."""
+    import os
+
+    from pygrametl_spark.catalog import load_catalog
+    from pygrametl_spark.functions import similarity as sim
+    from pygrametl_spark.streaming.ann import stream_ivfpq_maintain
+
+    path = stream_ivfpq_maintain(
+        spark, "/root/testdata/sf0.001", n_files=2, n_clusters=4,
+    )
+    assert os.path.isdir(f"{path}/codes") and os.path.isdir(f"{path}/codes_stream")
+    emb = load_catalog(spark, "/root/testdata/sf0.001").embeddings
+    queries = emb.filter("vec_id IN (1, 400)")
+    hits = sim.ivfpq_topk(spark, path, queries, nprobe=4, k=5, rerank=20)
+    rows = hits.collect()
+    assert {r["query_id"] for r in rows} == {1, 400}
+    n = emb.count()
+    mid_plus = {r["neighbor_id"] for r in rows if r["neighbor_id"] > n // 2}
+    assert mid_plus, "streamed (upper-half) vectors must be retrievable"

@@ -348,3 +348,89 @@ def test_minhash_stream_recovery_equals_batch_twin(spark, tmp_path):
         if r["doc_id"] not in dropped
     )
     assert got == want and len(got) > 0
+
+
+def test_ivfpq_stream_recovery_exactly_once(spark, tmp_path):
+    """Streaming ANN index maintenance (streaming/ann.py): batch 1's
+    (cluster, _bid) partitions are committed, then the job dies before
+    the checkpoint commit and the restart REPLAYS batch 1. Dynamic
+    partition overwrite makes the replay rewrite exactly its own
+    ``_bid=1`` partitions — so (a) no vector is duplicated in the
+    streamed tier, and (b) probing the maintained index (ADC and the
+    rerank tier) equals a one-shot rebuild over the full corpus with
+    the SAME frozen quantizers."""
+    from pygrametl_spark.catalog import load_catalog
+    from pygrametl_spark.functions import similarity as sim
+    from pygrametl_spark.functions.similarity import _load_books_meta
+    from pygrametl_spark.streaming.ann import ivfpq_upsert_fn
+
+    emb = load_catalog(spark, SF).embeddings
+    mid = emb.select(F.percentile_approx("vec_id", 0.5, 10000).alias("m")).first()["m"]
+    base = emb.filter(F.col("vec_id") <= mid)
+    incoming = emb.filter(F.col("vec_id") > mid)
+
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(base, path, n_clusters=4, m=8, k=16, iters=2, store_raw=True)
+
+    # stage the incoming half as 3 vec_id-ordered micro-batch files
+    stage = str(tmp_path / "slices")
+    bounds = incoming.select(
+        F.percentile_approx("vec_id", [1 / 3, 2 / 3], 10000).alias("b")
+    ).first()["b"]
+    cuts = [None, *bounds, None]
+    os.makedirs(stage)
+    for i in range(3):
+        sl = incoming
+        if cuts[i] is not None:
+            sl = sl.filter(F.col("vec_id") >= cuts[i])
+        if cuts[i + 1] is not None:
+            sl = sl.filter(F.col("vec_id") < cuts[i + 1])
+        sl.coalesce(1).write.mode("overwrite").parquet(f"{stage}/part{i}")
+    for i in range(3):
+        for f in os.listdir(f"{stage}/part{i}"):
+            os.utime(f"{stage}/part{i}/{f}", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    inner = ivfpq_upsert_fn(path)
+
+    def make_upsert(fail_on_batch=None):
+        state = {"tripped": False}
+
+        def upsert(bdf, bid):
+            inner(bdf, bid)  # external effect lands first
+            if fail_on_batch == bid and not state["tripped"]:
+                state["tripped"] = True
+                raise RuntimeError("injected crash after partition commit")
+
+        return upsert
+
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="injected crash"):
+        _run_stream(spark, stage, incoming.schema, make_upsert(fail_on_batch=1), ckpt)
+    _run_stream(spark, stage, incoming.schema, make_upsert(), ckpt)
+
+    # (a) exactly-once: every streamed vector appears exactly once
+    streamed = spark.read.parquet(f"{path}/codes_stream")
+    n_in = incoming.count()
+    assert streamed.count() == n_in
+    assert streamed.select("vec_id").distinct().count() == n_in
+    raw_stream = spark.read.parquet(f"{path}/raw_stream")
+    assert raw_stream.count() == n_in
+
+    # (b) probe == one-shot rebuild with the same frozen quantizers
+    books, _ = _load_books_meta(path)
+    cent = spark.read.parquet(f"{path}/centroids")
+    full = str(tmp_path / "full")
+    sim.ivfpq_write_index(emb, full, centroids=cent, books=books, store_raw=True)
+    queries = emb.filter("vec_id IN (1, 7, 23)")
+    got = {tuple(r) for r in sim.ivfpq_topk(spark, path, queries, nprobe=2, k=5).collect()}
+    want = {tuple(r) for r in sim.ivfpq_topk(spark, full, queries, nprobe=2, k=5).collect()}
+    assert got == want and got
+    got_rr = {tuple(r) for r in sim.ivfpq_topk(
+        spark, path, queries, nprobe=4, k=5, rerank=20).collect()}
+    want_rr = {tuple(r) for r in sim.ivfpq_topk(
+        spark, full, queries, nprobe=4, k=5, rerank=20).collect()}
+    assert got_rr == want_rr and got_rr
+    # streamed vectors are actually retrievable through the maintained index
+    streamed_ids = {r["vec_id"] for r in incoming.select("vec_id").collect()}
+    hit_ids = {r[2] for r in got | got_rr}
+    assert hit_ids & streamed_ids
