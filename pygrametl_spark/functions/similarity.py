@@ -1465,14 +1465,6 @@ def ivfpq_topk(
 
     books, residual = _load_books_meta(path)
     cent = spark.read.parquet(f"{path}/centroids")
-    codes = spark.read.parquet(f"{path}/codes")
-    if _os.path.isdir(f"{path}/codes_stream"):
-        # streaming-maintained tier (streaming/ann.py): batch-id-
-        # versioned partitions under the same cluster keys — probes see
-        # base ∪ streamed, and cluster pruning applies to both tiers
-        codes = codes.unionByName(
-            spark.read.parquet(f"{path}/codes_stream").drop("_bid")
-        )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     qc = q.crossJoin(F.broadcast(cent)).withColumn(
         "_cos",
@@ -1499,9 +1491,24 @@ def ivfpq_topk(
         .filter(F.col("_rn") <= nprobe)
         .select(*probe_cols)
     )
-    cand = codes.join(F.broadcast(probes), "cluster").filter(
-        F.col(id_col) != F.col("query_id")
-    )
+    def _cand(tier: DataFrame) -> DataFrame:
+        return tier.join(F.broadcast(probes), "cluster").filter(
+            F.col(id_col) != F.col("query_id")
+        )
+
+    # streaming-maintained tier (streaming/ann.py): batch-id-versioned
+    # partitions under the same cluster keys. Each tier is joined with
+    # the broadcast probe relation BEFORE the union — dynamic partition
+    # pruning attaches per scan, and a union of scans defeats it
+    # (verified on the executed plan: union-then-join loses the
+    # dynamicpruning PartitionFilters on BOTH sides; join-then-union
+    # keeps one per tier), so the pruned-directory-skip property the
+    # index exists for survives streamed appends.
+    cand = _cand(spark.read.parquet(f"{path}/codes"))
+    if _os.path.isdir(f"{path}/codes_stream"):
+        cand = cand.unionByName(
+            _cand(spark.read.parquet(f"{path}/codes_stream").drop("_bid"))
+        )
     m = len(books)
     d = len(books[0][0])
     lit = _pq3_lit(books)
@@ -1584,14 +1591,18 @@ def ivfpq_topk(
             f"{path}/raw — write the index with "
             "ivfpq_write_index(..., store_raw=True)"
         )
-    raw = spark.read.parquet(f"{path}/raw")
+    def _exact(tier: DataFrame) -> DataFrame:
+        # join-then-union, same DPP rationale as the codes tiers above
+        return tier.select(
+            "cluster", F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+        ).join(F.broadcast(short), ["cluster", "neighbor_id"])
+
+    exact = _exact(spark.read.parquet(f"{path}/raw"))
     if _os.path.isdir(f"{path}/raw_stream"):
-        raw = raw.unionByName(
-            spark.read.parquet(f"{path}/raw_stream").drop("_bid")
+        exact = exact.unionByName(
+            _exact(spark.read.parquet(f"{path}/raw_stream").drop("_bid"))
         )
-    exact = raw.select(
-        "cluster", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    ).join(F.broadcast(short), ["cluster", "neighbor_id"])
     exact = exact.withColumn("cosine", F.round(cosine_expr("_qv", "_cv"), 6))
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()

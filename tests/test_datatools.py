@@ -2399,3 +2399,12 @@ def test_stream_ivfpq_maintain_harness(spark):
     n = emb.count()
     mid_plus = {r["neighbor_id"] for r in rows if r["neighbor_id"] > n // 2}
     assert mid_plus, "streamed (upper-half) vectors must be retrievable"
+    # the directory-skip property must survive streamed appends: each
+    # tier joins the broadcast probes BEFORE the union, so dynamic
+    # partition pruning attaches per scan (union-then-join loses it on
+    # BOTH scans — verified on executed plans, r5)
+    plan = (
+        sim.ivfpq_topk(spark, path, queries, nprobe=2, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "dynamicpruning" in plan, "union read defeated partition pruning"
