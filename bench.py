@@ -186,7 +186,15 @@ def main() -> None:
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    basket = round(sum(timings[b] for b in BASKET if b in timings), 3)
+    # a partial basket sum recorded as the host-speed index would skew
+    # the cross-round drift normalization it exists for — if ANY basket
+    # entry failed (landed in errors) or was excluded by a subset run,
+    # emit null plus an explicit basket_complete flag instead
+    basket_missing = [b for b in BASKET if b not in timings]
+    basket = (
+        None if basket_missing
+        else round(sum(timings[b] for b in BASKET), 3)
+    )
     full = {
         "metric": "headline_queries_total",
         "value": total,
@@ -201,6 +209,7 @@ def main() -> None:
         # a move that survives basket normalization is a real plan/
         # workload change, not machine drift (r5; BENCH_SWEEPS_r04).
         "basket": basket,
+        "basket_complete": not basket_missing,
         "basket_entries": BASKET,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -221,6 +230,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "basket": basket,
+        "basket_complete": not basket_missing,
         "sf": full["sf"],
         "full": artifact,
     }

@@ -1433,6 +1433,7 @@ def ivfpq_topk(
     nprobe: int = 3,
     k: int = 5,
     rerank: int | None = None,
+    score_col: str | None = None,
 ) -> DataFrame:
     """Probe a persisted IVF-PQ index (:func:`ivfpq_write_index`).
 
@@ -1460,6 +1461,15 @@ def ivfpq_topk(
     chain). Codebook resolution and shortlist depth are the levers;
     probe width buys the last decade. Floor-pinned in
     tests/test_datatools.py::test_pq_rerank_and_multiprobe_quality.
+
+    API trap, named: the default score column DIFFERS by path —
+    ``adc_score`` (an approximation) without rerank, ``cosine`` (exact)
+    with it — because naming an ADC approximation ``cosine`` would
+    misrepresent it to oracle comparisons. A caller that toggles
+    ``rerank`` dynamically or selects the score generically should pass
+    ``score_col="score"`` (any name): the output then uses ONE stable
+    schema across both paths, with the approximate-vs-exact semantics
+    carried by the argument instead of the column name.
     """
     import os as _os
 
@@ -1577,7 +1587,8 @@ def ivfpq_topk(
             .filter(F.col("rank") <= k)
             .select(
                 "query_id", F.col("rank").cast("long").alias("rank"),
-                F.col(id_col).alias("neighbor_id"), "adc_score",
+                F.col(id_col).alias("neighbor_id"),
+                F.col("adc_score").alias(score_col or "adc_score"),
             )
         )
     short = (
@@ -1612,7 +1623,7 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(
             "query_id", F.col("rank").cast("long").alias("rank"),
-            "neighbor_id", "cosine",
+            "neighbor_id", F.col("cosine").alias(score_col or "cosine"),
         )
     )
 

@@ -51,11 +51,19 @@ consistency needed beyond list-after-write of immutable keys.
 
 Both protocols can read a directory written by the other (the version
 set is the union), so a store can migrate by constructing its next
-handle with the other protocol. Single writer per path assumed, as in
+handle with the other protocol. Single WRITER per path assumed, as in
 the reference's one-connection load (concurrent writers race version
 numbers; the pointer protocol's create-exclusive pointer write turns
 that race into a clean failure on POSIX, the analogue of an
-if-none-match conditional PUT).
+if-none-match conditional PUT — test-pinned: the loser raises, the
+winner's commit stays the resolvable latest, and the loser's orphaned
+data directory is unreferenced debris for the next sweep). Reader
+handles are safe to construct at ANY time, including while a writer is
+mid-commit: recovery resolves committed versions only and NEVER
+deletes anything — debris from crashed writers is swept by the first
+``write()`` of the next writer handle, not at construction, so a
+reader can never rmtree a live writer's in-flight staging or
+yet-unpointered data directory.
 """
 
 from __future__ import annotations
@@ -97,14 +105,18 @@ class StatePersistence:
         self.path = path
         self.keep = keep
         self.protocol = protocol
-        self._sweep_debris()
+        self._swept = False  # sweep runs at first write(), never on read
         self.version = self._latest() or 0
 
     def _sweep_debris(self) -> None:
         """Remove debris from writers that crashed before their commit
         point — staging dirs (rename protocol) and data dirs no valid
         pointer references (pointer protocol) are invisible to recovery,
-        so this is pure hygiene. Single writer per path assumed."""
+        so this is pure hygiene. Called from ``write()`` only (writer
+        intent): a read-only recovery handle constructed while the
+        single writer is mid-commit must not rmtree the writer's
+        in-flight staging / un-pointered data dir, and recovery does not
+        need the sweep — ``_versions`` ignores debris by construction."""
         if not os.path.isdir(self.path):
             return
         valid = self._pointer_dirs()
@@ -196,6 +208,9 @@ class StatePersistence:
         handle's protocol); return the re-read frame."""
         import uuid
 
+        if not self._swept:  # writer intent established: safe to sweep
+            self._sweep_debris()
+            self._swept = True
         self.version += 1
         if self.protocol == "pointer":
             target = self._commit_pointer(df, uuid.uuid4().hex[:8])
@@ -211,6 +226,11 @@ class StatePersistence:
         target = os.path.join(self.path, f"v{self.version}")
         df.write.mode("overwrite").parquet(staging)
         self._write_manifest(staging, df)
+        # the manifest's and parquet files' DIRECTORY ENTRIES live in the
+        # staging dir: without fsyncing it, a power loss after the rename
+        # could surface v{N} with its manifest dirent missing — a
+        # committed version recovery would then silently skip
+        _fsync_dir(staging)
         # a torn v{N} from a pre-protocol writer (no manifest) may squat
         # on the name; it was never committed, so clearing it is safe
         if os.path.isdir(target) and not self._committed(self.version):
@@ -224,6 +244,12 @@ class StatePersistence:
         target = os.path.join(self.path, data)
         df.write.mode("overwrite").parquet(target)
         self._write_manifest(target, df)
+        # order matters: first the o-dir itself (the manifest's and
+        # parquet files' dirents live THERE — fsyncing only the root
+        # would leave a window where the pointer survives a power loss
+        # but the manifest dirent is lost, silently rolling back an
+        # acknowledged commit), then the root (the o-dir's own dirent)
+        _fsync_dir(target)
         _fsync_dir(self.path)  # data dir + manifest durable first
         line = json.dumps(
             {"version": self.version, "dir": data}, sort_keys=True

