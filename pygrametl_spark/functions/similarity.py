@@ -1423,6 +1423,110 @@ def _load_books_meta(path: str):
     return meta, False
 
 
+def _index_generations(path: str) -> dict:
+    """{gen: data-dir basename} for every VALID compaction pointer at an
+    IVF-PQ index root — same validity discipline as the durable-state
+    pointer protocol (operators/state.py): the ``g{N}.json`` file
+    parses, its content checksum matches, and the named generation
+    directory's ``_COMPACTED`` manifest exists. A partial pointer from a
+    crashed compaction fails the checksum and is simply not a commit."""
+    import hashlib as _hashlib
+    import json as _json
+    import os as _os
+    import re as _re
+
+    out: dict = {}
+    if not _os.path.isdir(path):
+        return out
+    pat = _re.compile(r"^g(\d+)\.json$")
+    for f in _os.listdir(path):
+        m = pat.match(f)
+        if not m:
+            continue
+        try:
+            with open(_os.path.join(path, f)) as fh:
+                line, digest = fh.read().rsplit("\n", 1)
+            if _hashlib.sha256(line.encode()).hexdigest() != digest.strip():
+                continue
+            meta = _json.loads(line)
+        except (ValueError, OSError):
+            continue  # torn / partial pointer: not a commit
+        target = meta.get("dir", "")
+        if (
+            meta.get("gen") == int(m.group(1))
+            and _re.match(r"^gen_g(\d+)_[0-9a-f]+$", target)
+            and _os.path.exists(_os.path.join(path, target, "_COMPACTED"))
+        ):
+            out[int(m.group(1))] = target
+    return out
+
+
+def _stream_tier_bids(tier_dir: str) -> "set[int]":
+    """The set of ``_bid`` batch partitions present under a stream tier
+    (``codes_stream``/``raw_stream``) — a driver-side directory walk of
+    ``cluster=*/_bid=*``, two shallow listdir levels, no Spark job. Also
+    the probe-side guard: a tier dir whose batches were all folded and
+    deleted has no parquet left to infer a schema from, so reads are
+    gated on this being non-empty."""
+    import os as _os
+
+    out: set = set()
+    if not _os.path.isdir(tier_dir):
+        return out
+    for c in _os.listdir(tier_dir):
+        cdir = _os.path.join(tier_dir, c)
+        if not (c.startswith("cluster=") and _os.path.isdir(cdir)):
+            continue
+        for b in _os.listdir(cdir):
+            if b.startswith("_bid=") and _os.path.isdir(_os.path.join(cdir, b)):
+                try:
+                    out.add(int(b.split("=", 1)[1]))
+                except ValueError:
+                    pass
+    return out
+
+
+def _resolve_index_tiers(path: str) -> dict:
+    """Resolve the LIVE tier layout of a persisted IVF-PQ index:
+
+    ``{"gen": N, "codes": dir, "raw": dir_or_None, "bid_cut": B}``
+
+    Generation 0 is the implicit original layout (``{path}/codes`` +
+    optional ``{path}/raw``, ``bid_cut`` 0 = every streamed ``_bid``
+    partition visible). Each :func:`ivfpq_compact` commit adds an
+    immutable generation directory plus a checksummed create-exclusive
+    ``g{N}.json`` pointer recording the folded-batch watermark
+    ``bid_cut``; the highest VALID pointer wins. Probes read the
+    resolved codes/raw dirs unioned with the stream tiers filtered to
+    ``_bid >= bid_cut`` — folded batches are invisible even if a live
+    stream's at-least-once replay rewrites their partitions, which is
+    what keeps compaction exactly-once-safe under replay."""
+    import os as _os
+
+    gens = _index_generations(path)
+    if gens:
+        import json as _json
+
+        n = max(gens)
+        gen_dir = _os.path.join(path, gens[n])
+        with open(_os.path.join(gen_dir, "_COMPACTED")) as fh:
+            meta = _json.load(fh)
+        raw = _os.path.join(gen_dir, "raw")
+        return {
+            "gen": n,
+            "codes": _os.path.join(gen_dir, "codes"),
+            "raw": raw if _os.path.isdir(raw) else None,
+            "bid_cut": int(meta.get("bid_cut", 0)),
+        }
+    raw = _os.path.join(path, "raw")
+    return {
+        "gen": 0,
+        "codes": _os.path.join(path, "codes"),
+        "raw": raw if _os.path.isdir(raw) else None,
+        "bid_cut": 0,
+    }
+
+
 def ivfpq_topk(
     spark,
     path: str,
@@ -1513,12 +1617,18 @@ def ivfpq_topk(
     # (verified on the executed plan: union-then-join loses the
     # dynamicpruning PartitionFilters on BOTH sides; join-then-union
     # keeps one per tier), so the pruned-directory-skip property the
-    # index exists for survives streamed appends.
-    cand = _cand(spark.read.parquet(f"{path}/codes"))
-    if _os.path.isdir(f"{path}/codes_stream"):
-        cand = cand.unionByName(
-            _cand(spark.read.parquet(f"{path}/codes_stream").drop("_bid"))
-        )
+    # index exists for survives streamed appends. The layout resolver
+    # picks the live compaction generation, and the bid_cut watermark
+    # (static filter on the _bid PARTITION column — a directory skip)
+    # hides batches already folded into the base, so a live stream's
+    # at-least-once replay of a folded batch can never double a vector.
+    layout = _resolve_index_tiers(path)
+    cand = _cand(spark.read.parquet(layout["codes"]))
+    if _stream_tier_bids(f"{path}/codes_stream"):
+        stream = spark.read.parquet(f"{path}/codes_stream")
+        if layout["bid_cut"]:
+            stream = stream.filter(F.col("_bid") >= layout["bid_cut"])
+        cand = cand.unionByName(_cand(stream.drop("_bid")))
     m = len(books)
     d = len(books[0][0])
     lit = _pq3_lit(books)
@@ -1596,10 +1706,10 @@ def ivfpq_topk(
         .filter(F.col("rank") <= rerank)
         .select("query_id", "_qv", "cluster", F.col(id_col).alias("neighbor_id"))
     )
-    if not _os.path.isdir(f"{path}/raw"):
+    if layout["raw"] is None:
         raise ValueError(
-            f"ivfpq_topk(rerank={rerank}) needs the raw vector tier at "
-            f"{path}/raw — write the index with "
+            f"ivfpq_topk(rerank={rerank}) needs the raw vector tier of "
+            f"{path} — write the index with "
             "ivfpq_write_index(..., store_raw=True)"
         )
     def _exact(tier: DataFrame) -> DataFrame:
@@ -1609,11 +1719,12 @@ def ivfpq_topk(
             F.col(vec_col).alias("_cv"),
         ).join(F.broadcast(short), ["cluster", "neighbor_id"])
 
-    exact = _exact(spark.read.parquet(f"{path}/raw"))
-    if _os.path.isdir(f"{path}/raw_stream"):
-        exact = exact.unionByName(
-            _exact(spark.read.parquet(f"{path}/raw_stream").drop("_bid"))
-        )
+    exact = _exact(spark.read.parquet(layout["raw"]))
+    if _stream_tier_bids(f"{path}/raw_stream"):
+        rstream = spark.read.parquet(f"{path}/raw_stream")
+        if layout["bid_cut"]:
+            rstream = rstream.filter(F.col("_bid") >= layout["bid_cut"])
+        exact = exact.unionByName(_exact(rstream.drop("_bid")))
     exact = exact.withColumn("cosine", F.round(cosine_expr("_qv", "_cv"), 6))
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
@@ -1649,13 +1760,18 @@ def ivfpq_append_index(
     appended too — otherwise new vectors would surface in the ADC
     shortlist but silently vanish from ``rerank=`` results (the exact
     pass inner-joins the raw tier).
-    """
-    import os
 
+    Appends land in the LIVE compaction generation
+    (:func:`_resolve_index_tiers`) — after
+    :func:`~pygrametl_spark.streaming.ann.ivfpq_compact` has rolled the
+    base forward, appending into the superseded gen-0 dirs would
+    silently hide the new vectors from every probe.
+    """
     spark = df.sparkSession
     books, residual = _load_books_meta(path)
     cent = spark.read.parquet(f"{path}/centroids")
     d = len(books[0][0])
+    layout = _resolve_index_tiers(path)
     assigned = ivf_assign(df, id_col=id_col, vec_col=vec_col, centroids=cent)
     enc_col = vec_col
     if residual:  # encode with the index's own formulation
@@ -1665,8 +1781,8 @@ def ivfpq_append_index(
         id_col, "cluster",
         _pq_assign_codes(enc_col, _pq3_lit(books), len(books), d).alias("codes"),
     )
-    coded.write.mode("append").partitionBy("cluster").parquet(f"{path}/codes")
-    if os.path.isdir(f"{path}/raw"):
+    coded.write.mode("append").partitionBy("cluster").parquet(layout["codes"])
+    if layout["raw"] is not None:
         assigned.select(id_col, "cluster", vec_col).write.mode(
             "append"
-        ).partitionBy("cluster").parquet(f"{path}/raw")
+        ).partitionBy("cluster").parquet(layout["raw"])

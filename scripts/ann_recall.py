@@ -60,12 +60,15 @@ def main() -> None:
 
     results: dict[str, dict] = {}
 
-    def run(name, fn):
+    def run(name, fn, note=None, into=None, truth_=None):
         t = time.time()
-        r = recall(topk_sets(fn()), truth, k)
+        r = recall(topk_sets(fn()), truth_ or truth, k)
         secs = round(time.time() - t, 1)
-        results[name] = {"recall": r, "secs": secs}
-        print(f"{name:28s} recall@{k} = {r:.4f}  ({secs}s)")
+        row = {"recall": r, "secs": secs}
+        if note:  # self-describing artifact (VERDICT r5 "wrong" #2)
+            row["note"] = note
+        (results if into is None else into)[name] = row
+        print(f"{name:40s} recall@{k} = {r:.4f}  ({secs}s)")
 
     for bands, ppb in [(4, 6), (8, 6), (16, 6), (8, 4)]:
         run(
@@ -181,11 +184,119 @@ def main() -> None:
     run(
         "ivfpq16_np8_residual",
         lambda: sim.ivfpq_topk(spark, idxres, queries, nprobe=8, k=k),
+        note=(
+            "EXPECTED-NEGATIVE on this near-isotropic corpus: residual "
+            "encoding exists for corpora with coarse structure (see the "
+            "'clustered' section); with none, subtracting the centroid "
+            "only adds noise for the codebooks to absorb. Recorded so "
+            "the residual=False default is a measured decision."
+        ),
     )
+
+    # the residual PRODUCTION chain (VERDICT r5 next-round #2): residual
+    # x k=64 codebooks x nprobe x rerank — the configuration a user
+    # would actually deploy residual in, measured on the same gate
+    # corpus so the raw-vs-residual k64 chains are directly comparable
+    idxres64 = os.path.join(
+        tempfile.gettempdir(), "pygrametl_spark_recall_ivfpq_res64"
+    )
+    sim.ivfpq_write_index(
+        emb, idxres64, n_clusters=16, m=8, k=64, iters=3, residual=True,
+        store_raw=True,
+    )
+    for nprobe, rr in [(8, 100), (8, 200), (12, 100), (12, 200)]:
+        run(
+            f"ivfpq16_np{nprobe}_k64_rerank{rr}_residual",
+            lambda np_=nprobe, r_=rr: sim.ivfpq_topk(
+                spark, idxres64, queries, nprobe=np_, k=k, rerank=r_
+            ),
+            note=(
+                "residual production chain on the near-isotropic gate "
+                f"corpus — compare to ivfpq16_np{nprobe}_k64_rerank{rr}"
+            ),
+        )
+
+    # ---- clustered corpus: the regime residual encoding EXISTS for ----
+    # Deterministic mixture-of-centers corpus (same md5 generator as
+    # test_ivfpq_residual_encoding, scaled to the gate corpus size):
+    # well-separated centers + small displacements, so codebooks that
+    # quantize x - centroid only need to span the displacement ball.
+    import hashlib as _hl
+
+    def _h(s, lo, hi):
+        v = int(_hl.md5(s.encode()).hexdigest()[:8], 16) / 0xFFFFFFFF
+        return lo + (hi - lo) * v
+
+    CD, CC, CN = 64, 16, 2000
+    centers = [
+        [_h(f"c{c}_{j}", -5, 5) for j in range(CD)] for c in range(CC)
+    ]
+    cl_rows = [
+        (
+            i,
+            [
+                round(centers[i % CC][j] + _h(f"d{i}_{j}", -0.35, 0.35), 6)
+                for j in range(CD)
+            ],
+        )
+        for i in range(CN)
+    ]
+    cl = spark.createDataFrame(
+        cl_rows, "vec_id long, embedding array<double>"
+    )
+    cl_queries = cl.filter(f"vec_id < {n_q}")
+    t0 = time.time()
+    truth_cl = topk_sets(sim.cosine_topk(cl, cl_queries, k=k))
+    t_exact_cl = round(time.time() - t0, 1)
+    print(f"# clustered corpus ({CN}x{CD}, {CC} centers) truth: {t_exact_cl}s")
+
+    results_cl: dict[str, dict] = {}
+    cl_cent = sim.kmeans_refine(cl, n_clusters=16, iters=2)
+    cl_raw = os.path.join(
+        tempfile.gettempdir(), "pygrametl_spark_recall_cl_raw64"
+    )
+    cl_res = os.path.join(
+        tempfile.gettempdir(), "pygrametl_spark_recall_cl_res64"
+    )
+    sim.ivfpq_write_index(
+        cl, cl_raw, n_clusters=16, centroids=cl_cent, m=8, k=64, iters=3,
+        store_raw=True,
+    )
+    sim.ivfpq_write_index(
+        cl, cl_res, n_clusters=16, centroids=cl_cent, m=8, k=64, iters=3,
+        residual=True, store_raw=True,
+    )
+    for name, idx_ in [("raw", cl_raw), ("residual", cl_res)]:
+        run(
+            f"clustered_ivfpq16_np8_k64_{name}",
+            lambda p=idx_: sim.ivfpq_topk(spark, p, cl_queries, nprobe=8, k=k),
+            note="ADC-only encoding-quality signal on the clustered corpus",
+            into=results_cl, truth_=truth_cl,
+        )
+        for nprobe, rr in [(8, 200), (12, 200)]:
+            run(
+                f"clustered_ivfpq16_np{nprobe}_k64_rerank{rr}_{name}",
+                lambda p=idx_, np_=nprobe, r_=rr: sim.ivfpq_topk(
+                    spark, p, cl_queries, nprobe=np_, k=k, rerank=r_
+                ),
+                note=f"{name} production chain on the clustered corpus",
+                into=results_cl, truth_=truth_cl,
+            )
 
     out = {
         "sf_dir": sf_dir, "corpus": n_corpus, "n_queries": n_q, "k": k,
         "exact_secs": t_exact, "tiers": results,
+        "clustered": {
+            "note": (
+                "deterministic mixture-of-centers corpus (md5 generator, "
+                f"{CN} vectors x {CD} dims, {CC} centers, displacement "
+                "±0.35) — the coarse-structure regime residual/IVFADC "
+                "encoding exists for; 'tiers' rows compare raw vs "
+                "residual k64 chains at identical config"
+            ),
+            "corpus": CN, "dim": CD, "centers": CC,
+            "exact_secs": t_exact_cl, "tiers": results_cl,
+        },
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RECALL.json"

@@ -2410,6 +2410,146 @@ def test_stream_ivfpq_maintain_harness(spark):
     assert "dynamicpruning" in plan, "union read defeated partition pruning"
 
 
+def test_ivfpq_compact_stream_fold_equals_rebuild(spark, tmp_path):
+    """stream → compact → probe ≡ one-shot-rebuild (VERDICT r5 next-round
+    #1 done-criterion): folding the streamed ``(cluster, _bid)`` tiers
+    into a consolidated generation changes STORAGE LAYOUT only — every
+    probe result (ADC and rerank) is bit-identical before/after, and
+    identical to an index built one-shot over the full corpus with the
+    same frozen quantizers. The stream tier dirs are gone afterwards
+    (the small-file growth the operator exists to stop) and the probe
+    plan still carries dynamicpruning partition filters."""
+    import os
+
+    from pygrametl_spark.catalog import load_catalog
+    from pygrametl_spark.functions import similarity as sim
+    from pygrametl_spark.streaming.ann import ivfpq_compact, stream_ivfpq_maintain
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "idx")
+    stream_ivfpq_maintain(spark, sf, n_files=3, n_clusters=4, index_path=path)
+    emb = load_catalog(spark, sf).embeddings
+    queries = emb.filter("vec_id IN (1, 400)")
+
+    def probe(p, **kw):
+        return sorted(
+            tuple(r)
+            for r in sim.ivfpq_topk(spark, p, queries, nprobe=3, k=5, **kw).collect()
+        )
+
+    before_adc, before_rr = probe(path), probe(path, rerank=25)
+    info = ivfpq_compact(spark, path, include_latest_bid=True)  # quiesced
+    assert info["gen"] == 1 and info["bid_cut"] == 3
+    assert not os.path.isdir(f"{path}/codes_stream")
+    assert not os.path.isdir(f"{path}/raw_stream")
+    assert probe(path) == before_adc
+    assert probe(path, rerank=25) == before_rr
+
+    # one-shot rebuild with the index's own frozen quantizers
+    books, _res = sim._load_books_meta(path)
+    cent = spark.read.parquet(f"{path}/centroids")
+    full = str(tmp_path / "full")
+    sim.ivfpq_write_index(emb, full, centroids=cent, books=books, store_raw=True)
+    assert probe(path, rerank=25) == probe(full, rerank=25)
+    assert probe(path) == probe(full)
+
+    # the directory-skip property survives compaction (extends the r5
+    # join-before-union plan pin to the generation layout)
+    plan = (
+        sim.ivfpq_topk(spark, path, queries, nprobe=2, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "dynamicpruning" in plan, "compacted read lost partition pruning"
+
+
+def test_ivfpq_compact_crash_replay_and_generations(spark, tmp_path):
+    """The exactly-once discipline of compaction under every failure it
+    claims to survive: (a) a crash BEFORE the pointer commit (staged
+    generation dir, torn pointer) leaves the old tiers as the resolvable
+    layout — probes never break mid-compaction — and the next compaction
+    sweeps the debris; (b) a LIVE stream's at-least-once replay of a
+    folded batch is hidden by the bid_cut watermark, never doubled; (c)
+    by default the latest _bid is excluded from the fold (it is the one
+    batch that can replay with different visibility); (d) generation
+    rotation prunes gen-0, and appends land in the live generation."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pygrametl_spark.catalog import load_catalog
+    from pygrametl_spark.functions import similarity as sim
+    from pygrametl_spark.streaming.ann import (
+        _slice_stage_path, ivfpq_compact, ivfpq_upsert_fn,
+        stream_ivfpq_maintain,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "idx")
+    stream_ivfpq_maintain(spark, sf, n_files=2, n_clusters=4, index_path=path)
+    emb = load_catalog(spark, sf).embeddings
+    queries = emb.filter("vec_id IN (1, 400)")
+
+    def probe(**kw):
+        return sorted(
+            tuple(r)
+            for r in sim.ivfpq_topk(spark, path, queries, nprobe=3, k=5, **kw).collect()
+        )
+
+    before = probe(rerank=25)
+
+    # (a) crash window 1: staging generation written, pointer never
+    # committed — invisible to resolution, old tiers keep serving
+    fake = f"{path}/gen_g1_deadbeef"
+    os.makedirs(f"{fake}/codes", exist_ok=True)
+    assert sim._resolve_index_tiers(path)["gen"] == 0
+    assert probe(rerank=25) == before
+    # crash window 2: pointer torn mid-write (no checksum) — not a commit
+    with open(f"{path}/g1.json", "w") as fh:
+        fh.write('{"gen": 1, "dir": "gen_g1_deadbe')
+    assert sim._resolve_index_tiers(path)["gen"] == 0
+    assert probe(rerank=25) == before
+
+    # (c) real compaction with a potentially-live stream: sweeps both
+    # debris items, folds every bid EXCEPT the latest (bids {0,1} -> cut 1)
+    info = ivfpq_compact(spark, path)
+    assert info["gen"] == 1 and info["bid_cut"] == 1
+    assert not os.path.isdir(fake)
+    assert sim._stream_tier_bids(f"{path}/codes_stream") == {1}
+    assert probe(rerank=25) == before
+
+    # (b) at-least-once replay of the FOLDED batch 0 (zombie writer):
+    # dynamic overwrite recreates _bid=0, the watermark hides it — no
+    # duplicate candidates on either scoring path
+    b0 = spark.read.parquet(f"{_slice_stage_path(sf, 2)}/part0")
+    ivfpq_upsert_fn(path)(b0, 0)
+    assert sim._stream_tier_bids(f"{path}/codes_stream") == {0, 1}
+    assert probe(rerank=25) == before
+    assert probe() == probe()  # ADC path deterministic under replay debris
+
+    # quiesced second compaction folds the rest, cleans replay debris,
+    # and rotates gen-0 out of the keep window (keep_generations=2)
+    info2 = ivfpq_compact(spark, path, include_latest_bid=True)
+    assert info2["gen"] == 2 and info2["bid_cut"] == 2
+    assert not os.path.isdir(f"{path}/codes_stream")
+    assert not os.path.isdir(f"{path}/codes")  # gen-0 pruned
+    assert not os.path.isdir(f"{path}/raw")
+    assert probe(rerank=25) == before
+
+    # (d) appends route to the LIVE generation and are probe-visible:
+    # a clone of vec 1 under a fresh id must come back at rank 1 with
+    # cosine 1.0 for query 1
+    clones = emb.filter("vec_id IN (1, 400)").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    sim.ivfpq_append_index(clones, path)
+    top = {
+        r["query_id"]: (r["neighbor_id"], r["cosine"])
+        for r in sim.ivfpq_topk(spark, path, queries, nprobe=3, k=1, rerank=25).collect()
+    }
+    assert top[1] == (1_000_001, 1.0)
+    assert top[400] == (1_000_400, 1.0)
+
+
 def test_annslice_stage_key_is_cross_process_deterministic():
     """The slice-staging memo key must hit across driver PROCESSES: the
     r5 key was ``abs(hash((sf_dir, n_files)))`` — PYTHONHASHSEED-salted
