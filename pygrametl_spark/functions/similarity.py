@@ -1329,16 +1329,29 @@ def ivfpq_write_index(
     a broadcast table; the plan shape is unchanged). The codebooks
     sidecar records the flag so probes and appends self-configure.
 
-    The default stays ``False``, a measured decision: on a CLUSTERED
-    corpus residual beats raw encoding +0.21 recall@10 at identical
-    config (test_ivfpq_residual_encoding), but on the near-isotropic
-    synthetic corpus it is strictly worse (RECALL.json
-    ivfpq16_np8_residual 0.082 vs 0.182 raw) — with no coarse structure
-    the centroid subtraction only adds noise for the codebooks to
-    absorb. Choose per corpus; the exactness invariant (all clusters
-    probed + full rerank ≡ brute force) holds for both. ``books``
-    passed in must match the formulation (residual-trained for
-    ``residual=True``).
+    The default stays ``False``, and as of the r6 production-chain
+    measurement (RECALL.json, gate corpus AND clustered corpus, k=64
+    codebooks × nprobe {8,12} × rerank {100,200}) residual is best
+    understood as a **clustered-data, ADC-only option**:
+
+    - *Encoding quality* (no rerank): residual wins exactly where the
+      theory says — clustered corpus ADC-only 0.470 vs 0.370 raw at
+      k=64 (and +0.21 at k=16 test scale, test_ivfpq_residual_encoding);
+      on the near-isotropic gate corpus it LOSES (0.082 vs 0.182 at
+      k=16 — with no coarse structure the centroid subtraction only
+      adds noise for the codebooks to absorb).
+    - *Production chain* (k=64 + exact rerank): residual never beat raw
+      in any measured config — gate corpus 0.772 vs 0.806 (np8/r200)
+      and 0.818 vs 0.880 (np12/r200); on the clustered corpus both
+      saturate at 1.000 because a 200-deep exact rerank recovers
+      whatever the ADC ordering got wrong. The rerank pass absorbs the
+      encoding-quality difference, so pay for residual's extra probe
+      work (qdotc/cross-term reconstruction) only when you CANNOT
+      afford a raw tier + rerank and the corpus is clustered.
+
+    The exactness invariant (all clusters probed + full rerank ≡ brute
+    force) holds for both formulations. ``books`` passed in must match
+    the formulation (residual-trained for ``residual=True``).
     """
     import json
     import os

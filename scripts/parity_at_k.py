@@ -27,7 +27,7 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from check_parity import norm_rows  # noqa: E402  (sibling script)
+from check_parity import norm_cell, norm_rows  # noqa: E402  (sibling script)
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_ROOT = "/tmp/pygrametl_spark_parityk"
@@ -103,8 +103,41 @@ def build_full_sfdir(spark, k: int) -> str:
     return sf_dir
 
 
+def _digest_rows(cols, row_iter):
+    """Order-insensitive streaming value digest: per-row md5 of the
+    column-name-sorted, norm_cell-normalized tuple, SUMMED mod 2^128
+    (commutative, collision-negligible) plus the row count. Equality of
+    (sorted cols, count, digest) is value-hash equality without ever
+    materializing the result — the K=100 join families produce >100M
+    rows, far past what the collect-and-sort comparator can hold
+    (PARITY_K100_SUBSET note: the binding constraint was never the
+    engine). Both sides normalize through the SAME python norm_cell, so
+    no cross-engine float-format risk is introduced."""
+    import hashlib
+
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    acc = 0
+    n = 0
+    for r in row_iter:
+        t = tuple(norm_cell(r[i]) for i in idx)
+        h = int.from_bytes(hashlib.md5(repr(t).encode()).digest(), "big")
+        acc = (acc + h) % (1 << 128)
+        n += 1
+    return sorted(cols), n, acc
+
+
+def _duck_chunks(res, size=200_000):
+    while True:
+        chunk = res.fetchmany(size)
+        if not chunk:
+            return
+        yield from chunk
+
+
 def main() -> None:
     args = sys.argv[1:]
+    digest_mode = "--digest" in args
+    args = [a for a in args if a != "--digest"]
     k = int(args[0]) if args else 10
     only = set(args[1:])
 
@@ -135,6 +168,49 @@ def main() -> None:
                "spark_rows": None, "oracle_rows": None, "err": None,
                "secs": None}
         report[name] = rec
+        if digest_mode and name in oracles:
+            # streaming-digest compare for results too big to collect
+            try:
+                sdf = fn(spark, sf_dir)
+                sc, sn, sd = _digest_rows(
+                    sdf.columns, (tuple(r) for r in sdf.toLocalIterator())
+                )
+                rec["spark_rows"] = sn
+            except Exception as e:  # noqa: BLE001
+                rec["err"] = f"spark: {type(e).__name__}: {e}"
+                rec["secs"] = round(time.time() - t0, 1)
+                print(f"FAIL {name}: {rec['err'][:300]}")
+                n_fail += 1
+                continue
+            try:
+                res = con.execute(oracles[name])
+                dcols = [d[0] for d in res.description]
+                dc, dn, dd = _digest_rows(dcols, _duck_chunks(res))
+                rec["oracle_rows"] = dn
+            except Exception as e:  # noqa: BLE001
+                rec["err"] = f"duckdb: {type(e).__name__}: {e}"
+                rec["secs"] = round(time.time() - t0, 1)
+                print(f"FAIL {name}: {rec['err'][:300]}")
+                n_fail += 1
+                continue
+            rec["mode"] = "digest"
+            rec["schema_match"] = sc == dc
+            rec["rows_match"] = sn == dn
+            rec["hash_match"] = (
+                rec["schema_match"] and rec["rows_match"] and sd == dd
+            )
+            rec["secs"] = round(time.time() - t0, 1)
+            if rec["hash_match"]:
+                print(f"PASS {name} (digest, {sn} rows, {rec['secs']}s)")
+                n_pass += 1
+            else:
+                rec["err"] = (
+                    f"digest: cols spark={sc} duck={dc}, "
+                    f"rows {sn} vs {dn}, digests equal={sd == dd}"
+                )
+                print(f"FAIL {name}: {rec['err'][:300]}")
+                n_fail += 1
+            continue
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
