@@ -2461,6 +2461,16 @@ def test_ivfpq_compact_stream_fold_equals_rebuild(spark, tmp_path):
     )
     assert "dynamicpruning" in plan, "compacted read lost partition pruning"
 
+    # score_col pins ONE output schema across the ADC and rerank paths
+    # (the default names differ by design: adc_score vs cosine)
+    adc_cols = sim.ivfpq_topk(
+        spark, path, queries, k=5, score_col="score"
+    ).columns
+    rr_cols = sim.ivfpq_topk(
+        spark, path, queries, k=5, rerank=25, score_col="score"
+    ).columns
+    assert adc_cols == rr_cols == ["query_id", "rank", "neighbor_id", "score"]
+
 
 def test_ivfpq_compact_crash_replay_and_generations(spark, tmp_path):
     """The exactly-once discipline of compaction under every failure it
