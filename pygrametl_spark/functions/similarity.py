@@ -350,7 +350,10 @@ def ivf_write_index(
     routing pass runs once, and every probe afterwards reads only its
     ``nprobe`` cluster directories."""
     cent = centroids if centroids is not None else _centroids(df, id_col, vec_col, n_clusters)
-    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    cent.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )  # n_clusters rows: one file, not one per shuffle partition —
+    # this sidecar is opened on EVERY probe
     ivf_assign(
         df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, centroids=cent
     ).write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/vectors")
@@ -1367,7 +1370,10 @@ def ivfpq_write_index(
             assigned if residual else df,
             id_col=id_col, vec_col=enc_col, m=m, k=k, iters=iters,
         )
-    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    cent.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )  # n_clusters rows: one file, not one per shuffle partition —
+    # this sidecar is opened on EVERY probe
     d = len(books[0][0])
     coded = assigned.select(
         id_col, "cluster",
