@@ -63,23 +63,85 @@ def _slice_stage_path(sf_dir: str, n_files: int) -> str:
     return scratch_path(f"annslice_{key}")
 
 
-def ivfpq_upsert_fn(path: str):
+def ivfpq_upsert_fn(path: str, namespace: str | None = None):
     """The ``foreachBatch`` body: encode a micro-batch of
     ``(vec_id, embedding)`` rows with the index's OWN frozen quantizers
     (read from the sidecars — residual indexes residualize, exactly as
     :func:`ivfpq_append_index` does) and commit it as the batch's own
     ``(cluster, _bid)`` partitions. Replay-safe: dynamic partition
     overwrite makes re-running batch N a byte-level no-op-equivalent.
+
+    ``namespace`` (pass your CHECKPOINT location, or any id with the
+    same lifetime) makes post-compaction streams safe: Structured
+    Streaming numbers batches per checkpoint from 0, so after
+    :func:`ivfpq_compact` has advanced the ``bid_cut`` watermark, a NEW
+    stream's batches 0..k would land BELOW the watermark and be
+    silently invisible to probes — data loss with no error. With a
+    namespace, the stream's first batch resolves a bid OFFSET =
+    max(watermark, highest _bid present + 1) and persists it
+    create-exclusive under ``{path}/stream_offsets/``, keyed by the
+    namespace: every batch writes ``_bid = offset + batch_id``. The
+    offset is read back (never recomputed) on every later batch and on
+    driver RESTART with the same checkpoint, so a replayed batch always
+    rewrites exactly its own original partitions even if a compaction
+    ran in between — recomputing the offset at replay time would move
+    the replay to a different partition and duplicate the batch.
+    Without a namespace the offset is 0 (a single stream lifetime per
+    index, the pre-compaction behavior) and a batch that WOULD land
+    below the watermark raises instead of silently vanishing. One live
+    stream writer per index assumed, like every other single-writer
+    contract in this package.
     """
     from pygrametl_spark.functions.similarity import (
         _load_books_meta, _pq3_lit, _pq_assign_codes, _residualize,
         ivf_assign,
     )
 
+    def _bid_offset() -> int:
+        if namespace is None:
+            return 0
+        import hashlib
+        import json
+
+        from pygrametl_spark.functions.similarity import (
+            _resolve_index_tiers, _stream_tier_bids,
+        )
+
+        d = os.path.join(path, "stream_offsets")
+        os.makedirs(d, exist_ok=True)
+        f = os.path.join(
+            d, hashlib.sha1(namespace.encode()).hexdigest()[:16] + ".json"
+        )
+        if not os.path.isfile(f):
+            cut = _resolve_index_tiers(path)["bid_cut"]
+            present = _stream_tier_bids(os.path.join(path, "codes_stream"))
+            off = max(cut, (max(present) + 1) if present else 0)
+            try:  # create-exclusive: first batch wins, replays reuse
+                fd = os.open(f, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+                try:
+                    os.write(fd, json.dumps({"offset": off}).encode())
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+            except FileExistsError:
+                pass
+        with open(f) as fh:
+            return int(json.load(fh)["offset"])
+
     def upsert(bdf: DataFrame, bid: int) -> None:
         from pygrametl_spark.functions.similarity import _resolve_index_tiers
 
         spark = bdf.sparkSession
+        layout = _resolve_index_tiers(path)
+        eff_bid = int(bid) + _bid_offset()
+        if eff_bid < layout["bid_cut"]:
+            raise RuntimeError(
+                f"batch _bid={eff_bid} is below this index's compaction "
+                f"watermark bid_cut={layout['bid_cut']}: probes would "
+                "silently ignore the write. A stream started AFTER a "
+                "compaction must namespace its batch ids — pass "
+                "ivfpq_upsert_fn(path, namespace=<checkpoint location>)."
+            )
         books, residual = _load_books_meta(path)
         cent = spark.read.parquet(f"{path}/centroids")
         d = len(books[0][0])
@@ -93,7 +155,7 @@ def ivfpq_upsert_fn(path: str):
             _pq_assign_codes(enc_col, _pq3_lit(books), len(books), d).alias(
                 "codes"
             ),
-            F.lit(int(bid)).alias("_bid"),
+            F.lit(eff_bid).alias("_bid"),
         )
         (
             coded.write.mode("overwrite")
@@ -103,11 +165,11 @@ def ivfpq_upsert_fn(path: str):
         )
         # mirror the raw tier iff the LIVE generation stores one — the
         # gen-0 raw/ dir may have been pruned by a later compaction
-        if _resolve_index_tiers(path)["raw"] is not None:
+        if layout["raw"] is not None:
             (
                 assigned.select(
                     "vec_id", "cluster", "embedding",
-                    F.lit(int(bid)).alias("_bid"),
+                    F.lit(eff_bid).alias("_bid"),
                 )
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -187,9 +249,14 @@ def stream_ivfpq_maintain(
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{stage}/part*")
     )
+    ckpt = scratch_dir("ivfpq_stream_ckpt_")
     q = (
-        files.writeStream.foreachBatch(ivfpq_upsert_fn(path))
-        .option("checkpointLocation", scratch_dir("ivfpq_stream_ckpt_"))
+        # namespace = the checkpoint location: batch-id lineage and bid
+        # offset share a lifetime, so a restart replays into the same
+        # partitions and a FRESH run starts above the compaction
+        # watermark instead of writing invisible batches
+        files.writeStream.foreachBatch(ivfpq_upsert_fn(path, namespace=ckpt))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )

@@ -2527,14 +2527,20 @@ def test_ivfpq_compact_crash_replay_and_generations(spark, tmp_path):
     assert sim._stream_tier_bids(f"{path}/codes_stream") == {1}
     assert probe(rerank=25) == before
 
-    # (b) at-least-once replay of the FOLDED batch 0 (zombie writer):
-    # dynamic overwrite recreates _bid=0, the watermark hides it — no
-    # duplicate candidates on either scoring path
-    b0 = spark.read.parquet(f"{_slice_stage_path(sf, 2)}/part0")
-    ivfpq_upsert_fn(path)(b0, 0)
-    assert sim._stream_tier_bids(f"{path}/codes_stream") == {0, 1}
+    # (b) at-least-once replay of the LATEST batch (the only one that
+    # CAN replay — batches execute serially): dynamic overwrite rewrites
+    # exactly its own _bid=1 partitions — idempotent, results unchanged
+    b1 = spark.read.parquet(f"{_slice_stage_path(sf, 2)}/part1")
+    ivfpq_upsert_fn(path)(b1, 1)
+    assert sim._stream_tier_bids(f"{path}/codes_stream") == {1}
     assert probe(rerank=25) == before
-    assert probe() == probe()  # ADC path deterministic under replay debris
+    # a namespace-less write BELOW the watermark (a zombie writer, or a
+    # fresh post-compaction stream whose batch ids restarted at 0) must
+    # FAIL LOUDLY — probes would silently ignore the data otherwise
+    b0 = spark.read.parquet(f"{_slice_stage_path(sf, 2)}/part0")
+    with pytest.raises(RuntimeError, match="compaction\\s+watermark"):
+        ivfpq_upsert_fn(path)(b0, 0)
+    assert probe() == probe()  # ADC path deterministic under replay
 
     # quiesced second compaction folds the rest, cleans replay debris,
     # and rotates gen-0 out of the keep window (keep_generations=2)
@@ -2558,6 +2564,35 @@ def test_ivfpq_compact_crash_replay_and_generations(spark, tmp_path):
     }
     assert top[1] == (1_000_001, 1.0)
     assert top[400] == (1_000_400, 1.0)
+
+    # (e) a NAMESPACED stream started after the compactions: its first
+    # batch persists a bid offset = max(watermark, highest live _bid+1)
+    # create-exclusive, so batch 0 lands ABOVE the bid_cut=2 watermark
+    # and is probe-visible; a replay reads the PERSISTED offset back
+    # (never recomputes it) and self-overwrites the same partitions
+    clones2 = emb.filter("vec_id IN (1, 400)").select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    )
+    fn2 = ivfpq_upsert_fn(path, namespace="ckpt-after-compaction")
+    fn2(clones2, 0)
+    assert sim._stream_tier_bids(f"{path}/codes_stream") == {2}
+
+    def top2():
+        return sorted(
+            tuple(r)
+            for r in sim.ivfpq_topk(
+                spark, path, queries, nprobe=3, k=2, rerank=25
+            ).collect()
+        )
+
+    got = top2()
+    # both clone generations tie at cosine 1.0; id-asc tiebreak orders them
+    assert [(q, n) for q, _, n, _ in got] == [
+        (1, 1_000_001), (1, 2_000_001), (400, 1_000_400), (400, 2_000_400),
+    ]
+    fn2(clones2, 0)  # replay: same offset file -> same partitions, no dup
+    assert sim._stream_tier_bids(f"{path}/codes_stream") == {2}
+    assert top2() == got
 
 
 def test_annslice_stage_key_is_cross_process_deterministic():
