@@ -50,6 +50,11 @@ CASES = {
     # bucketized range join: hash equi-join on (key, bucket) — the raw
     # non-equi condition would plan as BroadcastNestedLoopJoin.
     "range_join_events": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
+    # streamed-then-compacted IVF-PQ lifecycle probe (r6): candidate
+    # joins are broadcast hash equi-joins on the cluster partition key —
+    # never a product over the codes/raw tiers (the BNLJ present is the
+    # tiny query×centroid broadcast attach, as in ann_semdedup).
+    "ann_ivfpq_compacted": (["CartesianProduct"], {}),
     # ExactSubstr span dedup: span-hash aggregation + equi-join back,
     # never a product over span occurrences; the dup-span table and the
     # per-doc removal table broadcast back so the occ relation and the
