@@ -16,6 +16,11 @@ the offline half of a RAG system, with every stage an engine operator:
               rerank=R re-scores the ADC top-R exactly from only the
               probed raw partitions (the FAISS refine pattern — the
               production recall fix, PERF.md "ANN recall")
+5. maintain — late-arriving chunks land as exactly-once micro-batch
+              tiers (streaming/ann.ivfpq_upsert_fn, namespaced by the
+              stream's checkpoint id) and are folded back into a
+              consolidated base by ivfpq_compact (pointer-committed,
+              crash-safe) so the index never accumulates small files
 
 Run: python examples/retrieval_index.py [sf_dir] [out_dir]
 """
@@ -77,10 +82,33 @@ def run_pipeline(spark, sf_dir: str, out_dir: str):
         "features", "embedding"
     )
 
+    from pygrametl_spark.streaming.ann import ivfpq_compact, ivfpq_upsert_fn
+
+    # "yesterday's corpus" is indexed offline; today's documents arrive
+    # later as micro-batches against the frozen quantizers (vec_id
+    # encodes doc_id * 10000 + chunk_id, so the split is per document)
+    base = vecs.filter("(vec_id DIV 10000) % 10 != 0")
+    late = vecs.filter("(vec_id DIV 10000) % 10 = 0")
     index_dir = os.path.join(out_dir, "ivfpq")
     sim.ivfpq_write_index(
-        vecs, index_dir, n_clusters=4, m=4, k=16, store_raw=True
+        base, index_dir, n_clusters=4, m=4, k=16, store_raw=True
     )
+
+    # exactly-once streamed maintenance: each batch owns its (cluster,
+    # _bid) partitions; the namespace pins the bid lineage to the
+    # stream's checkpoint so replays self-overwrite and a stream started
+    # after a compaction can never write below the probe watermark
+    upsert = ivfpq_upsert_fn(index_dir, namespace=f"{out_dir}/ckpt")
+    for bid, batch in enumerate([
+        late.filter("(vec_id DIV 10000) % 20 = 0"),
+        late.filter("(vec_id DIV 10000) % 20 != 0"),
+    ]):
+        upsert(batch, bid)
+
+    # fold the streamed tiers into a consolidated generation: probes are
+    # unchanged (bit-identical, test-pinned) but read one file per
+    # cluster instead of one per micro-batch per cluster
+    ivfpq_compact(spark, index_dir, include_latest_bid=True)
 
     # probe with the first few chunks as queries: each must find itself
     # impossible (self filtered) but near-identical overlapping chunks

@@ -86,6 +86,11 @@ def test_retrieval_index_pipeline(spark, tmp_path):
     assert os.path.isdir(f"{index_dir}/codes") and os.path.isdir(f"{index_dir}/centroids")
     assert os.path.isfile(f"{index_dir}/codebooks.json")
     assert os.path.isdir(f"{index_dir}/raw")
+    # ... and the r6 maintenance lifecycle ran: the streamed micro-batch
+    # tiers were folded into a pointer-committed generation and removed
+    assert os.path.isfile(f"{index_dir}/g1.json")
+    assert not os.path.isdir(f"{index_dir}/codes_stream")
+    assert not os.path.isdir(f"{index_dir}/raw_stream")
 
 
 def test_product_scd2_etl_history(spark, tmp_path):
