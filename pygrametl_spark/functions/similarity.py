@@ -1355,9 +1355,35 @@ def ivfpq_write_index(
     The exactness invariant (all clusters probed + full rerank ≡ brute
     force) holds for both formulations. ``books`` passed in must match
     the formulation (residual-trained for ``residual=True``).
+
+    Rebuild-in-place safety (ADVICE r6 #1): writing a FRESH index over a
+    path that previously ran the streamed/compacted lifecycle must not
+    leave that lifecycle's state behind — surviving ``g{N}.json``
+    pointers would keep :func:`_resolve_index_tiers` serving the OLD
+    generation's codes against the NEW codebooks (silently stale
+    probes), surviving stream tiers would union stale vectors in, and a
+    surviving ``stream_offsets``/``bid_cut`` would make a reused
+    namespace's first batch land below the stale watermark and raise.
+    All compaction/stream state under ``path`` is therefore deleted
+    before the fresh sidecars land.
     """
     import json
     import os
+    import re
+    import shutil
+
+    if os.path.isdir(path):
+        for entry in os.listdir(path):
+            if (
+                entry in ("codes_stream", "raw_stream", "stream_offsets")
+                or re.match(r"^gen_g\d+_[0-9a-f]+$", entry)
+            ):
+                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+            elif re.match(r"^g\d+\.json$", entry):
+                try:
+                    os.remove(os.path.join(path, entry))
+                except OSError:
+                    pass
 
     cent = centroids if centroids is not None else _centroids(df, id_col, vec_col, n_clusters)
     assigned = ivf_assign(df, id_col=id_col, vec_col=vec_col, centroids=cent)
@@ -1565,18 +1591,16 @@ def ivfpq_topk(
     turns the candidate join into a directory skip — but candidates are
     scored by ADC over their stored codes: the raw corpus vectors are
     never read at probe time. Returns (query_id, rank, neighbor_id,
-    adc_score).
+    score[, adc_score]).
 
     ``rerank=R`` (requires an index written with ``store_raw=True``)
     keeps the top R per query by ADC, exact-rescales them against the
     ``raw/`` store — joined on (cluster, id) with the tiny shortlist
     broadcast, so partition pruning still skips unprobed cluster
     directories — and returns the top ``k`` of the exact ordering as
-    (query_id, rank, neighbor_id, cosine), the same schema as
-    :func:`pq_topk_rerank` (the score IS the exact cosine, so it is
-    named that; the ADC-only path keeps ``adc_score``). This is the
-    recall fix for PQ-hostile distributions at the cost of reading
-    ≤ R raw vectors per query.
+    (query_id, rank, neighbor_id, score[, cosine]) — the score IS the
+    exact cosine there. This is the recall fix for PQ-hostile
+    distributions at the cost of reading ≤ R raw vectors per query.
 
     Measured production configuration (RECALL.json, sf0.1, recall@10):
     16 clusters with k=64 codebooks, nprobe=8 + rerank=200 → **0.806**;
@@ -1585,17 +1609,58 @@ def ivfpq_topk(
     probe width buys the last decade. Floor-pinned in
     tests/test_datatools.py::test_pq_rerank_and_multiprobe_quality.
 
-    API trap, named: the default score column DIFFERS by path —
-    ``adc_score`` (an approximation) without rerank, ``cosine`` (exact)
-    with it — because naming an ADC approximation ``cosine`` would
-    misrepresent it to oracle comparisons. A caller that toggles
-    ``rerank`` dynamically or selects the score generically should pass
-    ``score_col="score"`` (any name): the output then uses ONE stable
-    schema across both paths, with the approximate-vs-exact semantics
-    carried by the argument instead of the column name.
-    """
-    import os as _os
+    Stable score column (r7, closing the r5/r6 API trap): BOTH paths
+    now return the score under the name ``score``. Because the ADC
+    value is an approximation and the rerank value an exact cosine, the
+    default output ALSO carries the legacy path-specific duplicate
+    (``adc_score`` without rerank, ``cosine`` with it) for one
+    deprecation round, so callers selecting the old names keep working
+    while generic callers can finally select ``score`` unconditionally.
+    Passing ``score_col=<name>`` returns the single-score-column shape
+    (exactly the r6 opt-in behavior, any name).
 
+    Probe/compactor interleaving: layout resolution and the tier reads
+    are not atomic — a concurrent :func:`ivfpq_compact` commit+cleanup
+    can delete the just-superseded generation or a drained stream tier
+    between this probe's ``_resolve_index_tiers`` call and its
+    ``spark.read.parquet``. The plan build therefore retries ONCE on
+    ``AnalysisException``, re-resolving the layout (the pointer
+    protocol guarantees the NEW generation is committed before the old
+    one is deleted, so the second resolution always sees a complete
+    layout). One concurrent compaction per probe assumed — same
+    single-writer spirit as the rest of the index machinery.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        return _ivfpq_topk_build(
+            spark, path, queries, id_col=id_col, vec_col=vec_col,
+            nprobe=nprobe, k=k, rerank=rerank, score_col=score_col,
+        )
+    except AnalysisException:
+        # reader/compactor race: the resolved generation or a stream
+        # tier vanished mid-build — re-resolve once against the newly
+        # committed layout (ADVICE r6 #3)
+        return _ivfpq_topk_build(
+            spark, path, queries, id_col=id_col, vec_col=vec_col,
+            nprobe=nprobe, k=k, rerank=rerank, score_col=score_col,
+        )
+
+
+def _ivfpq_topk_build(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+    k: int,
+    rerank: "int | None",
+    score_col: "str | None",
+) -> DataFrame:
+    """One probe-plan build against the layout as currently resolvable —
+    see :func:`ivfpq_topk` for semantics and the retry contract."""
     books, residual = _load_books_meta(path)
     cent = spark.read.parquet(f"{path}/centroids")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
@@ -1711,13 +1776,19 @@ def ivfpq_topk(
         F.col("adc_score").desc_nulls_last(), F.col(id_col).asc()
     )
     if rerank is None:
+        out_scores = (
+            [F.col("adc_score").alias(score_col)]
+            if score_col
+            # stable name + one-round deprecated duplicate (see docstring)
+            else [F.col("adc_score").alias("score"), F.col("adc_score")]
+        )
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(
                 "query_id", F.col("rank").cast("long").alias("rank"),
                 F.col(id_col).alias("neighbor_id"),
-                F.col("adc_score").alias(score_col or "adc_score"),
+                *out_scores,
             )
         )
     short = (
@@ -1748,12 +1819,18 @@ def ivfpq_topk(
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
     )
+    out_scores = (
+        [F.col("cosine").alias(score_col)]
+        if score_col
+        # stable name + one-round deprecated duplicate (see docstring)
+        else [F.col("cosine").alias("score"), F.col("cosine")]
+    )
     return (
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select(
             "query_id", F.col("rank").cast("long").alias("rank"),
-            "neighbor_id", F.col("cosine").alias(score_col or "cosine"),
+            "neighbor_id", *out_scores,
         )
     )
 

@@ -1226,8 +1226,13 @@ MORE_ORACLES = {
     "ann_sq8_topk": ORACLE_ANN_SQ8,
     "ann_ivf_index": _ivf_oracle(),
     # the compacted-lifecycle probe reranks EVERY candidate, so its
-    # result is exactly the IVF oracle (see q_ann_ivfpq_compacted)
-    "ann_ivfpq_compacted": _ivf_oracle(),
+    # result is exactly the IVF oracle (see q_ann_ivfpq_compacted); the
+    # r7 stable-score API returns `score` plus the one-round deprecated
+    # `cosine` duplicate, both the same exact cosine on the rerank path
+    "ann_ivfpq_compacted": (
+        "SELECT query_id, rank, neighbor_id, cosine AS score, cosine "
+        f"FROM (\n{_ivf_oracle()}\n)"
+    ),
     "dim_getbykey": ORACLE_GETBYKEY,
     "transforming_source": ORACLE_TRANSFORMING,
     "dynamic_foreach_source": ORACLE_DYNAMIC_FOREACH,

@@ -361,7 +361,13 @@ def ivfpq_compact(
                 if not (c.startswith("cluster=") and os.path.isdir(cdir)):
                     continue
                 for b in os.listdir(cdir):
-                    if b.startswith("_bid=") and int(b.split("=", 1)[1]) < cut:
+                    if not b.startswith("_bid="):
+                        continue
+                    try:  # e.g. _bid=__HIVE_DEFAULT_PARTITION__: not ours,
+                        bid = int(b.split("=", 1)[1])  # leave it alone
+                    except ValueError:
+                        continue
+                    if bid < cut:
                         shutil.rmtree(os.path.join(cdir, b), ignore_errors=True)
                 if not os.listdir(cdir):
                     shutil.rmtree(cdir, ignore_errors=True)

@@ -2461,15 +2461,28 @@ def test_ivfpq_compact_stream_fold_equals_rebuild(spark, tmp_path):
     )
     assert "dynamicpruning" in plan, "compacted read lost partition pruning"
 
-    # score_col pins ONE output schema across the ADC and rerank paths
-    # (the default names differ by design: adc_score vs cosine)
+    # score_col pins ONE single-score-column schema across the ADC and
+    # rerank paths (the r6 opt-in shape)
     adc_cols = sim.ivfpq_topk(
-        spark, path, queries, k=5, score_col="score"
+        spark, path, queries, k=5, score_col="s"
     ).columns
     rr_cols = sim.ivfpq_topk(
-        spark, path, queries, k=5, rerank=25, score_col="score"
+        spark, path, queries, k=5, rerank=25, score_col="s"
     ).columns
-    assert adc_cols == rr_cols == ["query_id", "rank", "neighbor_id", "score"]
+    assert adc_cols == rr_cols == ["query_id", "rank", "neighbor_id", "s"]
+    # r7 default: a stable `score` column in BOTH paths, plus the legacy
+    # path-specific name kept one round as a deprecated duplicate
+    adc_def = sim.ivfpq_topk(spark, path, queries, k=5)
+    rr_def = sim.ivfpq_topk(spark, path, queries, k=5, rerank=25)
+    assert adc_def.columns == [
+        "query_id", "rank", "neighbor_id", "score", "adc_score",
+    ]
+    assert rr_def.columns == [
+        "query_id", "rank", "neighbor_id", "score", "cosine",
+    ]
+    for df in (adc_def, rr_def):
+        legacy = df.columns[-1]
+        assert df.filter(F.col("score") != F.col(legacy)).count() == 0
 
 
 def test_ivfpq_compact_crash_replay_and_generations(spark, tmp_path):
