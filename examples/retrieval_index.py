@@ -82,7 +82,9 @@ def run_pipeline(spark, sf_dir: str, out_dir: str):
         "features", "embedding"
     )
 
-    from pygrametl_spark.streaming.ann import ivfpq_compact, ivfpq_upsert_fn
+    from pygrametl_spark.streaming.ann import (
+        ivfpq_compact, ivfpq_release_writer, ivfpq_upsert_fn,
+    )
 
     # "yesterday's corpus" is indexed offline; today's documents arrive
     # later as micro-batches against the frozen quantizers (vec_id
@@ -97,17 +99,24 @@ def run_pipeline(spark, sf_dir: str, out_dir: str):
     # exactly-once streamed maintenance: each batch owns its (cluster,
     # _bid) partitions; the namespace pins the bid lineage to the
     # stream's checkpoint so replays self-overwrite and a stream started
-    # after a compaction can never write below the probe watermark
-    upsert = ivfpq_upsert_fn(index_dir, namespace=f"{out_dir}/ckpt")
+    # after a compaction can never write below the probe watermark. The
+    # first batch also claims the index's writer lease — a second
+    # concurrent stream would fail loudly instead of silently
+    # overwriting. compact_every_n_bids is the unattended-maintenance
+    # policy: the batch tail folds accumulated micro-partitions into a
+    # consolidated generation on its own (the latest, still-replayable
+    # batch always stays live), so nobody has to remember to compact.
+    upsert = ivfpq_upsert_fn(
+        index_dir, namespace=f"{out_dir}/ckpt", compact_every_n_bids=2
+    )
     for bid, batch in enumerate([
         late.filter("(vec_id DIV 10000) % 20 = 0"),
         late.filter("(vec_id DIV 10000) % 20 != 0"),
     ]):
         upsert(batch, bid)
-
-    # fold the streamed tiers into a consolidated generation: probes are
-    # unchanged (bit-identical, test-pinned) but read one file per
-    # cluster instead of one per micro-batch per cluster
+    # the stream is quiesced: release the writer lease and fold the
+    # final (no-longer-replayable) batch too
+    ivfpq_release_writer(index_dir, namespace=f"{out_dir}/ckpt")
     ivfpq_compact(spark, index_dir, include_latest_bid=True)
 
     # probe with the first few chunks as queries: each must find itself

@@ -1374,7 +1374,12 @@ def ivfpq_write_index(
 
     if os.path.isdir(path):
         for entry in os.listdir(path):
-            if (
+            if entry == "writer.lock":
+                try:
+                    os.remove(os.path.join(path, entry))
+                except OSError:
+                    pass
+            elif (
                 entry in ("codes_stream", "raw_stream", "stream_offsets")
                 or re.match(r"^gen_g\d+_[0-9a-f]+$", entry)
             ):

@@ -520,6 +520,68 @@ FROM documents d LEFT JOIN clus c ON d.doc_id = c.id
 ORACLE_NEARDUP_CLUSTERS = _cluster_oracle()
 
 
+def neardup_clusters_oracle_iterative(con):
+    """Scale-capable DuckDB replay of ``neardup_clusters`` (VERDICT r6
+    next-round #1): min-label propagation to fixpoint instead of the
+    recursive-CTE transitive closure. The closure materializes every
+    (node, reachable-node) pair — O(c³) total rows on the c-copy cliques
+    the K-replicated corpus is made of, which exhausted 78 GB of DuckDB
+    spill at K=100 while the engine's distributed large-star/small-star
+    CC (functions/dedup.py) ran fine. Label propagation is the textbook
+    linear-work-per-round alternative: labels start as each node's own
+    id, every round each node takes the min of its label and its
+    neighbors' labels, and the loop stops when an iteration changes
+    nothing — log-diameter rounds, and near-dup clusters are
+    low-diameter by construction (replica cliques have diameter 1).
+
+    Same mathematical result as ORACLE_NEARDUP_CLUSTERS (min reachable
+    id per node; equality is test-pinned at gate scale by
+    tests/test_coverage_extra.py::test_neardup_iterative_oracle_matches_cte),
+    same output schema/values, so a parity run may substitute it for
+    the one-string SQL oracle wherever the closure cannot scale
+    (scripts/parity_at_k.py does, for this query only). Takes an open
+    DuckDB connection with the standard table views registered; returns
+    the cursor of the final SELECT. Temp tables are namespaced _nc_*
+    and replaced on entry, so reruns on one connection are safe."""
+    edges_sql = _lsh_oracle(final=False) + """,
+edges AS (
+  SELECT id_1 AS a, id_2 AS b FROM pairs
+  UNION
+  SELECT id_2 AS a, id_1 AS b FROM pairs
+)
+SELECT a, b FROM edges
+"""
+    con.execute(f"CREATE OR REPLACE TEMP TABLE _nc_edges AS {edges_sql}")
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE _nc_lab AS "
+        "SELECT DISTINCT a AS id, a AS lbl FROM _nc_edges"
+    )
+    while True:
+        # one propagation round: the min label among each node's
+        # neighbors, folded into its own label
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE _nc_next AS "
+            "SELECT l.id, LEAST(l.lbl, COALESCE(n.m, l.lbl)) AS lbl "
+            "FROM _nc_lab l LEFT JOIN ("
+            "  SELECT e.a AS id, MIN(x.lbl) AS m "
+            "  FROM _nc_edges e JOIN _nc_lab x ON e.b = x.id GROUP BY e.a"
+            ") n ON l.id = n.id"
+        )
+        changed = con.execute(
+            "SELECT count(*) FROM _nc_lab l JOIN _nc_next n ON l.id = n.id "
+            "WHERE n.lbl < l.lbl"
+        ).fetchone()[0]
+        con.execute("CREATE OR REPLACE TEMP TABLE _nc_lab AS SELECT * FROM _nc_next")
+        if not changed:
+            break
+    return con.execute("""
+SELECT d.doc_id,
+       COALESCE(c.lbl, d.doc_id) AS cluster_id,
+       (COALESCE(c.lbl, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN _nc_lab c ON d.doc_id = c.id
+""")
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / dataset splitting (functions/sampling.py):
 # hash-bucket assignment is a pure scan-stage projection — zero shuffle,

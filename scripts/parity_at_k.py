@@ -58,6 +58,20 @@ UNIQUIFY_NAMES = {"customer": ["c_name"]}
 SHIFT = 100_000_000
 
 
+def _iterative_oracles():
+    """Oracle families whose one-string SQL cannot scale to high K get a
+    multi-statement DuckDB replay here — SAME values, feasible plan. The
+    driver gate (sf0.01) keeps running the registered SQL; equality of
+    the two oracle formulations is itself test-pinned at gate scale
+    (tests/test_coverage_extra.py). Currently only neardup_clusters: the
+    recursive-CTE closure is O(c³) on c-copy cliques and OOM-spilled
+    DuckDB at K=100 (r6), while min-label propagation is linear per
+    round (VERDICT r6 next-round #1)."""
+    from pygrametl_spark.queries_data import neardup_clusters_oracle_iterative
+
+    return {"neardup_clusters": neardup_clusters_oracle_iterative}
+
+
 def build_full_sfdir(spark, k: int) -> str:
     from pyspark.sql import functions as F
 
@@ -158,6 +172,13 @@ def main() -> None:
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    iterative = _iterative_oracles()
+
+    def run_oracle(name):
+        if name in iterative:
+            return iterative[name](con)
+        return con.execute(oracles[name])
+
     report: dict[str, dict] = {}
     n_pass = n_fail = n_skip = 0
     for name, fn in qs.items():
@@ -183,7 +204,7 @@ def main() -> None:
                 n_fail += 1
                 continue
             try:
-                res = con.execute(oracles[name])
+                res = run_oracle(name)
                 dcols = [d[0] for d in res.description]
                 dc, dn, dd = _digest_rows(dcols, _duck_chunks(res))
                 rec["oracle_rows"] = dn
@@ -229,7 +250,7 @@ def main() -> None:
             n_skip += 1
             continue
         try:
-            res = con.execute(oracles[name])
+            res = run_oracle(name)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
             rec["oracle_rows"] = len(drows)

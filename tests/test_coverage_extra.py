@@ -129,3 +129,38 @@ def test_salted_join_left_preserves_unmatched(spark):
     dim = spark.createDataFrame([(1, "one")], ["k", "name"])
     rows = {r["k"]: r["name"] for r in salted_join(facts, dim, "k", salt=4, how="left").collect()}
     assert rows == {1: "one", 99: None}
+
+
+def test_neardup_iterative_oracle_matches_cte():
+    """The scale-capable label-propagation oracle for neardup_clusters
+    (queries_data.neardup_clusters_oracle_iterative, used by
+    scripts/parity_at_k.py at high K where the recursive-CTE closure
+    OOMs) computes EXACTLY the registered SQL oracle's result at gate
+    scale — same schema, same (doc_id, cluster_id, keep) values. This
+    equality is what licenses substituting it in the K=100 parity run
+    (VERDICT r6 next-round #1)."""
+    import duckdb
+
+    from pygrametl_spark.queries_data import (
+        ORACLE_NEARDUP_CLUSTERS, neardup_clusters_oracle_iterative,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        "SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
+    )
+    cte = con.execute(ORACLE_NEARDUP_CLUSTERS)
+    cte_cols = [d[0] for d in cte.description]
+    cte_rows = sorted(map(tuple, cte.fetchall()))
+    it = neardup_clusters_oracle_iterative(con)
+    it_cols = [d[0] for d in it.description]
+    it_rows = sorted(map(tuple, it.fetchall()))
+    assert it_cols == cte_cols
+    assert it_rows == cte_rows and cte_rows
+    # some cluster structure must actually exist for the test to mean
+    # anything: at least one non-singleton cluster
+    assert any(not keep for _, _, keep in cte_rows)
+    # rerun on the same connection is safe (temp tables are replaced)
+    again = neardup_clusters_oracle_iterative(con)
+    assert sorted(map(tuple, again.fetchall())) == cte_rows

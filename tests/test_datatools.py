@@ -2259,7 +2259,8 @@ def test_pq_rerank_and_multiprobe_quality(spark, tmp_path):
     # all clusters probed + full rerank == exact (pruning removed, the
     # residual approximation is gone)
     allp = sim.ivfpq_topk(
-        spark, idx, queries, nprobe=8, k=k, rerank=n)
+        spark, idx, queries, nprobe=8, k=k, rerank=n
+    ).select("query_id", "rank", "neighbor_id", "cosine")
     assert sorted(map(tuple, allp.collect())) == sorted(
         (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
         for r in exact.collect()
@@ -2351,7 +2352,9 @@ def test_ivfpq_residual_encoding(spark, tmp_path):
 
     # (b) pruning off + full rerank: the residual reconstruction terms
     # (qdotc, |c|², cross-term map) must cancel to exact brute force
-    allp = sim.ivfpq_topk(spark, ir, queries, nprobe=6, k=k, rerank=N)
+    allp = sim.ivfpq_topk(spark, ir, queries, nprobe=6, k=k, rerank=N).select(
+        "query_id", "rank", "neighbor_id", "cosine"
+    )
     assert sorted(map(tuple, allp.collect())) == sorted(
         (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
         for r in exact.collect()
@@ -2502,8 +2505,8 @@ def test_ivfpq_compact_crash_replay_and_generations(spark, tmp_path):
     from pygrametl_spark.catalog import load_catalog
     from pygrametl_spark.functions import similarity as sim
     from pygrametl_spark.streaming.ann import (
-        _slice_stage_path, ivfpq_compact, ivfpq_upsert_fn,
-        stream_ivfpq_maintain,
+        _slice_stage_path, ivfpq_compact, ivfpq_release_writer,
+        ivfpq_upsert_fn, stream_ivfpq_maintain,
     )
 
     sf = "/root/testdata/sf0.001"
@@ -2545,6 +2548,7 @@ def test_ivfpq_compact_crash_replay_and_generations(spark, tmp_path):
     # exactly its own _bid=1 partitions — idempotent, results unchanged
     b1 = spark.read.parquet(f"{_slice_stage_path(sf, 2)}/part1")
     ivfpq_upsert_fn(path)(b1, 1)
+    ivfpq_release_writer(path)  # quiesce the anonymous replay writer
     assert sim._stream_tier_bids(f"{path}/codes_stream") == {1}
     assert probe(rerank=25) == before
     # a namespace-less write BELOW the watermark (a zombie writer, or a
@@ -2600,7 +2604,7 @@ def test_ivfpq_compact_crash_replay_and_generations(spark, tmp_path):
 
     got = top2()
     # both clone generations tie at cosine 1.0; id-asc tiebreak orders them
-    assert [(q, n) for q, _, n, _ in got] == [
+    assert [(q, n) for q, _, n, *_ in got] == [
         (1, 1_000_001), (1, 2_000_001), (400, 1_000_400), (400, 2_000_400),
     ]
     fn2(clones2, 0)  # replay: same offset file -> same partitions, no dup
@@ -2635,3 +2639,112 @@ def test_annslice_stage_key_is_cross_process_deterministic():
         outs.add(p.stdout.strip())
     assert len(outs) == 1, f"stage key differs across processes: {outs}"
     assert "annslice_" in next(iter(outs))
+
+
+def test_ivfpq_compact_probe_interleaving(spark, tmp_path):
+    """Probes racing a compaction (VERDICT r6 next-round #5): the
+    pointer protocol makes mid-compaction reads structurally safe — the
+    old layout stays resolvable until the create-exclusive commit, the
+    new generation is complete before it. Drive a probe from INSIDE the
+    compaction's two windows via the on_phase seam and pin that it
+    returns the pre-fold answer before the commit and the post-fold
+    answer after, never an error and never a doubled vector."""
+    from pygrametl_spark.catalog import load_catalog
+    from pygrametl_spark.functions import similarity as sim
+    from pygrametl_spark.streaming.ann import ivfpq_compact, stream_ivfpq_maintain
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "idx")
+    stream_ivfpq_maintain(spark, sf, n_files=3, n_clusters=4, index_path=path)
+    emb = load_catalog(spark, sf).embeddings
+    queries = emb.filter("vec_id IN (1, 400)")
+
+    def probe(**kw):
+        return sorted(
+            tuple(r)
+            for r in sim.ivfpq_topk(spark, path, queries, nprobe=3, k=5, **kw).collect()
+        )
+
+    before_adc, before_rr = probe(), probe(rerank=25)
+    seen = {}
+
+    def hook(phase):
+        seen[phase] = {
+            "gen": sim._resolve_index_tiers(path)["gen"],
+            "adc": probe(),
+            "rr": probe(rerank=25),
+        }
+
+    info = ivfpq_compact(spark, path, include_latest_bid=True, on_phase=hook)
+    assert info["gen"] == 1
+    # window 1 (staged, pre-commit): the OLD layout serves, bit-identical
+    assert seen["staged"]["gen"] == 0
+    assert seen["staged"]["adc"] == before_adc
+    assert seen["staged"]["rr"] == before_rr
+    # window 2 (committed, pre-cleanup): the NEW generation serves while
+    # the folded _bid partitions still exist on disk — the bid_cut
+    # watermark must hide them (no doubles), results bit-identical
+    assert seen["committed"]["gen"] == 1
+    assert seen["committed"]["adc"] == before_adc
+    assert seen["committed"]["rr"] == before_rr
+    # post-cleanup steady state
+    assert probe() == before_adc and probe(rerank=25) == before_rr
+
+
+def test_ivfpq_rebuild_in_place_clears_lifecycle_state(spark, tmp_path):
+    """Rebuilding an index IN PLACE over a path that previously ran the
+    streamed/compacted lifecycle (ADVICE r6 #1): surviving g*.json
+    pointers would keep probes serving the OLD generation's codes
+    against the NEW codebooks, surviving stream tiers would union stale
+    vectors in, and a surviving watermark would make a reused
+    namespace's first batch raise. ivfpq_write_index must clear all of
+    it."""
+    import os
+
+    from pygrametl_spark.catalog import load_catalog
+    from pygrametl_spark.functions import similarity as sim
+    from pygrametl_spark.streaming.ann import (
+        ivfpq_compact, ivfpq_release_writer, ivfpq_upsert_fn,
+        stream_ivfpq_maintain,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "idx")
+    stream_ivfpq_maintain(spark, sf, n_files=2, n_clusters=4, index_path=path)
+    ivfpq_compact(spark, path, include_latest_bid=True)
+    assert sim._resolve_index_tiers(path)["gen"] == 1  # lifecycle ran
+
+    # rebuild IN PLACE over the full corpus
+    emb = load_catalog(spark, sf).embeddings
+    books = sim.ivfpq_write_index(
+        emb, path, n_clusters=4, m=4, k=8, iters=1, store_raw=True
+    )
+    layout = sim._resolve_index_tiers(path)
+    assert layout["gen"] == 0 and layout["bid_cut"] == 0
+    for leftover in ("codes_stream", "raw_stream", "stream_offsets"):
+        assert not os.path.isdir(os.path.join(path, leftover))
+    assert not [f for f in os.listdir(path) if f.startswith("gen_g")]
+
+    # probes serve the FRESH index: identical to the same build at a
+    # clean path with the same quantizers
+    cent = spark.read.parquet(f"{path}/centroids")
+    clean = str(tmp_path / "clean")
+    sim.ivfpq_write_index(
+        emb, clean, centroids=cent, books=books, store_raw=True
+    )
+    queries = emb.filter("vec_id IN (1, 400)")
+
+    def probe(p):
+        return sorted(
+            tuple(r)
+            for r in sim.ivfpq_topk(spark, p, queries, nprobe=3, k=5, rerank=25).collect()
+        )
+
+    assert probe(path) == probe(clean)
+
+    # a REUSED namespace starts at offset 0 again instead of tripping
+    # the stale watermark RuntimeError (the retrieval example's re-run)
+    fn = ivfpq_upsert_fn(path, namespace="reused-ckpt")
+    fn(emb.filter("vec_id >= 300 AND vec_id < 310"), 0)
+    assert sim._stream_tier_bids(f"{path}/codes_stream") == {0}
+    ivfpq_release_writer(path, namespace="reused-ckpt")

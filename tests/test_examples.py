@@ -82,15 +82,22 @@ def test_retrieval_index_pipeline(spark, tmp_path):
         r["vec_id"] for r in vecs.orderBy("vec_id").limit(3).collect()
     }
     assert all(r["cosine"] is not None for r in rows)
-    # the index directory has the IVF-PQ layout, incl. the raw rerank tier
-    assert os.path.isdir(f"{index_dir}/codes") and os.path.isdir(f"{index_dir}/centroids")
+    assert all(r["score"] == r["cosine"] for r in rows)  # r7 stable score
+    # the index has the IVF-PQ layout: sidecars at the root, codes + the
+    # raw rerank tier in the LIVE pointer-committed generation (the r7
+    # auto-compaction policy compacted mid-stream, the quiesce fold
+    # compacted again, so gen-0 rotated out of the keep window)
+    from pygrametl_spark.functions.similarity import _resolve_index_tiers
+
+    assert os.path.isdir(f"{index_dir}/centroids")
     assert os.path.isfile(f"{index_dir}/codebooks.json")
-    assert os.path.isdir(f"{index_dir}/raw")
-    # ... and the r6 maintenance lifecycle ran: the streamed micro-batch
-    # tiers were folded into a pointer-committed generation and removed
-    assert os.path.isfile(f"{index_dir}/g1.json")
+    layout = _resolve_index_tiers(index_dir)
+    assert layout["gen"] == 2  # policy fold + quiesce fold
+    assert os.path.isdir(layout["codes"]) and os.path.isdir(layout["raw"])
+    # streamed micro-batch tiers folded and removed; lease released
     assert not os.path.isdir(f"{index_dir}/codes_stream")
     assert not os.path.isdir(f"{index_dir}/raw_stream")
+    assert not os.path.isfile(f"{index_dir}/writer.lock")
 
 
 def test_product_scd2_etl_history(spark, tmp_path):
