@@ -18,9 +18,12 @@ the offline half of a RAG system, with every stage an engine operator:
               production recall fix, PERF.md "ANN recall")
 5. maintain — late-arriving chunks land as exactly-once micro-batch
               tiers (streaming/ann.ivfpq_upsert_fn, namespaced by the
-              stream's checkpoint id) and are folded back into a
-              consolidated base by ivfpq_compact (pointer-committed,
-              crash-safe) so the index never accumulates small files
+              stream's checkpoint id, writer-lease-guarded against a
+              second concurrent stream) and fold back into a
+              consolidated base on their own via the
+              compact_every_n_bids auto-compaction policy (pointer-
+              committed, crash-safe) — the index never accumulates
+              small files, with no operator in the loop
 
 Run: python examples/retrieval_index.py [sf_dir] [out_dir]
 """
