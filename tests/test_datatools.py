@@ -2748,3 +2748,54 @@ def test_ivfpq_rebuild_in_place_clears_lifecycle_state(spark, tmp_path):
     fn(emb.filter("vec_id >= 300 AND vec_id < 310"), 0)
     assert sim._stream_tier_bids(f"{path}/codes_stream") == {0}
     ivfpq_release_writer(path, namespace="reused-ckpt")
+
+
+def test_ivfpq_probe_retries_on_stale_layout(spark, tmp_path, monkeypatch):
+    """The reader/compactor race retry (ADVICE r6 #3): a probe that
+    resolved the tier layout just before a compaction's cleanup deleted
+    the superseded generation gets an AnalysisException from the vanished
+    path — ivfpq_topk must re-resolve ONCE and serve the committed
+    layout. Simulated by feeding the probe a stale layout on its first
+    resolution only."""
+    import os
+
+    from pygrametl_spark.catalog import load_catalog
+    from pygrametl_spark.functions import similarity as sim
+    from pygrametl_spark.streaming.ann import ivfpq_compact, stream_ivfpq_maintain
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "idx")
+    stream_ivfpq_maintain(spark, sf, n_files=2, n_clusters=4, index_path=path)
+    emb = load_catalog(spark, sf).embeddings
+    queries = emb.filter("vec_id IN (1, 400)")
+
+    def probe(**kw):
+        return sorted(
+            tuple(r)
+            for r in sim.ivfpq_topk(spark, path, queries, nprobe=3, k=5, **kw).collect()
+        )
+
+    before = probe(rerank=25)
+    ivfpq_compact(spark, path, include_latest_bid=True)
+
+    # stale layout: points at a generation dir that no longer exists —
+    # exactly what a probe holds if cleanup ran between its resolution
+    # and its read
+    real_resolve = sim._resolve_index_tiers
+    calls = {"n": 0}
+
+    def flaky_resolve(p):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            gone = os.path.join(p, "gen_gone_deadbeef")
+            return {
+                "gen": 99,
+                "codes": os.path.join(gone, "codes"),
+                "raw": os.path.join(gone, "raw"),
+                "bid_cut": 0,
+            }
+        return real_resolve(p)
+
+    monkeypatch.setattr(sim, "_resolve_index_tiers", flaky_resolve)
+    assert probe(rerank=25) == before  # retried, re-resolved, identical
+    assert calls["n"] >= 2
