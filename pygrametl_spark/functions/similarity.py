@@ -1867,6 +1867,15 @@ def ivfpq_append_index(
     :func:`~pygrametl_spark.streaming.ann.ivfpq_compact` has rolled the
     base forward, appending into the superseded gen-0 dirs would
     silently hide the new vectors from every probe.
+
+    Concurrency contract: do not append WHILE a compaction is running —
+    an append that resolves generation N as a compaction commits N+1
+    lands its files in a directory that rotation may delete (the
+    streamed-upsert path has no such window: its `_bid` partitions are
+    watermark-protected, which is why continuous ingest should use
+    :func:`~pygrametl_spark.streaming.ann.ivfpq_upsert_fn` and treat
+    this function as quiesced one-off maintenance, the same
+    single-writer discipline as everything else here).
     """
     spark = df.sparkSession
     books, residual = _load_books_meta(path)
