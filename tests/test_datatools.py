@@ -2260,7 +2260,7 @@ def test_pq_rerank_and_multiprobe_quality(spark, tmp_path):
     # residual approximation is gone)
     allp = sim.ivfpq_topk(
         spark, idx, queries, nprobe=8, k=k, rerank=n
-    ).select("query_id", "rank", "neighbor_id", "cosine")
+    ).select("query_id", "rank", "neighbor_id", "score")
     assert sorted(map(tuple, allp.collect())) == sorted(
         (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
         for r in exact.collect()
@@ -2353,7 +2353,7 @@ def test_ivfpq_residual_encoding(spark, tmp_path):
     # (b) pruning off + full rerank: the residual reconstruction terms
     # (qdotc, |c|², cross-term map) must cancel to exact brute force
     allp = sim.ivfpq_topk(spark, ir, queries, nprobe=6, k=k, rerank=N).select(
-        "query_id", "rank", "neighbor_id", "cosine"
+        "query_id", "rank", "neighbor_id", "score"
     )
     assert sorted(map(tuple, allp.collect())) == sorted(
         (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
@@ -2473,19 +2473,20 @@ def test_ivfpq_compact_stream_fold_equals_rebuild(spark, tmp_path):
         spark, path, queries, k=5, rerank=25, score_col="s"
     ).columns
     assert adc_cols == rr_cols == ["query_id", "rank", "neighbor_id", "s"]
-    # r7 default: a stable `score` column in BOTH paths, plus the legacy
-    # path-specific name kept one round as a deprecated duplicate
+    # r8 default: the stable `score` column ONLY, in BOTH paths (the r7
+    # deprecated `adc_score`/`cosine` duplicates completed their one
+    # compat round and are gone)
     adc_def = sim.ivfpq_topk(spark, path, queries, k=5)
     rr_def = sim.ivfpq_topk(spark, path, queries, k=5, rerank=25)
-    assert adc_def.columns == [
-        "query_id", "rank", "neighbor_id", "score", "adc_score",
-    ]
-    assert rr_def.columns == [
-        "query_id", "rank", "neighbor_id", "score", "cosine",
-    ]
-    for df in (adc_def, rr_def):
-        legacy = df.columns[-1]
-        assert df.filter(F.col("score") != F.col(legacy)).count() == 0
+    assert (
+        adc_def.columns
+        == rr_def.columns
+        == ["query_id", "rank", "neighbor_id", "score"]
+    )
+    # and score_col only RENAMES: values identical to the default shape
+    assert sorted(map(tuple, adc_def.collect())) == sorted(
+        map(tuple, sim.ivfpq_topk(spark, path, queries, k=5, score_col="s").collect())
+    )
 
 
 def test_ivfpq_compact_crash_replay_and_generations(spark, tmp_path):
@@ -2570,13 +2571,13 @@ def test_ivfpq_compact_crash_replay_and_generations(spark, tmp_path):
 
     # (d) appends route to the LIVE generation and are probe-visible:
     # a clone of vec 1 under a fresh id must come back at rank 1 with
-    # cosine 1.0 for query 1
+    # score (exact cosine on the rerank path) 1.0 for query 1
     clones = emb.filter("vec_id IN (1, 400)").select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
     sim.ivfpq_append_index(clones, path)
     top = {
-        r["query_id"]: (r["neighbor_id"], r["cosine"])
+        r["query_id"]: (r["neighbor_id"], r["score"])
         for r in sim.ivfpq_topk(spark, path, queries, nprobe=3, k=1, rerank=25).collect()
     }
     assert top[1] == (1_000_001, 1.0)

@@ -81,8 +81,7 @@ def test_retrieval_index_pipeline(spark, tmp_path):
     assert {r["query_id"] for r in rows} == {
         r["vec_id"] for r in vecs.orderBy("vec_id").limit(3).collect()
     }
-    assert all(r["cosine"] is not None for r in rows)
-    assert all(r["score"] == r["cosine"] for r in rows)  # r7 stable score
+    assert all(r["score"] is not None for r in rows)  # stable score col
     # the index has the IVF-PQ layout: sidecars at the root, codes + the
     # raw rerank tier in the LIVE pointer-committed generation (the r7
     # auto-compaction policy compacted mid-stream, the quiesce fold
