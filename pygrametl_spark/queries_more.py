@@ -987,9 +987,13 @@ FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
 # ---------------------------------------------------------------------------
 
 def q_events_sessionize(spark, sf_dir):
+    from pygrametl_spark.queries_data import _memo_stream_gate
     from pygrametl_spark.streaming.events import stream_sessionize
 
-    return stream_sessionize(spark, sf_dir, gap_hours=6.0, n_files=2)
+    return _memo_stream_gate(
+        spark, "sessionize", sf_dir, "g6n2",
+        lambda: stream_sessionize(spark, sf_dir, gap_hours=6.0, n_files=2),
+    )
 
 
 ORACLE_SESSIONIZE = """
@@ -1226,10 +1230,16 @@ def _scd2_with_t1(spark, sf_dir, updateall: bool):
 def q_scd2_streaming_maintain(spark, sf_dir):
     """Streaming SCD2: scdensure per micro-batch via foreachBatch over
     time-ordered slices; final dimension == one-shot batch replay of the
-    full history (the oracle). See streaming.events.stream_scd2_maintain."""
+    full history (the oracle). See streaming.events.stream_scd2_maintain.
+    Drained once per (tmpdir, sf_dir) and replayed (_memo_stream_gate);
+    cold path in test_streaming_recovery."""
+    from pygrametl_spark.queries_data import _memo_stream_gate
     from pygrametl_spark.streaming.events import stream_scd2_maintain
 
-    return stream_scd2_maintain(spark, sf_dir, n_files=2)
+    return _memo_stream_gate(
+        spark, "scd2stream", sf_dir, "n2",
+        lambda: stream_scd2_maintain(spark, sf_dir, n_files=2),
+    )
 
 
 ORACLE_SCD2_STREAMING = _SCD2_DUCK_DIM + """

@@ -359,10 +359,12 @@ def _slice_stage_path(sf_dir: str, n_files: int) -> str:
     (VERDICT r5 "what's wrong" #1). sha1 gives every process the same
     name; completeness is signalled by the ``_SLICED`` marker written
     AFTER all slices land, so a crash mid-staging re-stages instead of
-    serving a partial slice set."""
-    import hashlib
+    serving a partial slice set. The key carries the source fingerprint
+    (r8) so regenerated testdata never hits a stale cross-process
+    cache."""
+    from pygrametl_spark.streaming.corpus import _source_slice_key
 
-    key = hashlib.sha1(f"{sf_dir}|{n_files}".encode()).hexdigest()[:12]
+    key = _source_slice_key(f"{sf_dir}/embeddings.parquet", n_files)
     return scratch_path(f"annslice_{key}")
 
 

@@ -28,6 +28,29 @@ __all__ = ["stream_dedup_exact", "stream_dedup_minhash", "minhash_accept_fn",
            "stream_dedup_exactsubstr", "exactsubstr_accept_fn"]
 
 
+def _source_slice_key(path: str, n_files: int) -> str:
+    """Cross-process-stable cache key for staged micro-batch slices of a
+    source table: sha1 of (path, n_files, per-file size+mtime). The
+    fingerprint part means regenerated data at the same path gets fresh
+    slices instead of a stale cache hit."""
+    import hashlib
+
+    sig = []
+    try:
+        if os.path.isdir(path):
+            for f in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, f))
+                sig.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+        else:
+            st = os.stat(path)
+            sig.append(f":{st.st_size}:{st.st_mtime_ns}")
+    except OSError:
+        pass
+    return hashlib.sha1(
+        f"{path}|{n_files}|{';'.join(sig)}".encode()
+    ).hexdigest()[:12]
+
+
 def _stage_id_sliced(spark: SparkSession, sf_dir: str, n_files: int):
     """Stage documents as ``n_files`` doc_id-ordered parquet files (one
     per micro-batch with ``maxFilesPerTrigger=1``) — the arrival order a
@@ -41,8 +64,14 @@ def _stage_id_sliced(spark: SparkSession, sf_dir: str, n_files: int):
     source path + n_files) so repeated bench drains pay it once."""
     path = f"{sf_dir}/documents.parquet"
     full = spark.read.parquet(path)
-    stage = scratch_path(f"docslice_{abs(hash((path, n_files))) % 10**8}")
-    if not os.path.isdir(stage) or len(os.listdir(stage)) != n_files:
+    # hashlib key, not salted hash() (VERDICT r5): a hash()-named dir is
+    # never found again by a fresh driver process — every bench/driver
+    # run silently re-staged; completeness via the _SLICED marker. The
+    # key carries the source fingerprint so regenerated testdata at the
+    # same path can never serve stale slices cross-process.
+    key = _source_slice_key(path, n_files)
+    stage = scratch_path(f"docslice_{key}")
+    if not os.path.isfile(f"{stage}/_SLICED"):
         bounds = full.select(
             F.percentile_approx("doc_id", [i / n_files for i in range(1, n_files)], 10000).alias("b")
         ).first()["b"]
@@ -58,6 +87,8 @@ def _stage_id_sliced(spark: SparkSession, sf_dir: str, n_files: int):
         for i in range(n_files):  # mtime order = processing order
             for f in os.listdir(f"{stage}/part{i}"):
                 os.utime(f"{stage}/part{i}/{f}", (1_700_000_000 + i, 1_700_000_000 + i))
+        with open(f"{stage}/_SLICED", "w") as fh:  # completeness marker
+            fh.write("ok")
     return full, stage
 
 
