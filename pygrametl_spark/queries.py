@@ -40,12 +40,13 @@ from pygrametl_spark.sources.sources import (
     UnionSource,
 )
 
-TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
-
-
-def _fmt_ts(c) -> F.Column:
-    return F.date_format(c, TS_FMT_SPARK)
+# Shared oracle-formatting helpers live in the leaf module
+# queries_shared (re-exported here for existing callers) — defining
+# them in THIS module made queries_extra/queries_more import back into
+# the registry assembler, a latent import cycle.
+from pygrametl_spark.queries_shared import (  # noqa: F401
+    _SCD2_DUCK_DIM, TS_FMT_DUCK, TS_FMT_SPARK, _fmt_ts,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -346,26 +347,6 @@ WITH latest AS (
 )
 SELECT c_custkey, c_name, COALESCE(l.o_totalprice, c_acctbal) AS c_acctbal, c_mktsegment
 FROM customer c LEFT JOIN latest l ON c.c_custkey = l.o_custkey
-"""
-
-
-_SCD2_DUCK_DIM = """
-WITH changes AS (
-  SELECT user_id, event_type, ts, event_id,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-  FROM events
-), kept AS (
-  SELECT user_id, event_type, ts, event_id FROM changes
-  WHERE prev IS NULL OR prev <> event_type
-), v AS (
-  SELECT user_id, event_type, ts AS fromdate,
-         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS todate,
-         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
-  FROM kept
-), dim AS (
-  SELECT CAST(row_number() OVER (ORDER BY user_id, version) AS BIGINT) AS id, *
-  FROM v
-)
 """
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pygrametl_spark.catalog import load_catalog, read_parquet
 from pygrametl_spark.functions import similarity as sim
 from pygrametl_spark.operators.scd import SlowlyChangingDimension, scd2_from_history
-from pygrametl_spark.queries import TS_FMT_DUCK, _fmt_ts
+from pygrametl_spark.queries_shared import TS_FMT_DUCK, _fmt_ts
 from pygrametl_spark.sources.sources import JSONLSource, PandasSource, TypedCSVSource
 
 # ---------------------------------------------------------------------------

@@ -27,7 +27,7 @@ from pygrametl_spark.operators.facttable import FactTable
 from pygrametl_spark.operators.scd import SlowlyChangingDimension, scd2_from_history
 from pygrametl_spark.operators.snowflake import SnowflakedDimension
 from pygrametl_spark.plans.keys import assign_dense_keys
-from pygrametl_spark.queries import TS_FMT_DUCK, _SCD2_DUCK_DIM, _fmt_ts
+from pygrametl_spark.queries_shared import TS_FMT_DUCK, _SCD2_DUCK_DIM, _fmt_ts
 from pygrametl_spark.sources.sources import (
     DynamicForEachSource,
     PEP249Source,

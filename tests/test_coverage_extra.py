@@ -219,3 +219,29 @@ def test_quantizer_memo_versioned_keys(spark, monkeypatch):
                 os.remove(p)
             except OSError:
                 pass
+
+
+def test_registry_modules_import_standalone():
+    """r8 regression pin: every query-registry module must import in a
+    FRESH interpreter with no sibling pre-imported. queries_more/
+    queries_extra used to pull oracle helpers back out of queries.py
+    (which imports their registries at the bottom) — a cycle that only
+    surfaced when a registry module happened to be the first of the
+    family imported in a process (ImportError: partially initialized
+    module). The helpers now live in the leaf module queries_shared."""
+    import subprocess
+    import sys
+
+    for mod in (
+        "pygrametl_spark.queries_more",
+        "pygrametl_spark.queries_extra",
+        "pygrametl_spark.queries_data",
+        "pygrametl_spark.queries_merged",
+        "pygrametl_spark.queries",
+        "pygrametl_spark.queries_shared",
+    ):
+        r = subprocess.run(
+            [sys.executable, "-c", f"import {mod}"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, f"{mod} failed standalone: {r.stderr[-500:]}"
