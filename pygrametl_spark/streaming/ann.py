@@ -437,15 +437,19 @@ def ivfpq_upsert_fn(
     only one live bid exists — there is nothing safely foldable.
 
     The policy fold runs SYNCHRONOUSLY in the batch tail, so ingest
-    stalls for its duration (measured: see SCALING.md's auto-compaction
-    row — the cost is dominated by rewriting the BASE generation, not
-    the streamed slice). ``compact_max_fold_bids=`` caps how many
-    accumulated ``_bid`` partitions one tail folds (oldest first;
-    successive tails drain the backlog monotonically) — it bounds the
-    stream-side slice, while the base-rewrite cost is inherent to the
-    single-generation layout: at large corpus sizes run the compactor
-    out-of-band instead (probes stay correct throughout — the pointer
-    protocol serves the old generation until the commit instant).
+    stalls for its duration (measured — scripts/compaction_stall.py →
+    COMPACTION_STALL.json and SCALING.md's auto-compaction row: at a
+    100k-vector base with a 9×6k-vector backlog, one uncapped fold
+    stalls ≈0.8× an ingest batch; the stall splits into a backlog-
+    proportional stream-slice share and a base-generation rewrite
+    floor). ``compact_max_fold_bids=`` caps how many accumulated
+    ``_bid`` partitions one tail folds (oldest first; successive tails
+    drain the backlog monotonically) — it bounds the stream-slice
+    share (measured 7.0 s → 2.1–3.1 s per tail), while the base-rewrite
+    floor is inherent to the single-generation layout and GROWS with
+    index size: at large corpus sizes run the compactor out-of-band
+    instead (probes stay correct throughout — the pointer protocol
+    serves the old generation until the commit instant).
     """
     import uuid
 
