@@ -378,6 +378,7 @@ def ivfpq_upsert_fn(
     compact_keep_generations: int = 2,
     compact_files_per_cluster: int = 1,
     compact_max_fold_bids: int | None = None,
+    compact_async: bool = False,
 ):
     """The ``foreachBatch`` body: encode a micro-batch of
     ``(vec_id, embedding)`` rows with the index's OWN frozen quantizers
@@ -450,6 +451,24 @@ def ivfpq_upsert_fn(
     index size: at large corpus sizes run the compactor out-of-band
     instead (probes stay correct throughout — the pointer protocol
     serves the old generation until the commit instant).
+
+    ``compact_async=True`` (r8) IS that out-of-band compactor, managed:
+    the policy fold runs on a daemon thread while ingest continues —
+    the tail's only cost is the live-bid listing. Safe because the
+    streamed tier is the one surface with no append/compaction race
+    window: new batches write strictly-above-watermark ``_bid``
+    partitions the fold never touches, the latest (replayable) bid is
+    excluded from the fold exactly as in the synchronous case, and the
+    pointer protocol keeps concurrent probes resolvable at every
+    instant (crash mid-fold ≡ the already-tested compaction crash
+    windows). At most ONE fold is in flight — a tail that triggers
+    while one runs skips (the next eligible tail picks the backlog up);
+    a fold failure is re-raised LOUDLY on the next batch tail (failing
+    that batch before it writes; its replay is idempotent), and
+    :func:`stream_ivfpq_maintain` joins + re-raises at stream end so a
+    tail-less shutdown can't swallow one. Single-compactor discipline
+    still applies: don't ALSO run a manual ``ivfpq_compact`` against an
+    index whose stream compacts asynchronously.
     """
     import uuid
 
@@ -465,6 +484,35 @@ def ivfpq_upsert_fn(
         "__anon__" + uuid.uuid4().hex
     )
     lease_state = {"held": False, "fence": None}
+    # async-policy fold state: at most one in-flight thread; an error is
+    # parked here and re-raised loudly by the NEXT batch tail (and by
+    # join_compaction at stream end)
+    compact_state: dict = {"thread": None, "error": None}
+
+    def _run_fold(spark) -> None:
+        try:
+            ivfpq_compact(
+                spark, path,
+                keep_generations=compact_keep_generations,
+                files_per_cluster=compact_files_per_cluster,
+                max_fold_bids=compact_max_fold_bids,
+            )
+        except BaseException as e:  # noqa: BLE001 — parked, re-raised on the tail
+            compact_state["error"] = e
+
+    def join_compaction(timeout: "float | None" = None) -> None:
+        """Wait for an in-flight async policy fold and re-raise any
+        parked fold error — call after the stream quiesces so a failure
+        on the FINAL fold (no later batch tail to surface it) is never
+        swallowed. No-op for synchronous/policy-less writers."""
+        t = compact_state["thread"]
+        if t is not None and t.is_alive():
+            t.join(timeout)
+        if compact_state["error"] is not None:
+            err, compact_state["error"] = compact_state["error"], None
+            raise RuntimeError(
+                f"async auto-compaction of index {path} failed"
+            ) from err
 
     def _bid_offset() -> int:
         if namespace is None:
@@ -537,20 +585,52 @@ def ivfpq_upsert_fn(
                 _resolve_index_tiers, _stream_tier_bids,
             )
 
-            cut = _resolve_index_tiers(path)["bid_cut"]
-            live = [
-                b
-                for b in _stream_tier_bids(os.path.join(path, "codes_stream"))
-                if b >= cut
-            ]
-            # latest bid stays live (replayable) — need >=2 to fold any
-            if len(live) >= max(2, int(compact_every_n_bids)):
-                ivfpq_compact(
-                    bdf.sparkSession, path,
-                    keep_generations=compact_keep_generations,
-                    files_per_cluster=compact_files_per_cluster,
-                    max_fold_bids=compact_max_fold_bids,
-                )
+            # an async fold that failed surfaces HERE, loudly, before
+            # this batch tail can trigger another: the raise fails this
+            # batch AFTER its (idempotent) write, so the stream stops
+            # and a restart replays it — nothing is lost or doubled
+            if compact_state["error"] is not None:
+                err, compact_state["error"] = compact_state["error"], None
+                raise RuntimeError(
+                    f"async auto-compaction of index {path} failed; "
+                    "stopping the stream (the backlog is intact — fix "
+                    "the cause and restart, or fold out-of-band with "
+                    "ivfpq_compact)"
+                ) from err
+            if compact_async and (
+                compact_state["thread"] is not None
+                and compact_state["thread"].is_alive()
+            ):
+                pass  # one fold in flight; the next eligible tail folds
+            else:
+                cut = _resolve_index_tiers(path)["bid_cut"]
+                live = [
+                    b
+                    for b in _stream_tier_bids(
+                        os.path.join(path, "codes_stream")
+                    )
+                    if b >= cut
+                ]
+                # latest bid stays live (replayable) — need >=2 to fold
+                if len(live) >= max(2, int(compact_every_n_bids)):
+                    if compact_async:
+                        import threading
+
+                        t = threading.Thread(
+                            target=_run_fold,
+                            args=(bdf.sparkSession,),
+                            name=f"ivfpq-compact-{os.path.basename(path)}",
+                            daemon=True,
+                        )
+                        compact_state["thread"] = t
+                        t.start()
+                    else:
+                        ivfpq_compact(
+                            bdf.sparkSession, path,
+                            keep_generations=compact_keep_generations,
+                            files_per_cluster=compact_files_per_cluster,
+                            max_fold_bids=compact_max_fold_bids,
+                        )
 
     def _upsert_body(bdf: DataFrame, bid: int) -> None:
         from pygrametl_spark.functions.similarity import _resolve_index_tiers
@@ -601,6 +681,7 @@ def ivfpq_upsert_fn(
                 .parquet(f"{path}/raw_stream")
             )
 
+    upsert.join_compaction = join_compaction
     return upsert
 
 
@@ -617,6 +698,7 @@ def stream_ivfpq_maintain(
     index_path: str | None = None,
     compact_every_n_bids: int | None = None,
     compact_keep_generations: int = 2,
+    compact_async: bool = False,
 ) -> str:
     """Harness entry: split the embeddings table into a BASE half (the
     offline corpus the quantizers are trained on, written as a normal
@@ -682,10 +764,11 @@ def stream_ivfpq_maintain(
         # partitions and a FRESH run starts above the compaction
         # watermark instead of writing invisible batches
         files.writeStream.foreachBatch(
-            ivfpq_upsert_fn(
+            fn := ivfpq_upsert_fn(
                 path, namespace=ckpt,
                 compact_every_n_bids=compact_every_n_bids,
                 compact_keep_generations=compact_keep_generations,
+                compact_async=compact_async,
             )
         )
         .option("checkpointLocation", ckpt)
@@ -693,6 +776,9 @@ def stream_ivfpq_maintain(
         .start()
     )
     q.awaitTermination()
+    # settle an in-flight async fold and surface a final-fold failure
+    # (no later batch tail exists to re-raise it)
+    fn.join_compaction()
     # quiesced: release the writer lease so the NEXT stream lifetime on
     # this index starts clean instead of waiting out the ttl
     ivfpq_release_writer(path, namespace=ckpt)

@@ -843,3 +843,163 @@ def test_ivfpq_compact_max_fold_bids_converges(spark, tmp_path):
     layout = ivfpq_compact(spark, capped, include_latest_bid=True, max_fold_bids=2)
     assert layout["bid_cut"] == 5  # no-op once drained
     assert probe(capped) == want_folded
+
+
+def test_ivfpq_async_auto_compaction(spark, tmp_path):
+    """r8: ``compact_async=True`` moves the policy fold off the batch
+    tail onto a daemon thread — ingest never stalls for the fold. Safe
+    by the same arguments as the synchronous policy (new bids land
+    strictly above the watermark, the latest replayable bid is excluded,
+    the pointer protocol keeps probes resolvable), so the pinned
+    contract is: (a) the drained end state still probes identically to
+    a one-shot rebuild with the same frozen quantizers and stays
+    bounded, (b) at most ONE fold is ever in flight, (c) a fold failure
+    is re-raised loudly on the next batch tail and (d) by
+    join_compaction at stream end, never swallowed."""
+    import threading
+    import time
+
+    from pygrametl_spark.catalog import load_catalog
+    from pygrametl_spark.functions import similarity as sim
+    from pygrametl_spark.streaming import ann
+    from pygrametl_spark.streaming.ann import stream_ivfpq_maintain
+
+    # (a) full harness drive, async policy
+    path = str(tmp_path / "idx")
+    stream_ivfpq_maintain(
+        spark, SF, n_files=4, n_clusters=4, index_path=path,
+        compact_every_n_bids=2, compact_keep_generations=1,
+        compact_async=True,
+    )
+    layout = sim._resolve_index_tiers(path)
+    assert layout["bid_cut"] >= 1  # at least one fold really ran
+    live = [
+        b for b in sim._stream_tier_bids(f"{path}/codes_stream")
+        if b >= layout["bid_cut"]
+    ]
+    assert len(live) <= 4  # bounded (async tails may skip while folding)
+    assert not os.path.isfile(os.path.join(path, "writer.lock"))
+
+    emb = load_catalog(spark, SF).embeddings
+    books, _res = sim._load_books_meta(path)
+    cent = spark.read.parquet(f"{path}/centroids")
+    full = str(tmp_path / "full")
+    sim.ivfpq_write_index(
+        emb, full, centroids=cent, books=books, store_raw=True
+    )
+    queries = emb.filter("vec_id IN (1, 400)")
+
+    def probe(p, **kw):
+        return sorted(
+            tuple(r)
+            for r in sim.ivfpq_topk(
+                spark, p, queries, nprobe=3, k=5, **kw
+            ).collect()
+        )
+
+    assert probe(path) == probe(full)
+    assert probe(path, rerank=25) == probe(full, rerank=25)
+
+    # (b) single fold in flight: a slow fold makes later eligible tails
+    # skip instead of stacking threads
+    base = emb.filter("vec_id <= 250")
+    slow = str(tmp_path / "slow")
+    sim.ivfpq_write_index(
+        base, slow, n_clusters=4, m=4, k=8, iters=1, store_raw=True
+    )
+    state = {"active": 0, "peak": 0, "calls": 0}
+    gate = threading.Lock()
+    real_compact = ann.ivfpq_compact
+
+    def slow_compact(spark_, p, **kw):
+        with gate:
+            state["active"] += 1
+            state["calls"] += 1
+            state["peak"] = max(state["peak"], state["active"])
+        time.sleep(0.8)
+        try:
+            return real_compact(spark_, p, **kw)
+        finally:
+            with gate:
+                state["active"] -= 1
+
+    fn = ann.ivfpq_upsert_fn(
+        slow, namespace=f"{slow}-ckpt", compact_every_n_bids=2,
+        compact_async=True,
+    )
+    orig = ann.ivfpq_compact
+    ann.ivfpq_compact = slow_compact
+    try:
+        for i in range(5):
+            lo, hi = 250 + i * 30, 250 + (i + 1) * 30
+            fn(emb.filter(f"vec_id > {lo} AND vec_id <= {hi}"), i)
+        fn.join_compaction()
+    finally:
+        ann.ivfpq_compact = orig
+    assert state["peak"] == 1  # never two folds in flight
+    assert state["calls"] >= 1
+    ann.ivfpq_release_writer(slow, namespace=f"{slow}-ckpt")
+    # end state still probes like the synchronous policy would
+    q2 = emb.filter("vec_id IN (1, 300, 395)")
+    ref = str(tmp_path / "slowref")
+    books2, _ = sim._load_books_meta(slow)
+    cent2 = spark.read.parquet(f"{slow}/centroids")
+    sim.ivfpq_write_index(
+        emb.filter("vec_id <= 400"), ref, centroids=cent2, books=books2,
+        store_raw=True,
+    )
+    got = sorted(
+        tuple(r) for r in sim.ivfpq_topk(
+            spark, slow, q2, nprobe=4, k=5, rerank=25
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in sim.ivfpq_topk(
+            spark, ref, q2, nprobe=4, k=5, rerank=25
+        ).collect()
+    )
+    assert got == want
+
+    # (c) fold failure surfaces on the NEXT batch tail, loudly
+    bad = str(tmp_path / "bad")
+    sim.ivfpq_write_index(
+        base, bad, n_clusters=4, m=4, k=8, iters=1, store_raw=True
+    )
+
+    def boom(spark_, p, **kw):
+        raise ValueError("fold exploded")
+
+    fn2 = ann.ivfpq_upsert_fn(
+        bad, namespace=f"{bad}-ckpt", compact_every_n_bids=2,
+        compact_async=True,
+    )
+    ann.ivfpq_compact = boom
+    try:
+        fn2(emb.filter("vec_id > 250 AND vec_id <= 280"), 0)
+        fn2(emb.filter("vec_id > 280 AND vec_id <= 310"), 1)  # triggers
+        with pytest.raises(RuntimeError, match="async auto-compaction"):
+            # the boom thread parks its error near-instantly; spin a few
+            # idempotent replays of bid 2 until a tail re-raises it
+            for _ in range(50):
+                fn2(emb.filter("vec_id > 310 AND vec_id <= 340"), 2)
+                time.sleep(0.1)
+    finally:
+        ann.ivfpq_compact = orig
+
+    # (d) join_compaction re-raises a parked final-fold error
+    bad2 = str(tmp_path / "bad2")
+    sim.ivfpq_write_index(
+        base, bad2, n_clusters=4, m=4, k=8, iters=1, store_raw=True
+    )
+    fn3 = ann.ivfpq_upsert_fn(
+        bad2, namespace=f"{bad2}-ckpt", compact_every_n_bids=2,
+        compact_async=True,
+    )
+    ann.ivfpq_compact = boom
+    try:
+        fn3(emb.filter("vec_id > 250 AND vec_id <= 280"), 0)
+        fn3(emb.filter("vec_id > 280 AND vec_id <= 310"), 1)  # triggers
+        with pytest.raises(RuntimeError, match="async auto-compaction"):
+            fn3.join_compaction()
+    finally:
+        ann.ivfpq_compact = orig
