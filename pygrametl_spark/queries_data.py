@@ -47,11 +47,21 @@ def _memo_stream_gate(spark, tag: str, sf_dir: str, params: str, build):
     a pid-suffixed temp dir and ``os.rename``d into place, so the memo
     dir either exists complete or not at all — a concurrent builder
     loses the rename and discards its stage, a crash leaves only temp
-    debris. hashlib key, never salted ``hash()`` (VERDICT r5)."""
+    debris. hashlib key, never salted ``hash()`` (VERDICT r5).
+
+    ``SPARK_GRAFT_COLD_GATES=1`` bypasses the memo in BOTH directions
+    (no replay, no persist): the honesty switch for measuring true
+    streaming throughput on a warm host — e.g.
+    ``SPARK_GRAFT_COLD_GATES=1 python bench.py`` re-pays every
+    micro-batch drain, while the default sweep measures the
+    skip-redundant-work behavior a warm pipeline actually has."""
     import hashlib
     import os
     import shutil
     import tempfile
+
+    if os.environ.get("SPARK_GRAFT_COLD_GATES") == "1":
+        return build()
 
     # the key carries an input fingerprint (per-file size+mtime of the
     # source parquet tables) so regenerated testdata at the same path

@@ -84,6 +84,9 @@ def _memo_pq_books(spark, sf_dir, *, m: int, k: int, iters: int):
     from pygrametl_spark.functions import similarity as sim
 
     f = _quantizer_memo_path("pqbooks", sf_dir, f"m{m}k{k}i{iters}")
+    if os.environ.get("SPARK_GRAFT_COLD_GATES") == "1":
+        emb = load_catalog(spark, sf_dir).embeddings
+        return sim.pq_train(emb, m=m, k=k, iters=iters)
     if os.path.isfile(f):
         with open(f) as fh:
             return json.load(fh)
@@ -108,6 +111,9 @@ def _memo_kmeans_centroids(spark, sf_dir, *, n_clusters: int, iters: int):
     from pygrametl_spark.functions import similarity as sim
 
     f = _quantizer_memo_path("kmcent", sf_dir, f"n{n_clusters}i{iters}")
+    if os.environ.get("SPARK_GRAFT_COLD_GATES") == "1":
+        emb = load_catalog(spark, sf_dir).embeddings
+        return sim.kmeans_refine(emb, n_clusters=n_clusters, iters=iters)
     if os.path.isfile(f):
         with open(f) as fh:
             meta = json.load(fh)

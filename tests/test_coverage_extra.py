@@ -245,3 +245,44 @@ def test_registry_modules_import_standalone():
             capture_output=True, text=True, cwd="/root/repo",
         )
         assert r.returncode == 0, f"{mod} failed standalone: {r.stderr[-500:]}"
+
+
+def test_cold_gates_env_bypasses_memos(spark, monkeypatch, tmp_path):
+    """SPARK_GRAFT_COLD_GATES=1 is the throughput-honesty switch: gate
+    memoization is bypassed in BOTH directions — a poisoned/stale memo
+    is not served, and no memo is persisted — so a cold bench/parity
+    run on a warm host really re-executes the stream drain / training."""
+    import glob
+    import json
+    import tempfile
+
+    from pygrametl_spark import queries_more as qm
+    from pygrametl_spark.queries_data import _memo_stream_gate
+
+    sf = "/root/testdata/sf0.001"
+
+    # stream gate: no memo dir appears for a fresh tag while cold
+    monkeypatch.setenv("SPARK_GRAFT_COLD_GATES", "1")
+    out = _memo_stream_gate(
+        spark, "coldgate_probe", sf, "p1",
+        lambda: spark.createDataFrame([(1, "a")], "id long, v string"),
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, "a")]
+    assert not glob.glob(
+        f"{tempfile.gettempdir()}/pygrametl_spark_streamgate_coldgate_probe_*"
+    )
+
+    # quantizer memo: a poisoned on-disk artifact is IGNORED while cold
+    poisoned = [[[9.9] * 64] * 4] * 2
+    f = qm._quantizer_memo_path("pqbooks", sf, "m2k4i1")
+    with open(f, "w") as fh:
+        json.dump(poisoned, fh)
+    try:
+        books = qm._memo_pq_books(spark, sf, m=2, k=4, iters=1)
+        assert books != poisoned  # really trained
+        assert len(books) == 2 and len(books[0]) == 4
+        # warm path still serves it once the switch is off
+        monkeypatch.delenv("SPARK_GRAFT_COLD_GATES")
+        assert qm._memo_pq_books(spark, sf, m=2, k=4, iters=1) == poisoned
+    finally:
+        os.remove(f)
