@@ -109,16 +109,23 @@ def run_pipeline(spark, sf_dir: str, out_dir: str):
     # policy: the batch tail folds accumulated micro-partitions into a
     # consolidated generation on its own (the latest, still-replayable
     # batch always stays live), so nobody has to remember to compact.
+    # compact_async moves the fold onto a daemon thread so ingest never
+    # stalls for it (bound the tail instead with compact_max_fold_bids=
+    # if you want the fold synchronous but capped — the measured stall
+    # ladder is in SCALING.md).
     upsert = ivfpq_upsert_fn(
-        index_dir, namespace=f"{out_dir}/ckpt", compact_every_n_bids=2
+        index_dir, namespace=f"{out_dir}/ckpt", compact_every_n_bids=2,
+        compact_async=True,
     )
     for bid, batch in enumerate([
         late.filter("(vec_id DIV 10000) % 20 = 0"),
         late.filter("(vec_id DIV 10000) % 20 != 0"),
     ]):
         upsert(batch, bid)
-    # the stream is quiesced: release the writer lease and fold the
-    # final (no-longer-replayable) batch too
+    # the stream is quiesced: settle any in-flight async fold (also
+    # surfaces a final-fold failure), release the writer lease, and
+    # fold the final (no-longer-replayable) batch too
+    upsert.join_compaction()
     ivfpq_release_writer(index_dir, namespace=f"{out_dir}/ckpt")
     ivfpq_compact(spark, index_dir, include_latest_bid=True)
 
