@@ -51,6 +51,38 @@ def _scoped_conf(spark: SparkSession, confs: dict):
                 spark.conf.set(k, v)
 
 
+def _auto_state_partitions(
+    sf_dir: str,
+    *,
+    per_part_bytes: int = 4 << 20,
+    lo: int = 4,
+    hi: int = 32,
+) -> int:
+    """Size streaming state/shuffle partitions to the INPUT, not a
+    constant. The r4 measurement picked 4 partitions at sf0.1 (state
+    ~32k rows — the 32-partition default's 4x-per-partition checkpoint
+    delta files were pure overhead), but a fixed 4 serializes a 100x
+    drain's entire stateful pipeline into 4 tasks: the K=100 parity
+    run's stream-stream interval join (~87M emitted pairs) crawled for
+    over an hour exactly this way. Derive the count from the source
+    parquet size instead — small inputs keep the measured sweet spot,
+    big ones fan out to the local core budget (``hi``; raise it on a
+    real cluster where executors multiply).
+    """
+    p = f"{sf_dir}/events.parquet"
+    try:
+        size = (
+            os.path.getsize(p)
+            if os.path.isfile(p)
+            else sum(
+                os.path.getsize(os.path.join(p, f)) for f in os.listdir(p)
+            )
+        )
+    except OSError:
+        return lo
+    return int(max(lo, min(hi, (size + per_part_bytes - 1) // per_part_bytes)))
+
+
 def _raw_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     try:
@@ -91,7 +123,7 @@ def stream_windowed_event_counts(
     *,
     window: str = "1 hour",
     watermark: str = "1 hour",
-    state_partitions: int | None = 4,
+    state_partitions: "int | str | None" = "auto",
 ) -> DataFrame:
     """Tumbling-window counts/sums per event_type via a real streaming
     query (memory sink, complete mode, availableNow trigger). Returns
@@ -110,6 +142,8 @@ def stream_windowed_event_counts(
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
     name = f"events_windows_{uuid.uuid4().hex[:8]}"
+    if state_partitions == "auto":
+        state_partitions = _auto_state_partitions(sf_dir)
     with _scoped_conf(spark, {"spark.sql.shuffle.partitions": state_partitions}):
         q = (
             agg.writeStream.format("memory")
@@ -134,7 +168,7 @@ def stream_enriched_event_counts(
     *,
     window: str = "1 day",
     watermark: str = "1 hour",
-    state_partitions: int | None = 4,
+    state_partitions: "int | str | None" = "auto",
 ) -> DataFrame:
     """Stream-static enrichment: the live event stream joined to a
     static dimension before the windowed aggregation.
@@ -160,6 +194,8 @@ def stream_enriched_event_counts(
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
     name = f"events_enriched_{uuid.uuid4().hex[:8]}"
+    if state_partitions == "auto":
+        state_partitions = _auto_state_partitions(sf_dir)
     with _scoped_conf(spark, {"spark.sql.shuffle.partitions": state_partitions}):
         q = (
             agg.writeStream.format("memory")
@@ -184,7 +220,7 @@ def stream_click_to_purchase_join(
     *,
     lookback: str = "1 DAY",
     watermark: str = "1 hour",
-    state_partitions: int | None = 4,
+    state_partitions: "int | str | None" = "auto",
     cleanup_batch: bool = False,
 ) -> DataFrame:
     """Stream-stream event-time interval join: each purchase matched to
@@ -201,7 +237,11 @@ def stream_click_to_purchase_join(
     partition count multiplies checkpoint IO 4x: ``state_partitions``
     sizes it to the actual state volume (~32k rows at sf0.1 → 4;
     measured 5.4 s → 1.9 s vs the 32-partition default; raise it when
-    per-partition state approaches executor memory). ``cleanup_batch``
+    per-partition state approaches executor memory). The ``"auto"``
+    default derives it from the source size
+    (:func:`_auto_state_partitions`) — a fixed small count that wins at
+    gate scale serializes a 100x drain into that many tasks, the r8
+    K=100 lesson. ``cleanup_batch``
     keeps the final no-data micro-batch, which only evicts expired
     state before shutdown — an INNER join's emitted rows never depend
     on it, so a drain-and-terminate run skips it (measured −0.6 s);
@@ -230,6 +270,8 @@ def stream_click_to_purchase_join(
         & (F.col("cts") >= F.col("bts") - F.expr(f"INTERVAL {lookback}")),
     )
     name = f"events_ssjoin_{uuid.uuid4().hex[:8]}"
+    if state_partitions == "auto":
+        state_partitions = _auto_state_partitions(sf_dir)
     with _scoped_conf(
         spark,
         {
@@ -485,7 +527,7 @@ def stream_dedup_within_watermark(
     *,
     keys: tuple = ("user_id", "event_type"),
     watermark: str = "3650 days",
-    state_partitions: int | None = 4,
+    state_partitions: "int | str | None" = "auto",
 ) -> DataFrame:
     """Streaming dedup with bounded state: Spark's native
     ``dropDuplicatesWithinWatermark`` over the live event stream.
@@ -510,6 +552,8 @@ def stream_dedup_within_watermark(
         .select(*keys)
     )
     name = f"events_dedup_{uuid.uuid4().hex[:8]}"
+    if state_partitions == "auto":
+        state_partitions = _auto_state_partitions(sf_dir)
     with _scoped_conf(spark, {"spark.sql.shuffle.partitions": state_partitions}):
         q = (
             dd.writeStream.format("memory")

@@ -1003,3 +1003,24 @@ def test_ivfpq_async_auto_compaction(spark, tmp_path):
             fn3.join_compaction()
     finally:
         ann.ivfpq_compact = orig
+
+
+def test_auto_state_partitions_scales_with_input(tmp_path):
+    """r8: streaming state/shuffle partitions derive from source size —
+    gate-scale inputs keep the measured 4-partition sweet spot, 100x
+    inputs fan out toward the core budget instead of serializing the
+    whole stateful pipeline into 4 tasks (the K=100 ssjoin crawl)."""
+    from pygrametl_spark.streaming.events import _auto_state_partitions
+
+    assert _auto_state_partitions("/root/testdata/sf0.01") == 4
+    assert _auto_state_partitions("/root/testdata/sf0.1") == 4
+
+    big = tmp_path / "events.parquet"
+    big.write_bytes(b"\0" * (150 << 20))  # ~the K=100 replicated size
+    assert _auto_state_partitions(str(tmp_path)) == 32
+
+    mid = tmp_path / "events.parquet"
+    mid.write_bytes(b"\0" * (40 << 20))
+    assert _auto_state_partitions(str(tmp_path)) == 10
+
+    assert _auto_state_partitions(str(tmp_path / "nope")) == 4
