@@ -222,6 +222,7 @@ def stream_click_to_purchase_join(
     watermark: str = "1 hour",
     state_partitions: "int | str | None" = "auto",
     cleanup_batch: bool = False,
+    sink: str = "auto",
 ) -> DataFrame:
     """Stream-stream event-time interval join: each purchase matched to
     the same user's clicks within ``lookback`` before it.
@@ -247,6 +248,14 @@ def stream_click_to_purchase_join(
     on it, so a drain-and-terminate run skips it (measured −0.6 s);
     a live deployment (no terminate) pays eviction incrementally and
     the flag is irrelevant.
+
+    ``sink`` (r8): ``"memory"`` returns the drained pairs from the
+    driver-side memory sink; ``"files"`` streams them to an
+    exactly-once parquet file sink and reads the result back —
+    REQUIRED once emitted volume outgrows driver memory (the K=100
+    drain emits ~87M pairs; a memory sink collects them all as task
+    results and dies with TaskResultLost). ``"auto"`` picks by source
+    size, same heuristic as the state sizing.
     """
     ev = _raw_events_stream(spark, sf_dir)
     clicks = (
@@ -272,6 +281,18 @@ def stream_click_to_purchase_join(
     name = f"events_ssjoin_{uuid.uuid4().hex[:8]}"
     if state_partitions == "auto":
         state_partitions = _auto_state_partitions(sf_dir)
+    pairs = joined.select("click_id", "buy_id")
+    # Sink selection is a SCALE decision, not taste: a memory sink
+    # materializes every emitted row on the driver via task results —
+    # fine for the gate corpus, but the K=100 drain (~87M attribution
+    # pairs) died with TaskResultLost exactly that way. An append-mode
+    # stream sinks to FILES natively with exactly-once semantics
+    # (_spark_metadata commit log), which is what a production
+    # attribution join writes anyway; keep the memory sink only while
+    # the input is small enough that driver materialization is free.
+    to_files = sink == "files" or (
+        sink == "auto" and _auto_state_partitions(sf_dir) > 4
+    )
     with _scoped_conf(
         spark,
         {
@@ -279,9 +300,25 @@ def stream_click_to_purchase_join(
             "spark.sql.streaming.noDataMicroBatches.enabled": cleanup_batch,
         },
     ):
+        if to_files:
+            out_dir = scratch_dir("ssjoin_out_")
+            q = (
+                pairs.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", scratch_dir("filesink_ckpt_"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            # the file-sink commit log is authoritative; an all-filtered
+            # drain leaves no data files, so fall back to the schema
+            try:
+                return spark.read.parquet(out_dir)
+            except Exception:  # noqa: BLE001 — zero emitted rows
+                return spark.createDataFrame([], pairs.schema)
         q = (
-            joined.select("click_id", "buy_id")
-            .writeStream.format("memory")
+            pairs.writeStream.format("memory")
             .queryName(name)
             .option("checkpointLocation", scratch_dir("memsink_ckpt_"))
             .outputMode("append")

@@ -949,6 +949,14 @@ def test_stream_stream_interval_join_matches_batch(spark):
     )))
     assert got == want and len(got) > 0
 
+    # r8: the exactly-once FILE sink (the at-scale path — a memory sink
+    # collects every emitted pair on the driver and died with
+    # TaskResultLost at the K=100 drain) emits the identical pair set
+    got_files = sorted(map(tuple, stream_click_to_purchase_join(
+        spark, sf_dir, sink="files"
+    ).collect()))
+    assert got_files == want
+
 
 _lines_strategy = st.lists(
     st.lists(st.sampled_from(["spam", "nav menu", "alpha", "beta", "", "  "]),
