@@ -193,6 +193,13 @@ def main() -> None:
             # streaming-digest compare for results too big to collect
             try:
                 sdf = fn(spark, sf_dir)
+                # toLocalIterator serves ONE partition per serialized
+                # task result: a file-sink-read/union result can pack
+                # >1.5 GB into a partition and blow
+                # spark.driver.maxResultSize. The digest is
+                # order-insensitive, so a round-robin repartition is
+                # free semantically and bounds every task result.
+                sdf = sdf.repartition(256)
                 sc, sn, sd = _digest_rows(
                     sdf.columns, (tuple(r) for r in sdf.toLocalIterator())
                 )
