@@ -1405,6 +1405,25 @@ def ivfpq_write_index(
                     os.remove(os.path.join(path, entry))
                 except OSError:
                     pass
+            elif entry == "lease_log":
+                # pointer-protocol lease (object-store mode): same
+                # refusal discipline as writer.lock — never silently
+                # unseat a LIVE holder; a dead/released log is
+                # lifecycle debris like the rest
+                from pygrametl_spark.streaming.ann import _lease_log_holder
+
+                holder = _lease_log_holder(path, 3600.0)
+                if holder is not None:
+                    raise RuntimeError(
+                        f"cannot rebuild index {path} in place: a live "
+                        "stream writer holds its pointer lease "
+                        f"(namespace={holder.get('namespace')!r}, "
+                        f"pid={holder.get('pid')}, "
+                        f"host={holder.get('host')!r}). Quiesce the "
+                        "stream and release via ivfpq_release_writer "
+                        "first."
+                    )
+                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
             elif (
                 entry in ("codes_stream", "raw_stream", "stream_offsets")
                 or re.match(r"^gen_g\d+_[0-9a-f]+$", entry)

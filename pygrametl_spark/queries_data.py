@@ -93,7 +93,22 @@ def _memo_stream_gate(spark, tag: str, sf_dir: str, params: str, build):
     if not os.path.isfile(marker):
         stage = f"{d}.tmp{os.getpid()}"
         shutil.rmtree(stage, ignore_errors=True)
-        build().coalesce(1).write.mode("overwrite").parquet(stage)
+        df = build()
+        # Size-aware publish (VERDICT r8 #3): coalesce(1) is free at
+        # gate scale but funnels a K=100 drain (~87M rows) through ONE
+        # write task. Derive the file count from Catalyst's size
+        # estimate (~128MB per file); an unknown/sentinel estimate
+        # (e.g. Long.MaxValue for a fresh memory sink) writes with the
+        # plan's own partitioning rather than inventing a fan-in.
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # noqa: BLE001 — stats unavailable
+            est = 0
+        if 0 < est < (1 << 50):
+            df = df.coalesce(max(1, est // (128 << 20)))
+        df.write.mode("overwrite").parquet(stage)
         with open(os.path.join(stage, "_GATE_READY"), "w") as fh:
             fh.write("ok")
         try:

@@ -71,13 +71,19 @@ def _auto_state_partitions(
     """
     p = f"{sf_dir}/events.parquet"
     try:
-        size = (
-            os.path.getsize(p)
-            if os.path.isfile(p)
-            else sum(
-                os.path.getsize(os.path.join(p, f)) for f in os.listdir(p)
-            )
-        )
+        if os.path.isfile(p):
+            size = os.path.getsize(p)
+        else:
+            # Walk recursively: a hive-partitioned/nested layout's
+            # subdirectories stat as ~4KB inodes under a flat listdir,
+            # undercounting a large input and under-partitioning the
+            # stream — the exact serialization this heuristic prevents.
+            size = 0
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    fp = os.path.join(root, f)
+                    if os.path.isfile(fp):
+                        size += os.path.getsize(fp)
     except OSError:
         return lo
     return int(max(lo, min(hi, (size + per_part_bytes - 1) // per_part_bytes)))
@@ -311,12 +317,21 @@ def stream_click_to_purchase_join(
                 .start()
             )
             q.awaitTermination()
-            # the file-sink commit log is authoritative; an all-filtered
-            # drain leaves no data files, so fall back to the schema
-            try:
-                return spark.read.parquet(out_dir)
-            except Exception:  # noqa: BLE001 — zero emitted rows
+            # The file-sink commit log is authoritative; an all-filtered
+            # drain leaves no data files, which is the ONLY failure the
+            # empty-result fallback may absorb. Decide by inspecting the
+            # sink dir for committed data files first — a permission
+            # error, corrupt _spark_metadata, or transient FS fault on a
+            # dir that DOES hold data must re-raise, not masquerade as
+            # a valid empty result.
+            has_data = any(
+                f.endswith(".parquet")
+                for _root, _dirs, files in os.walk(out_dir)
+                for f in files
+            )
+            if not has_data:
                 return spark.createDataFrame([], pairs.schema)
+            return spark.read.parquet(out_dir)
         q = (
             pairs.writeStream.format("memory")
             .queryName(name)

@@ -77,11 +77,18 @@ def main() -> None:
     idx = os.path.join(root, "idx")
 
     all_vecs = replicate(emb, base_n + n_bids * batch_n).cache()
-    all_vecs.count()
+    # One materialization feeds BOTH the base build and the stream
+    # batches: limit(base_n) is not guaranteed to pick the same rows as
+    # collect()[:base_n], so deriving the slices independently could
+    # stream duplicates of base vec_ids and skew the timings.
+    all_rows = all_vecs.collect()
+    base_df = spark.createDataFrame(
+        all_rows[:base_n], schema="vec_id long, embedding array<float>"
+    )
 
     t0 = time.time()
     sim.ivfpq_write_index(
-        all_vecs.limit(base_n), idx, n_clusters=16, m=8, k=16, iters=2,
+        base_df, idx, n_clusters=16, m=8, k=16, iters=2,
         store_raw=True,
     )
     t_build = round(time.time() - t0, 2)
@@ -89,7 +96,7 @@ def main() -> None:
 
     # 2. real upsert closure, no policy — per-batch ingest baseline
     up = ivfpq_upsert_fn(idx, namespace="stall-harness")
-    rows = all_vecs.collect()[base_n:]
+    rows = all_rows[base_n:]
     batch_secs = []
     for b in range(n_bids):
         bdf = spark.createDataFrame(

@@ -2683,6 +2683,20 @@ def test_ivfpq_compact_probe_interleaving(spark, tmp_path):
             "adc": probe(),
             "rr": probe(rerank=25),
         }
+        if phase == "committed":
+            # a LAZY plan built in the committed window — collected only
+            # AFTER the compactor's cleanup below — pins the caller-side
+            # mitigation ivfpq_topk's docstring prescribes (r9, VERDICT
+            # r8 #7): a post-commit plan resolves the NEW generation
+            # (the bid_cut watermark excludes every folded _bid tier),
+            # so cleanup deleting those tiers cannot break it. This is
+            # exactly the gate consumer's pattern (q_ann_ivfpq_compacted
+            # probes after ivfpq_compact returns and materializes
+            # promptly); only a STALE pre-commit plan held lazily across
+            # the cleanup has the documented execution-time exposure.
+            seen["lazy_committed_df"] = sim.ivfpq_topk(
+                spark, path, queries, nprobe=3, k=5
+            )
 
     info = ivfpq_compact(spark, path, include_latest_bid=True, on_phase=hook)
     assert info["gen"] == 1
@@ -2698,6 +2712,12 @@ def test_ivfpq_compact_probe_interleaving(spark, tmp_path):
     assert seen["committed"]["rr"] == before_rr
     # post-cleanup steady state
     assert probe() == before_adc and probe(rerank=25) == before_rr
+    # the committed-window plan, collected only now (after cleanup
+    # deleted every folded _bid partition), still answers bit-identically
+    assert (
+        sorted(tuple(r) for r in seen["lazy_committed_df"].collect())
+        == before_adc
+    )
 
 
 def test_ivfpq_rebuild_in_place_clears_lifecycle_state(spark, tmp_path):

@@ -696,3 +696,64 @@ def test_engine_sql_sees_live_operator_state(spark, tmp_path):
         "SELECT name FROM d_sql WHERE id = 1"
     )._jdf.queryExecution().executedPlan().toString()
     assert "id#" in plan  # filter survived into the physical plan
+
+
+def test_engine_endload_two_session_race(spark, tmp_path):
+    """VERDICT r8 #5: two sessions endloading ONE warehouse dir must
+    resolve deterministically — one winner, one loud error, never a
+    torn (interleaved) warehouse. The single-endloader lock also
+    recovers from a crashed session (dead-pid lock broken), and a
+    complete endload stamps _ENDLOAD_COMMITTED with its table set."""
+    import json
+    import socket
+
+    dim = Dimension(
+        "dim", "id", ["name"],
+        df=spark.createDataFrame([(1, "a")], "id long, name string"),
+    )
+    fact = FactTable(
+        "fact", ["id"], ["m"],
+        df=spark.createDataFrame([(1, 10)], "id long, m long"),
+    )
+    wh = str(tmp_path / "wh")
+    eng1 = Engine(spark, wh)
+    eng1.register(fact, dependson=[dim])
+    eng1.register(dim)
+    eng2 = Engine(spark, wh)
+    eng2.register(dim)
+
+    # session 1 is mid-endload (holds the lock); session 2 fails LOUDLY
+    eng1._acquire_endload_lock(3600.0)
+    with pytest.raises(RuntimeError, match="endloaded by another session"):
+        eng2.endload()
+    # ...and wrote nothing: the loser never touched the warehouse
+    assert not os.path.exists(os.path.join(wh, "dim"))
+
+    # session 1 finishes: lock released, marker records ITS table set
+    os.remove(os.path.join(wh, "_endload.lock"))
+    assert eng1.endload() == ["dim", "fact"]
+    assert not os.path.exists(os.path.join(wh, "_endload.lock"))
+    with open(os.path.join(wh, "_ENDLOAD_COMMITTED")) as fh:
+        assert json.load(fh)["tables"] == ["dim", "fact"]
+
+    # now session 2 can run — sequential endloads are fine
+    assert eng2.endload() == ["dim"]
+    with open(os.path.join(wh, "_ENDLOAD_COMMITTED")) as fh:
+        assert json.load(fh)["tables"] == ["dim"]
+
+    # a CRASHED session's lock (dead pid, this host) is broken and the
+    # endload proceeds — no operator intervention needed
+    with open(os.path.join(wh, "_endload.lock"), "w") as fh:
+        json.dump({"pid": 2**22 + 54321, "host": socket.gethostname()}, fh)
+    assert eng1.endload() == ["dim", "fact"]
+
+    # a live CROSS-HOST holder (fresh heartbeat, locally-meaningless
+    # pid) blocks until its heartbeat goes stale
+    with open(os.path.join(wh, "_endload.lock"), "w") as fh:
+        json.dump({"pid": 2**22 + 99, "host": "some-other-host"}, fh)
+    with pytest.raises(RuntimeError, match="endloaded by another session"):
+        eng1.endload()
+    os.utime(
+        os.path.join(wh, "_endload.lock"), (1_700_000_000, 1_700_000_000)
+    )
+    assert eng1.endload(lock_ttl=60.0) == ["dim", "fact"]

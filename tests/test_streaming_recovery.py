@@ -1024,3 +1024,375 @@ def test_auto_state_partitions_scales_with_input(tmp_path):
     assert _auto_state_partitions(str(tmp_path)) == 10
 
     assert _auto_state_partitions(str(tmp_path / "nope")) == 4
+
+# ---------------------------------------------------------------------------
+# Pointer-protocol lease (object-store safe, r9 — VERDICT r8 missing #1):
+# the POSIX lease matrix above, re-pinned against the lease-log mode whose
+# only storage primitive is a create-if-absent PUT of an immutable key.
+# ---------------------------------------------------------------------------
+
+
+def _lease_head(path):
+    from pygrametl_spark.streaming.ann import _read_lease_log
+
+    head, max_seq, _torn = _read_lease_log(path)
+    return head, max_seq
+
+
+def test_ivfpq_pointer_lease_concurrent_and_sequential(spark, tmp_path):
+    """lease_protocol="pointer": the full single-live-writer matrix of
+    test_ivfpq_writer_lease_concurrent_and_sequential, with every
+    transition an append-only immutable log record — no O_EXCL-on-
+    mutable-key, no rename, no utime, no mtime reads anywhere."""
+    import time
+
+    from pygrametl_spark.catalog import load_catalog
+    from pygrametl_spark.functions import similarity as sim
+    from pygrametl_spark.streaming.ann import (
+        _LEASE_LOG, _put_lease_record, ivfpq_release_writer, ivfpq_upsert_fn,
+    )
+
+    emb = load_catalog(spark, SF).embeddings
+    base = emb.filter("vec_id <= 300")
+    batch = emb.filter("vec_id > 300 AND vec_id <= 320")
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(base, path, n_clusters=4, m=4, k=8, iters=1)
+
+    # stream A's first batch claims the lease: head = acquire record
+    a = ivfpq_upsert_fn(path, namespace="ckpt-A", lease_protocol="pointer")
+    a(batch, 0)
+    assert os.path.isdir(os.path.join(path, _LEASE_LOG))
+    head, _ = _lease_head(path)
+    assert head["namespace"] == "ckpt-A"
+    assert head["action"] in ("acquire", "renew")
+
+    # a CONCURRENT second stream fails loudly and writes nothing
+    b = ivfpq_upsert_fn(path, namespace="ckpt-B", lease_protocol="pointer")
+    with pytest.raises(RuntimeError, match="live stream writer"):
+        b(batch, 0)
+    assert sim._stream_tier_bids(f"{path}/codes_stream") == {0}
+    with pytest.raises(RuntimeError, match="live stream writer"):
+        ivfpq_upsert_fn(path, lease_protocol="pointer")(batch, 0)
+
+    # same-namespace restart RECLAIMS (fresh fence) and keeps writing
+    a2 = ivfpq_upsert_fn(path, namespace="ckpt-A", lease_protocol="pointer")
+    a2(batch, 1)
+    assert sim._stream_tier_bids(f"{path}/codes_stream") == {0, 1}
+
+    # quiesce -> a sequential stream B is unaffected
+    assert ivfpq_release_writer(path, namespace="ckpt-A")
+    head, _ = _lease_head(path)
+    assert head["action"] == "release"
+    b2 = ivfpq_upsert_fn(path, namespace="ckpt-B", lease_protocol="pointer")
+    b2(batch, 0)  # offset resolves above A's bids: no overwrite
+    assert sim._stream_tier_bids(f"{path}/codes_stream") == {0, 1, 2}
+    assert ivfpq_release_writer(path, namespace="ckpt-B")
+
+    # takeover from a crashed holder: dead pid on THIS host (pid probe
+    # applies only to same-host records, as in the POSIX mode)
+    import socket
+
+    _head, max_seq = _lease_head(path)
+    assert _put_lease_record(path, max_seq + 1, {
+        "seq": max_seq + 1, "action": "acquire", "namespace": "ghost",
+        "fence": "f-ghost", "pid": 2**22 + 12345,
+        "host": socket.gethostname(), "ts": time.time(),
+    })
+    c = ivfpq_upsert_fn(path, namespace="ckpt-C", lease_protocol="pointer")
+    c(batch, 0)
+    assert ivfpq_release_writer(path, namespace="ckpt-C")
+
+    # takeover from a stalled holder: live pid but payload-ts heartbeat
+    # older than the ttl (NO mtime involved)
+    _head, max_seq = _lease_head(path)
+    assert _put_lease_record(path, max_seq + 1, {
+        "seq": max_seq + 1, "action": "acquire", "namespace": "ghost2",
+        "fence": "f-ghost2", "pid": os.getpid(),
+        "host": socket.gethostname(), "ts": 1_700_000_000.0,
+    })
+    d = ivfpq_upsert_fn(
+        path, namespace="ckpt-D", lease_ttl=60.0, lease_protocol="pointer"
+    )
+    d(batch, 1)
+
+    # releasing someone else's lease is refused; the operator override
+    # (no namespace) clears anything
+    with pytest.raises(RuntimeError, match="held by"):
+        ivfpq_release_writer(path, namespace="ckpt-nope")
+    assert ivfpq_release_writer(path)
+    head, _ = _lease_head(path)
+    assert head["action"] == "release"
+
+    # a batch that RAISES before writing must not leave a held lease
+    bad = ivfpq_upsert_fn(
+        path + "-missing", namespace="ckpt-E", lease_protocol="pointer"
+    )
+    with pytest.raises(Exception):
+        bad(batch, 0)
+    head, _ = _lease_head(path + "-missing")
+    assert head is None or head["action"] == "release"
+
+
+def test_ivfpq_pointer_lease_fencing_and_heartbeat(spark, tmp_path):
+    """Pointer-mode twins of the r8 fencing rows:
+
+    (a) USURPATION fences the old writer out: a holder whose payload-ts
+        ttl expired loses the head to a second stream's acquire record;
+        the FIRST writer's next batch RAISES (fence mismatch) and leaves
+        the usurper's head untouched.
+    (b) CROSS-HOST liveness: a fresh-ts foreign-host record is LIVE
+        despite a locally-dead pid; stale-ts is breakable.
+    (c) heartbeats append renew records under the same fence and prune
+        the tail (the log never grows unbounded).
+    (d) TORN-HEAD GRACE: an unparseable head younger than the grace
+        period is a claim-in-flight (contend); older, the next claim
+        sequences past it.
+    (e) a batch failure with a meanwhile-usurped lease re-raises the
+        ORIGINAL error path (fence check), never a release-time error,
+        and the usurper's head survives."""
+    import socket
+    import time
+
+    from pygrametl_spark.catalog import load_catalog
+    from pygrametl_spark.functions import similarity as sim
+    from pygrametl_spark.streaming.ann import (
+        _LEASE_KEEP, _LEASE_LOG, _lease_rec_name, _put_lease_record,
+        _read_lease_log, ivfpq_release_writer, ivfpq_upsert_fn,
+    )
+
+    emb = load_catalog(spark, SF).embeddings
+    base = emb.filter("vec_id <= 300")
+    batch = emb.filter("vec_id > 300 AND vec_id <= 320")
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(base, path, n_clusters=4, m=4, k=8, iters=1)
+
+    # (a) usurpation: A claims; its heartbeat ts "expires" (simulated by
+    # a stalled-writer record with an old ts under A's fence); B takes
+    # over; A's next batch raises BEFORE writing and B's head survives
+    a = ivfpq_upsert_fn(
+        path, namespace="ckpt-A", lease_ttl=60.0, lease_protocol="pointer"
+    )
+    a(batch, 0)
+    head_a, max_seq = _lease_head(path)
+    assert _put_lease_record(path, max_seq + 1, {
+        "seq": max_seq + 1, "action": "renew", "namespace": "ckpt-A",
+        "fence": head_a["fence"], "pid": head_a["pid"],
+        "host": head_a["host"], "ts": 1_700_000_000.0,
+    })  # A stalls: its last heartbeat is ancient
+    b = ivfpq_upsert_fn(
+        path, namespace="ckpt-B", lease_ttl=60.0, lease_protocol="pointer"
+    )
+    b(batch, 0)  # B supersedes the expired lease (no removal — a PUT)
+    head_b, _ = _lease_head(path)
+    assert head_b["namespace"] == "ckpt-B"
+    with pytest.raises(RuntimeError, match="lease .* was lost|fence"):
+        a(batch, 1)  # the resumed zombie is fenced out BEFORE writing
+    head_after, _ = _lease_head(path)
+    assert head_after["fence"] == head_b["fence"], "usurper head untouched"
+    assert sim._stream_tier_bids(f"{path}/codes_stream") == {0, 1}
+    assert ivfpq_release_writer(path, namespace="ckpt-B")
+
+    # (b) cross-host: fresh-ts foreign record is LIVE despite dead pid
+    _h, max_seq = _lease_head(path)
+    assert _put_lease_record(path, max_seq + 1, {
+        "seq": max_seq + 1, "action": "acquire", "namespace": "remote",
+        "fence": "f-remote", "pid": 2**22 + 999,
+        "host": "some-other-host", "ts": time.time(),
+    })
+    c = ivfpq_upsert_fn(
+        path, namespace="ckpt-C", lease_ttl=3600.0, lease_protocol="pointer"
+    )
+    with pytest.raises(RuntimeError, match="live stream writer"):
+        c(batch, 1)
+    # ...stale-ts foreign record is breakable
+    _h, max_seq = _lease_head(path)
+    assert _put_lease_record(path, max_seq + 1, {
+        "seq": max_seq + 1, "action": "renew", "namespace": "remote",
+        "fence": "f-remote", "pid": 2**22 + 999,
+        "host": "some-other-host", "ts": 1_700_000_000.0,
+    })
+    c2 = ivfpq_upsert_fn(
+        path, namespace="ckpt-C", lease_ttl=60.0, lease_protocol="pointer"
+    )
+    c2(batch, 1)
+
+    # (c) heartbeats: each batch appended a renew under the same fence,
+    # and the log tail is pruned to the keep window
+    head_c, max_seq = _lease_head(path)
+    assert head_c["action"] == "renew" and head_c["namespace"] == "ckpt-C"
+    recs = sorted(os.listdir(os.path.join(path, _LEASE_LOG)))
+    assert len(recs) <= _LEASE_KEEP + 1
+    assert ivfpq_release_writer(path, namespace="ckpt-C")
+
+    # (d) torn-head grace: young garbage = claim-in-flight; old = debris
+    _h, max_seq = _lease_head(path)
+    torn = os.path.join(path, _LEASE_LOG, _lease_rec_name(max_seq + 1))
+    with open(torn, "w") as fh:
+        fh.write("{not json")
+    d = ivfpq_upsert_fn(path, namespace="ckpt-D", lease_protocol="pointer")
+    with pytest.raises(RuntimeError, match="concurrently"):
+        d(batch, 2)
+    old = time.time() - 3600
+    os.utime(torn, (old, old))  # POSIX-realization detail: torn records
+    # cannot exist on a real object store (atomic PUT)
+    d2 = ivfpq_upsert_fn(path, namespace="ckpt-D", lease_protocol="pointer")
+    d2(batch, 2)
+    head_d, seq_d = _lease_head(path)
+    assert seq_d > max_seq + 1, "claim sequences PAST the torn debris"
+    assert ivfpq_release_writer(path, namespace="ckpt-D")
+
+    # (e) original error propagates when usurped mid-failure
+    e = ivfpq_upsert_fn(
+        path, namespace="ckpt-E", lease_ttl=60.0, lease_protocol="pointer"
+    )
+    e(batch, 3)
+    _h, max_seq = _lease_head(path)
+    assert _put_lease_record(path, max_seq + 1, {
+        "seq": max_seq + 1, "action": "acquire", "namespace": "ckpt-F",
+        "fence": "f-F", "pid": os.getpid(),
+        "host": socket.gethostname(), "ts": time.time(),
+    })  # usurp E's lease behind its back
+    with pytest.raises(RuntimeError) as exc_info:
+        e(batch, 4)
+    assert "lost" in str(exc_info.value) or "fence" in str(exc_info.value)
+    head_f, _ = _lease_head(path)
+    assert head_f["namespace"] == "ckpt-F", "usurper head survives E's failure"
+    assert ivfpq_release_writer(path, namespace="ckpt-F")
+    # E wrote batch 3 but never batch 4
+    assert 4 not in sim._stream_tier_bids(f"{path}/codes_stream")
+
+
+def test_pointer_lease_break_is_single_winner(tmp_path):
+    """The seq-number PUT race IS the breaker serialization: two
+    contenders who both judged the same holder dead race the
+    create-exclusive PUT of the next record and exactly one wins — the
+    pointer-mode analogue of test_writer_lock_break_is_single_winner,
+    with no removal step to mis-target."""
+    from pygrametl_spark.streaming.ann import (
+        _acquire_writer_lease_pointer, _put_lease_record, _read_lease_log,
+    )
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    # a dead holder (ancient ts, foreign host so no pid probe applies)
+    assert _put_lease_record(path, 1, {
+        "seq": 1, "action": "acquire", "namespace": "dead", "fence": "x",
+        "pid": 1, "host": "elsewhere", "ts": 1_700_000_000.0,
+    })
+
+    # contender 1 claims over it
+    f1 = _acquire_writer_lease_pointer(path, "one", 60.0)
+    head, max_seq, _ = _read_lease_log(path)
+    assert head["fence"] == f1 and head["namespace"] == "one"
+
+    # contender 2, racing with a STALE read (it also judged seq-1 dead
+    # and computed next=2), loses the PUT — it cannot clobber the fresh
+    # claim, and exactly one record occupies each seq
+    assert _put_lease_record(path, 2, {
+        "seq": 2, "action": "acquire", "namespace": "two", "fence": "y",
+        "pid": os.getpid(), "host": "h", "ts": 1_800_000_000.0,
+    }) is False
+    head2, _, _ = _read_lease_log(path)
+    assert head2["fence"] == f1, "stale racer must not displace the winner"
+
+    # a LIVE holder blocks a normal acquire loudly
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="live stream writer"):
+        _acquire_writer_lease_pointer(path, "two", 3600.0)
+
+
+def test_lease_protocols_mutually_visible(spark, tmp_path):
+    """A live holder under one lease protocol must block an acquire
+    under the other — otherwise a mixed-mode deployment would run two
+    unguarded writers on one index."""
+    from pygrametl_spark.catalog import load_catalog
+    from pygrametl_spark.functions import similarity as sim
+    from pygrametl_spark.streaming.ann import (
+        ivfpq_release_writer, ivfpq_upsert_fn,
+    )
+
+    emb = load_catalog(spark, SF).embeddings
+    base = emb.filter("vec_id <= 300")
+    batch = emb.filter("vec_id > 300 AND vec_id <= 320")
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(base, path, n_clusters=4, m=4, k=8, iters=1)
+
+    # posix holder live -> pointer acquire refuses
+    a = ivfpq_upsert_fn(path, namespace="ckpt-A")  # posix (default)
+    a(batch, 0)
+    b = ivfpq_upsert_fn(path, namespace="ckpt-B", lease_protocol="pointer")
+    with pytest.raises(RuntimeError, match="ONE lease protocol"):
+        b(batch, 0)
+    assert ivfpq_release_writer(path, namespace="ckpt-A")
+
+    # pointer holder live -> posix acquire refuses
+    b2 = ivfpq_upsert_fn(path, namespace="ckpt-B", lease_protocol="pointer")
+    b2(batch, 1)
+    c = ivfpq_upsert_fn(path, namespace="ckpt-C")  # posix
+    with pytest.raises(RuntimeError, match="ONE lease protocol"):
+        c(batch, 1)
+    assert ivfpq_release_writer(path, namespace="ckpt-B")
+
+    # unknown protocol is rejected at construction
+    with pytest.raises(ValueError, match="lease_protocol"):
+        ivfpq_upsert_fn(path, lease_protocol="dynamo")
+
+
+def test_ivfpq_write_index_refuses_live_pointer_writer(spark, tmp_path):
+    """In-place rebuild under a LIVE pointer-lease holder raises (the
+    ADVICE r7 #4 discipline, extended to the object-store lease mode);
+    a released/dead lease log is lifecycle debris the rebuild clears."""
+    from pygrametl_spark.catalog import load_catalog
+    from pygrametl_spark.functions import similarity as sim
+    from pygrametl_spark.streaming.ann import (
+        _LEASE_LOG, ivfpq_release_writer, ivfpq_upsert_fn,
+    )
+
+    emb = load_catalog(spark, SF).embeddings.filter("vec_id <= 200")
+    batch = load_catalog(spark, SF).embeddings.filter(
+        "vec_id > 200 AND vec_id <= 220"
+    )
+    path = str(tmp_path / "idx")
+    sim.ivfpq_write_index(emb, path, n_clusters=4, m=4, k=8, iters=1)
+
+    a = ivfpq_upsert_fn(path, namespace="live", lease_protocol="pointer")
+    a(batch, 0)
+    with pytest.raises(RuntimeError, match="pointer lease|live stream writer"):
+        sim.ivfpq_write_index(emb, path, n_clusters=4, m=4, k=8, iters=1)
+    assert os.path.isdir(os.path.join(path, _LEASE_LOG)), (
+        "live lease log must survive the refusal"
+    )
+
+    # released -> rebuild proceeds and clears the log with the rest of
+    # the lifecycle state
+    assert ivfpq_release_writer(path, namespace="live")
+    sim.ivfpq_write_index(emb, path, n_clusters=4, m=4, k=8, iters=1)
+    assert not os.path.isdir(os.path.join(path, _LEASE_LOG))
+
+
+def test_ivfpq_stream_pointer_lease_end_to_end(spark, tmp_path):
+    """stream_ivfpq_maintain(lease_protocol="pointer") runs the full
+    drain + auto-release lifecycle: probes equal the POSIX-mode index
+    (the lease never touches data), and the lease log ends released."""
+    from pygrametl_spark.functions import similarity as sim
+    from pygrametl_spark.streaming.ann import (
+        _read_lease_log, stream_ivfpq_maintain,
+    )
+
+    p_ptr = stream_ivfpq_maintain(
+        spark, SF, n_files=2,
+        index_path=str(tmp_path / "ptr"), lease_protocol="pointer",
+    )
+    head, _seq, _torn = _read_lease_log(p_ptr)
+    assert head is not None and head["action"] == "release"
+
+    p_posix = stream_ivfpq_maintain(
+        spark, SF, n_files=2, index_path=str(tmp_path / "posix"),
+    )
+    from pygrametl_spark.catalog import load_catalog
+
+    q = load_catalog(spark, SF).embeddings.filter("vec_id <= 3")
+    r_ptr = sim.ivfpq_topk(spark, p_ptr, q, k=5).collect()
+    r_posix = sim.ivfpq_topk(spark, p_posix, q, k=5).collect()
+    assert sorted(map(tuple, r_ptr)) == sorted(map(tuple, r_posix))
