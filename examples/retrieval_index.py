@@ -112,7 +112,10 @@ def run_pipeline(spark, sf_dir: str, out_dir: str):
     # compact_async moves the fold onto a daemon thread so ingest never
     # stalls for it (bound the tail instead with compact_max_fold_bids=
     # if you want the fold synchronous but capped — the measured stall
-    # ladder is in SCALING.md).
+    # ladder is in SCALING.md). On an OBJECT-STORE index root, add
+    # lease_protocol="pointer": the default POSIX lease needs O_EXCL/
+    # rename/mtime, which S3-class stores lack — the pointer mode keeps
+    # the same single-writer semantics on create-if-absent PUTs alone.
     upsert = ivfpq_upsert_fn(
         index_dir, namespace=f"{out_dir}/ckpt", compact_every_n_bids=2,
         compact_async=True,
