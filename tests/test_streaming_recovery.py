@@ -1396,3 +1396,53 @@ def test_ivfpq_stream_pointer_lease_end_to_end(spark, tmp_path):
     r_ptr = sim.ivfpq_topk(spark, p_ptr, q, k=5).collect()
     r_posix = sim.ivfpq_topk(spark, p_posix, q, k=5).collect()
     assert sorted(map(tuple, r_ptr)) == sorted(map(tuple, r_posix))
+
+
+def test_pointer_lease_thread_race_single_winner(tmp_path):
+    """TRUE concurrent acquisition race: N threads contend for the
+    pointer lease of one index simultaneously (over a dead holder, so
+    every contender reaches the PUT). Exactly ONE must win; every loser
+    must get the loud live-writer error (having re-read the winner's
+    head on its retry), and the final head must carry the winner's
+    fence."""
+    import threading
+
+    from pygrametl_spark.streaming.ann import (
+        _acquire_writer_lease_pointer, _put_lease_record, _read_lease_log,
+    )
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    assert _put_lease_record(path, 1, {
+        "seq": 1, "action": "acquire", "namespace": "dead", "fence": "x",
+        "pid": 1, "host": "elsewhere", "ts": 1_700_000_000.0,
+    })
+
+    results: dict = {}
+    barrier = threading.Barrier(8)
+
+    def contend(i):
+        barrier.wait()
+        try:
+            results[i] = ("won", _acquire_writer_lease_pointer(
+                path, f"ns-{i}", 60.0
+            ))
+        except RuntimeError as e:
+            results[i] = ("lost", str(e))
+
+    threads = [
+        threading.Thread(target=contend, args=(i,)) for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    winners = [(i, r[1]) for i, r in results.items() if r[0] == "won"]
+    losers = [r[1] for r in results.values() if r[0] == "lost"]
+    assert len(winners) == 1, f"exactly one winner required: {results}"
+    assert len(losers) == 7
+    assert all("live stream writer" in m or "lease race" in m for m in losers)
+    head, _seq, _torn = _read_lease_log(path)
+    assert head["fence"] == winners[0][1]
+    assert head["namespace"] == f"ns-{winners[0][0]}"
