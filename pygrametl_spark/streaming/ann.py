@@ -48,6 +48,7 @@ __all__ = [
     "ivfpq_compact",
     "ivfpq_release_writer",
     "ivfpq_upsert_fn",
+    "ivfpq_writer_status",
     "stream_ivfpq_maintain",
 ]
 
@@ -725,6 +726,59 @@ def ivfpq_release_writer(path: str, namespace: "str | None" = None) -> bool:
         if _put_lease_record(path, max_seq + 1, rec):
             released = True
     return released
+
+
+def ivfpq_writer_status(path: str, ttl: float = 3600.0) -> dict:
+    """Operator-facing lease inspection: who (if anyone) holds the
+    stream-writer lease of this index, under which protocol, and
+    whether the holder still reads as live — the read half of the
+    quiesce workflow (:func:`ivfpq_release_writer` is the write half).
+
+    Returns ``{"held": bool, "live": bool, "protocol": "posix" |
+    "pointer" | None, "holder": {...} | None, "age_sec": float | None}``
+    — ``holder`` is the lock payload / lease-log head (namespace, pid,
+    host, fence), ``age_sec`` its heartbeat age, and ``live`` applies
+    the same liveness rules an acquiring contender would (same-host pid
+    probe, ``ttl`` heartbeat). A ``held`` but not ``live`` result means
+    the next writer will break the lease; inspect before deciding
+    whether an ``ivfpq_release_writer`` override is safe."""
+    import time
+
+    lock = os.path.join(path, _WRITER_LOCK)
+    held, age, _ident = _read_writer_lock(lock)
+    if isinstance(held, dict):
+        return {
+            "held": True,
+            "live": _holder_is_live(held, age, ttl),
+            "protocol": "posix",
+            "holder": held,
+            "age_sec": round(age, 3),
+        }
+    if held == "torn":
+        return {
+            "held": True,
+            "live": age <= _TORN_GRACE,
+            "protocol": "posix",
+            "holder": None,
+            "age_sec": round(age, 3),
+        }
+    head, _max_seq, _torn = _read_lease_log(path)
+    if isinstance(head, dict) and head.get("action") != "release":
+        try:
+            age = time.time() - float(head.get("ts", 0))
+        except (TypeError, ValueError):
+            age = None
+        return {
+            "held": True,
+            "live": _lease_record_live(head, ttl),
+            "protocol": "pointer",
+            "holder": head,
+            "age_sec": None if age is None else round(age, 3),
+        }
+    return {
+        "held": False, "live": False, "protocol": None,
+        "holder": None, "age_sec": None,
+    }
 
 
 def _slice_stage_path(sf_dir: str, n_files: int) -> str:

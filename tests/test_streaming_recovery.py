@@ -1446,3 +1446,64 @@ def test_pointer_lease_thread_race_single_winner(tmp_path):
     head, _seq, _torn = _read_lease_log(path)
     assert head["fence"] == winners[0][1]
     assert head["namespace"] == f"ns-{winners[0][0]}"
+
+
+def test_ivfpq_writer_status(tmp_path):
+    """ivfpq_writer_status reports holder/protocol/liveness under both
+    lease protocols and for free/released/dead states — the read half
+    of the quiesce workflow."""
+    import json
+    import socket
+    import time
+
+    from pygrametl_spark.streaming.ann import (
+        _WRITER_LOCK, _put_lease_record, ivfpq_release_writer,
+        ivfpq_writer_status,
+    )
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+
+    # free index
+    s = ivfpq_writer_status(path)
+    assert s == {"held": False, "live": False, "protocol": None,
+                 "holder": None, "age_sec": None}
+
+    # live posix holder (this pid)
+    with open(os.path.join(path, _WRITER_LOCK), "w") as fh:
+        json.dump({"namespace": "ns", "pid": os.getpid(),
+                   "host": socket.gethostname(), "fence": "f"}, fh)
+    s = ivfpq_writer_status(path)
+    assert s["held"] and s["live"] and s["protocol"] == "posix"
+    assert s["holder"]["namespace"] == "ns" and s["age_sec"] is not None
+
+    # dead posix holder (crashed pid)
+    with open(os.path.join(path, _WRITER_LOCK), "w") as fh:
+        json.dump({"namespace": "ghost", "pid": 2**22 + 777,
+                   "host": socket.gethostname(), "fence": "f"}, fh)
+    s = ivfpq_writer_status(path)
+    assert s["held"] and not s["live"]
+    os.remove(os.path.join(path, _WRITER_LOCK))
+
+    # live pointer holder
+    assert _put_lease_record(path, 1, {
+        "seq": 1, "action": "acquire", "namespace": "p-ns", "fence": "pf",
+        "pid": os.getpid(), "host": socket.gethostname(),
+        "ts": time.time(),
+    })
+    s = ivfpq_writer_status(path)
+    assert s["held"] and s["live"] and s["protocol"] == "pointer"
+    assert s["holder"]["namespace"] == "p-ns"
+
+    # stale pointer holder -> held but not live
+    assert _put_lease_record(path, 2, {
+        "seq": 2, "action": "renew", "namespace": "p-ns", "fence": "pf",
+        "pid": 2**22 + 5, "host": "elsewhere", "ts": 1_700_000_000.0,
+    })
+    s = ivfpq_writer_status(path, ttl=60.0)
+    assert s["held"] and not s["live"]
+
+    # released -> free
+    assert ivfpq_release_writer(path)
+    s = ivfpq_writer_status(path)
+    assert not s["held"]
