@@ -30,6 +30,14 @@ generation committed via a create-exclusive checksummed pointer (the
 keeping folded batches invisible to probes even if a live stream
 replays them.
 
+The single-live-writer lease guarding concurrent streams comes in two
+protocol realizations (``lease_protocol=`` on :func:`ivfpq_upsert_fn`):
+``"posix"`` (O_EXCL lock file + mtime heartbeat — the local-filesystem
+fast path) and ``"pointer"`` (append-only immutable checksummed lease
+log, every transition one create-if-absent single-key PUT — the only
+primitive an object store guarantees; see the pointer-lease block
+below). Same semantics, mutually visible, identical test matrix.
+
 Crash/replay pinned by tests/test_streaming_recovery.py; stream-vs-
 one-shot-rebuild equality (with and without compaction) by
 tests/test_datatools.py.
