@@ -1507,3 +1507,24 @@ def test_ivfpq_writer_status(tmp_path):
     assert ivfpq_release_writer(path)
     s = ivfpq_writer_status(path)
     assert not s["held"]
+
+
+def test_ssjoin_file_sink_empty_drain_returns_schema(spark, tmp_path):
+    """ADVICE r8 #1 pin: the file-sink path's empty-result fallback
+    fires ONLY for a genuinely empty drain (no committed data files).
+    A source with no click/purchase events drains zero pairs — the
+    result must be an empty DataFrame with the (click_id, buy_id)
+    schema, not an error and not a masked read failure."""
+    from pygrametl_spark.catalog import read_parquet
+    from pygrametl_spark.streaming.events import stream_click_to_purchase_join
+
+    src = tmp_path / "sf"
+    src.mkdir()
+    ev = read_parquet(spark, f"{SF}/events.parquet").filter(
+        "event_type NOT IN ('click', 'purchase')"
+    )
+    ev.coalesce(1).write.parquet(str(src / "events.parquet"))
+
+    out = stream_click_to_purchase_join(spark, str(src), sink="files")
+    assert out.columns == ["click_id", "buy_id"]
+    assert out.count() == 0
