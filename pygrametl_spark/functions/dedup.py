@@ -26,7 +26,7 @@ __all__ = [
     "hash32", "exact_dedup", "dedup_against", "minhash_signatures",
     "minhash_signatures_long", "minhash_lsh_pairs", "minhash_band_rows",
     "minhash_lsh_pairs_between", "simhash32", "ngram_jaccard_pairs",
-    "neardup_clusters", "exact_substring_dedup",
+    "neardup_clusters", "cluster_survivors", "exact_substring_dedup",
     "exact_substring_dedup_against", "span_keys",
 ]
 
@@ -650,6 +650,59 @@ def neardup_clusters(
         id_col,
         cluster.alias("cluster_id"),
         (cluster == F.col(id_col)).alias("keep"),
+    )
+
+
+def cluster_survivors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    score,
+    clusters: DataFrame | None = None,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Quality-ranked survivor selection per near-duplicate cluster.
+
+    :func:`neardup_clusters`'s canonical keep (min id) is arbitrary:
+    among near-duplicates, production pipelines keep the BEST copy — the
+    longest, the cleanest, the highest-classifier-score one — because
+    near-dup variants differ exactly in boilerplate, truncation, and
+    OCR noise. This ranks every document within its cluster by
+    ``score`` descending (``id_col`` ascending as the deterministic
+    tiebreak) and returns ``(id, cluster_id, rk)``; the survivors are
+    ``rk = 1``, but the full ranking is returned so a pipeline can also
+    keep top-m per cluster or audit what it dropped.
+
+    ``score`` is a Column (or column name) over ``df`` — e.g.
+    ``F.round("quality_score", 6)``. Round float scores before ranking:
+    a 1-ulp cross-engine drift flips ranks (see the ordering discipline
+    in PERF.md). ``clusters`` is the ``(id, cluster_id)`` relation from
+    :func:`neardup_clusters`; pass it in to reuse pair generation across
+    pipeline stages (computed from ``df`` at ``threshold`` otherwise).
+
+    Scale shape: one join against the cluster relation (tiny next to
+    the corpus — only docs in some pair carry a label) and one
+    window keyed by ``cluster_id``. Cluster sizes are duplicate
+    multiplicities — bounded small in practice, and a pathological
+    mega-cluster is itself bounded by ``max_bucket_size`` upstream —
+    so the per-cluster sort never concentrates the corpus.
+    """
+    if clusters is None:
+        clusters = neardup_clusters(df, id_col, text_col, threshold=threshold)
+    s = F.col(score) if isinstance(score, str) else score
+    labeled = df.select(F.col(id_col), s.alias("_score")).join(
+        clusters.select(id_col, "cluster_id"), id_col
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_score").desc(), F.col(id_col)
+    )
+    return labeled.select(
+        id_col,
+        "cluster_id",
+        F.row_number().over(w).cast("long").alias("rk"),
     )
 
 

@@ -18,7 +18,7 @@ from pygrametl_spark.functions.dedup import hash32
 __all__ = [
     "hash_bucket", "hash_split", "hash_sample", "stratified_hash_sample",
     "cluster_split", "pack_by_token_budget", "mixture_sample",
-    "per_group_cap",
+    "per_group_cap", "shuffle_shards", "write_shuffled_shards",
 ]
 
 
@@ -197,6 +197,88 @@ def mixture_sample(
         .withColumn("_prefix", prefix)
         .filter(F.col("_prefix") < F.col("_budget"))
         .drop("_prefix", "_budget")
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    *,
+    seed: str = "",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic seeded GLOBAL SHUFFLE into ``n_shards`` shards —
+    the last mile of a training-data pipeline: after curation, the
+    corpus must be (a) shuffled so adjacent training batches are not
+    correlated by crawl/source order, and (b) split into shards a data
+    loader can stream independently. ``df.orderBy(rand())`` is neither
+    reproducible (partitioning-dependent) nor restartable; this is both:
+
+    - ``shard = hash(seed:id) % n_shards`` — changing ``seed`` is a
+      fresh epoch-level reshuffle; the same seed replays bit-identically
+      on any cluster size (md5-derived :func:`hash_bucket` hash, so a
+      SQL oracle replays the assignment exactly).
+    - ``pos`` = the document's 0-based position within its shard, in
+      hash order (``id`` as tiebreak for hash collisions) — together
+      ``(shard, pos)`` is a total, reproducible read order.
+
+    Scale shape: ONE shuffle keyed by ``shard`` (n_shards partitions),
+    then a partition-local sort per shard — no global sort ever happens;
+    shards order themselves independently, which is exactly why sharded
+    loaders exist. Pick ``n_shards`` so one shard's rows fit an
+    executor's sort budget (corpus_bytes / ~512 MB is a good start); at
+    100 TB that is thousands of shards, each a few-hundred-MB local
+    sort.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = hash32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    out = df.withColumn("_skey", key).withColumn(
+        shard_col, (F.col("_skey") % n_shards).cast("long")
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("_skey"), F.col(id_col))
+    return out.withColumn(
+        pos_col, (F.row_number().over(w) - 1).cast("long")
+    ).drop("_skey")
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    *,
+    n_shards: int,
+    seed: str = "",
+    mode: str = "error",
+) -> DataFrame:
+    """Materialize :func:`shuffle_shards` as ``shard=K/`` parquet
+    directories whose ROW ORDER is the shuffled read order, plus a
+    manifest the loader sizes epochs from.
+
+    Each shard value is routed to one task (``repartition(n_shards,
+    shard)``) and sorted locally by ``(shard, pos)`` before the
+    partitioned write, so every ``shard=K`` directory is written by
+    exactly one task in final order — a re-run over the same input
+    produces row-identical shards (parquet row order is preserved on
+    read). Returns the manifest ``(shard, n_rows)``, computed from the
+    written files so it counts what a loader will actually see.
+    """
+    assigned = shuffle_shards(df, id_col, n_shards, seed=seed)
+    (
+        assigned.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.partitionBy("shard")
+        .mode(mode)
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    return (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("shard")
     )
 
 

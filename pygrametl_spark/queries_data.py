@@ -1122,6 +1122,65 @@ FROM t
 """
 
 
+def q_shuffle_shards(spark, sf_dir):
+    """Seeded deterministic global shuffle into loader shards
+    (sampling.shuffle_shards): shard = hash(seed:id) % n, pos = hash
+    order within shard — the reproducible epoch read order."""
+    from pygrametl_spark.functions.sampling import shuffle_shards
+
+    docs = load_catalog(spark, sf_dir).documents
+    return shuffle_shards(docs, "doc_id", 8, seed="ep0").select(
+        "doc_id", "shard", "pos"
+    )
+
+
+_SHUF_HK = dd.hash32_sql("'ep0:' || CAST(doc_id AS VARCHAR)")
+ORACLE_SHUFFLE_SHARDS = f"""
+WITH k AS (
+  SELECT doc_id, {_SHUF_HK} AS hk FROM documents
+)
+SELECT doc_id, hk % 8 AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id) - 1
+            AS BIGINT) AS pos
+FROM k
+"""
+
+
+def q_cluster_survivors(spark, sf_dir):
+    """Quality-ranked survivor selection per near-dup cluster
+    (dedup.cluster_survivors): rank by quality_score DESC within the
+    connected component; rk=1 is the copy a pipeline keeps."""
+    docs = spread(load_catalog(spark, sf_dir).documents)
+    clusters = dd.neardup_clusters(docs, threshold=0.5)
+    scored = tx.quality_score(docs)
+    return dd.cluster_survivors(
+        scored, "doc_id", score="quality_score", clusters=clusters
+    ).select("doc_id", "cluster_id", "rk")
+
+
+def _survivors_oracle() -> str:
+    return _cluster_oracle(final=False) + rf""",
+lab AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clus c ON d.doc_id = c.id
+),
+feat AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+q AS (
+  SELECT doc_id,
+         ROUND((CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, x -> x IN ({_STOP_IN})))::DOUBLE / len(toks)
+                ELSE 0.0 END) * 0.5 + least(len(toks), 200) / 400.0, 6) AS quality_score
+  FROM feat
+)
+SELECT l.doc_id, l.cluster_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+            ORDER BY q.quality_score DESC, l.doc_id) AS BIGINT) AS rk
+FROM lab l JOIN q ON l.doc_id = q.doc_id
+"""
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Near-dup clusters + canonical keep flag (connected components of
     the LSH pair graph; min-label propagation, see dedup.neardup_clusters)."""
@@ -1617,6 +1676,8 @@ DATA_QUERIES = {
     "neardup_clusters": q_neardup_clusters,
     "dataset_split": q_dataset_split,
     "cluster_split": q_cluster_split,
+    "shuffle_shards": q_shuffle_shards,
+    "cluster_survivors": q_cluster_survivors,
     "stratified_sample": q_stratified_sample,
     "pack_tokens": q_pack_tokens,
     "corpus_curation": q_corpus_curation,
@@ -1669,6 +1730,8 @@ DATA_ORACLES = {
     "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "dataset_split": ORACLE_DATASET_SPLIT,
     "cluster_split": ORACLE_CLUSTER_SPLIT,
+    "shuffle_shards": ORACLE_SHUFFLE_SHARDS,
+    "cluster_survivors": _survivors_oracle(),
     "stratified_sample": ORACLE_STRATIFIED,
     "pack_tokens": ORACLE_PACK_TOKENS,
     "corpus_curation": _curation_oracle(),

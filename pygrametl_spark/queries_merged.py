@@ -124,6 +124,8 @@ PART_COLS: dict[str, list[str]] = {
     "hashed_classifier": ["doc_id", "n_feats", "score_units", "label"],
     "bloom_decontam": ["doc_id", "n_flagged", "contaminated"],
     "domain_cap": ["doc_id", "source", "rk"],
+    "shuffle_shards": ["doc_id", "shard", "pos"],
+    "cluster_survivors": ["doc_id", "cluster_id", "rk"],
     "dedup_exact": ["doc_id"],
     "dedup_incremental": ["doc_id"],
     "dedup_ngram_jaccard": ["id_1", "id_2", "jaccard"],
@@ -464,6 +466,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("doc_id", "bigint"), ("split", "string"), ("source", "string"),
             ("n_tokens", "bigint"), ("pack_id", "bigint"),
             ("cluster_id", "bigint"), ("rk", "bigint"),
+            ("shard", "bigint"), ("pos", "bigint"),
         ],
         [
             ("split", "dataset_split"),
@@ -472,6 +475,8 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("pack", "pack_tokens"),
             ("mixture", "mixture_sample"),
             ("domaincap", "domain_cap"),
+            ("shards", "shuffle_shards"),
+            ("survivors", "cluster_survivors"),
         ],
     ),
 }

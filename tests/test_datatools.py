@@ -408,6 +408,94 @@ def test_cluster_split_keeps_neardups_in_one_split(spark):
         assert r["split"] == expect
 
 
+def test_cluster_survivors_keeps_best_copy(spark):
+    """The survivor of a near-dup cluster is the HIGHEST-score member
+    (rk=1), not the min id; ties break to the lower id; every input doc
+    appears exactly once with a dense per-cluster rank."""
+    from pygrametl_spark.functions.dedup import cluster_survivors
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (9, 0.5)],
+        "doc_id long, quality double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "doc_id long, cluster_id long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["rk"])
+        for r in cluster_survivors(
+            docs, "doc_id", score="quality", clusters=clusters
+        ).collect()
+    }
+    # doc 2 wins cluster 1 (score 0.9, id tiebreak over doc 3); doc 1 is
+    # the min id but ranks LAST — exactly the case min-id keep gets wrong
+    assert out == {2: (1, 1), 3: (1, 2), 1: (1, 3), 9: (9, 1)}
+
+
+def test_shuffle_shards_deterministic_dense_and_seeded(spark):
+    """shuffle_shards: shard in [0,n), pos dense 0..|shard|-1 in hash
+    order, bit-identical across runs, and a different seed is a
+    different permutation (the epoch reshuffle)."""
+    from pygrametl_spark.functions.sampling import shuffle_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(500)], "doc_id long, text string"
+    )
+    a = shuffle_shards(docs, "doc_id", 4, seed="e0").collect()
+    b = shuffle_shards(docs, "doc_id", 4, seed="e0").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard = {}
+    for r in a:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert len(by_shard) == 4  # 500 rows over 4 shards: all populated
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # no shard hogs the corpus (hash balance, loose bound)
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) < 2 * min(sizes)
+    c = shuffle_shards(docs, "doc_id", 4, seed="e1").collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in c} != {
+        (r["doc_id"], r["shard"], r["pos"]) for r in a
+    }
+
+
+def test_write_shuffled_shards_row_order_is_pos_order(spark, tmp_path):
+    """Each shard=K directory reads back in pos order (the loader
+    contract: file row order IS the shuffled read order), the manifest
+    counts match, and a re-run is row-identical."""
+    from pygrametl_spark.functions.sampling import (
+        shuffle_shards,
+        write_shuffled_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(300)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_shuffled_shards(
+        docs, out, "doc_id", n_shards=3, seed="e0"
+    ).collect()
+    assert sum(r["n_rows"] for r in manifest) == 300
+    want = shuffle_shards(docs, "doc_id", 3, seed="e0")
+    for shard in (0, 1, 2):
+        got = [
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/shard={shard}").collect()
+        ]
+        expect = [
+            r["doc_id"]
+            for r in want.filter(F.col("shard") == shard)
+            .orderBy("pos")
+            .collect()
+        ]
+        assert got == expect
+    manifest2 = write_shuffled_shards(
+        docs, out, "doc_id", n_shards=3, seed="e0", mode="overwrite"
+    ).collect()
+    assert sorted(map(tuple, manifest2)) == sorted(map(tuple, manifest))
+
+
 def test_ivf_index_roundtrip_prunes_partitions(spark, tmp_path):
     """A persisted IVF index returns the same top-k as the in-memory
     path, and the probe scan prunes to the probed clusters via dynamic

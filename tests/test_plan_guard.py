@@ -35,6 +35,16 @@ CASES = {
     "simhash": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
     "neardup_clusters": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
     "corpus_curation": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
+    # quality-ranked survivor selection: corpus joins the (small) cluster
+    # relation by equi-key + one window per cluster — never a product.
+    "cluster_survivors": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
+    # seeded shard shuffle: hash projection + per-shard window ONLY — any
+    # join at all means the zero-join design regressed.
+    "shuffle_shards": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "SortMergeJoin", "BroadcastHashJoin"],
+        {},
+    ),
     # SCD as-of interval join: member-key equi-join, never a range-only
     # product over the history.
     "scd_lookupasof": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
