@@ -11,13 +11,15 @@ every stage an operator this engine ships, each scale-shaped for a
                linear classifier as the model-based gate
 3. dedup     — exact (hash-groupBy), ExactSubstr duplicated-span
                removal (docs that are mostly duplicated text go), then
-               near-dup clusters over the MinHash-LSH pair graph; one
-               canonical doc per cluster
+               near-dup clusters over the MinHash-LSH pair graph; the
+               BEST-quality doc per cluster survives (cluster_survivors)
 4. leakage   — benchmark decontamination (broadcast eval shingles) and
                a cluster-aware split so near-dups never straddle splits
 5. balancing — per-domain quota cap so no source dominates
 6. packing   — token-budget sequence packing per source shard
-7. export    — parquet partitioned by (split, pack shard)
+7. export    — val/test parquet partitioned by (split, source); train
+               seeded-shuffled into row-ordered loader shards
+               (shuffle_shards — reproducible epoch read order)
 
 Run: python examples/corpus_pipeline.py [sf_dir] [out_dir]
 """
@@ -40,6 +42,7 @@ from pygrametl_spark.functions.sampling import (
     cluster_split,
     pack_by_token_budget,
     per_group_cap,
+    write_shuffled_shards,
 )
 
 
@@ -103,7 +106,15 @@ def run_pipeline(spark, sf_dir: str, out_dir: str):
     )
     kept = kept.join(span_ok, "doc_id")
     clusters = dd.neardup_clusters(kept, threshold=0.5)
-    kept = kept.join(clusters, "doc_id").filter("keep").drop("keep")
+    # keep the BEST copy of each near-dup cluster (quality rank), not an
+    # arbitrary min-id representative — near-dup variants differ exactly
+    # in boilerplate/truncation, so survivor choice is a quality lever
+    ranked = dd.cluster_survivors(
+        kept, "doc_id", score="quality_score", clusters=clusters
+    )
+    kept = kept.join(
+        ranked.filter("rk = 1").select("doc_id", "cluster_id"), "doc_id"
+    )
     counts["after_dedup"] = kept.count()
 
     # 4. leakage guards: decontaminate vs the held-out eval slice, then
@@ -129,13 +140,26 @@ def run_pipeline(spark, sf_dir: str, out_dir: str):
         "n_tokens", 512, order_by="doc_id", partition_by="source",
     ).join(split, "doc_id")
 
-    # 7. export: one directory per (split, source, pack) — the layout a
-    # training loader streams shard-by-shard
+    # 7. export: val/test as plain partitioned parquet (audited by
+    # split/source); TRAIN through a seeded deterministic global shuffle
+    # into loader shards — epoch read order is reproducible, restartable,
+    # and uncorrelated with crawl/source order (reseed = new epoch)
     out = packed.select(
         "doc_id", "source", "split", "lang_pred", "n_tokens", "pack_id", "text"
     )
-    out.write.mode("overwrite").partitionBy("split", "source").parquet(out_dir)
+    out.filter("split != 'train'").write.mode("overwrite").partitionBy(
+        "split", "source"
+    ).parquet(os.path.join(out_dir, "eval"))
+    manifest = write_shuffled_shards(
+        out.filter("split = 'train'"),
+        os.path.join(out_dir, "train"),
+        "doc_id",
+        n_shards=4,
+        seed="epoch0",
+        mode="overwrite",
+    )
     counts["exported"] = out.count()
+    counts["train_shards"] = manifest.count()
     return out, counts
 
 

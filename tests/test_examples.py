@@ -7,6 +7,7 @@ import os
 import sys
 
 import duckdb
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 
@@ -60,10 +61,20 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     # every exported doc has a split, a pack id, and a positive budget
     assert all(r["split"] in ("train", "val", "test") for r in rows)
     assert all(r["pack_id"] >= 0 and r["n_tokens"] > 0 for r in rows)
-    # export is readable back with the partition layout intact
-    back = spark.read.parquet(out_dir)
-    assert back.count() == counts["exported"]
-    assert {"split", "source"} <= set(back.columns)
+    # export is readable back in both layouts: val/test partitioned by
+    # (split, source), train as seeded row-ordered loader shards
+    n_train = sum(1 for r in rows if r["split"] == "train")
+    eval_back = spark.read.parquet(f"{out_dir}/eval")
+    assert eval_back.count() == counts["exported"] - n_train
+    assert {"split", "source"} <= set(eval_back.columns)
+    train_back = spark.read.parquet(f"{out_dir}/train")
+    assert train_back.count() == n_train
+    # each shard's pos is the dense shuffled read order
+    for r in train_back.groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    ).collect():
+        assert (r["mn"], r["mx"]) == (0, r["n"] - 1)
+    assert counts["train_shards"] >= 1
     # near-dups never straddle splits: one split per cluster by construction
     # (cluster_id is not exported; the invariant is pinned in unit tests)
 
