@@ -725,6 +725,73 @@ def test_ngram_jaccard_matches_bruteforce(spark, texts):
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1, max_size=60, unique=True,
+    ),
+    n_shards=st.integers(min_value=1, max_value=7),
+    seed=st.sampled_from(["", "e0", "epoch-1", "日本"]),
+)
+def test_shuffle_shards_is_a_permutation(spark, ids, n_shards, seed):
+    """For ANY id set, shard count, and seed: every row appears exactly
+    once, shards are in range, and (shard, pos) is a bijection onto
+    ∪_k ({k} × [0, |shard k|)) — the shuffled order is a true permutation
+    with no gaps or collisions."""
+    from pygrametl_spark.functions.sampling import shuffle_shards
+
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = shuffle_shards(docs, "doc_id", n_shards, seed=seed).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(ids)
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r["shard"] < n_shards
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    members=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),     # doc id
+            st.integers(min_value=0, max_value=3),      # cluster
+            st.integers(min_value=0, max_value=5),      # score units
+        ),
+        min_size=1, max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_cluster_survivors_matches_bruteforce(spark, members):
+    """For ANY cluster assignment and integer scores: rk replays the
+    (score DESC, id ASC) sort per cluster, exactly one rk=1 per cluster,
+    and the rk=1 member has the cluster's max score."""
+    from pygrametl_spark.functions.dedup import cluster_survivors
+
+    docs = spark.createDataFrame(
+        [(i, float(s)) for i, _, s in members], "doc_id long, score double"
+    )
+    clusters = spark.createDataFrame(
+        [(i, c) for i, c, _ in members], "doc_id long, cluster_id long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["rk"])
+        for r in cluster_survivors(
+            docs, "doc_id", score="score", clusters=clusters
+        ).collect()
+    }
+    assert sorted(got) == sorted(i for i, _, _ in members)
+    by_cluster = {}
+    for i, c, s in members:
+        by_cluster.setdefault(c, []).append((i, s))
+    for c, ms in by_cluster.items():
+        want = sorted(ms, key=lambda t: (-t[1], t[0]))
+        for rk0, (i, _) in enumerate(want):
+            assert got[i] == (c, rk0 + 1)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(texts=_doc_strategy, bench_texts=_doc_strategy)
 def test_decontaminate_matches_bruteforce(spark, texts, bench_texts):
     docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
