@@ -18,6 +18,7 @@ from pygrametl_spark.functions import dedup as dd
 from pygrametl_spark.functions import multimodal as mm
 from pygrametl_spark.functions import similarity as sim
 from pygrametl_spark.functions import text as tx
+from pygrametl_spark.functions import urls as ur
 from pygrametl_spark.streaming.events import stream_windowed_event_counts
 
 # ---------------------------------------------------------------------------
@@ -958,6 +959,159 @@ SELECT doc_id, source, rk FROM r WHERE rk <= 30
 """
 
 
+# ---------------------------------------------------------------------------
+# URL curation family (functions/urls.py): canonicalization, registered
+# domains, canonical-URL dedup, host blocklist, host shares.
+#
+# The documents table has no URL column, so each doc gets a DETERMINISTIC
+# synthetic messy URL built from doc_id alone: four variants per
+# collision group g = doc_id div 4 (uppercase host + default port +
+# trailing slash / www. + leading utm_ / fragment + trailing utm_ /
+# fbclid + swapped param order), all of which must canonicalize to one
+# URL. The oracle does NOT re-run the normalizer: it constructs the
+# expected canonical string directly from (g, tld, depth) — independent
+# ground truth, so a normalizer bug cannot cancel out of both sides.
+# ---------------------------------------------------------------------------
+
+_URL_TLDS = ("com", "org", "co.uk", "com.au", "io")
+
+
+def _messy_url():
+    """Deterministic messy URL per document (Spark expression). Within
+    a collision group g all four variants share one canonical form:
+    ``https://<host>/docs/<g>?page=<g%7>&q=x<g%3>``."""
+    g = F.expr("doc_id div 4")
+    v = F.col("doc_id") % 4
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in _URL_TLDS]), (g % 5 + 1).cast("int")
+    )
+    token = F.concat(F.lit("d"), (g % 10).cast("string"))
+    host = F.when(
+        g % 2 == 0, F.concat(token, F.lit(".example."), tld)
+    ).otherwise(F.concat(token, F.lit("-site."), tld))
+    path = F.concat(F.lit("/docs/"), g.cast("string"))
+    page = (g % 7).cast("string")
+    qv = F.concat(F.lit("x"), (g % 3).cast("string"))
+    return (
+        F.when(v == 0, F.concat(
+            F.lit("HTTPS://"), F.upper(host), F.lit(":443"), path, F.lit("/"),
+            F.lit("?q="), qv, F.lit("&page="), page))
+        .when(v == 1, F.concat(
+            F.lit("https://www."), host, path,
+            F.lit("?utm_source=x&page="), page, F.lit("&q="), qv))
+        .when(v == 2, F.concat(
+            F.lit("https://"), host, path,
+            F.lit("?page="), page, F.lit("&q="), qv,
+            F.lit("&utm_campaign=y#frag")))
+        .otherwise(F.concat(
+            F.lit("https://"), host, F.lit(":443"), path,
+            F.lit("?fbclid=abc&q="), qv, F.lit("&page="), page))
+    )
+
+
+# Ground-truth canonical URL + registered domain, built WITHOUT the
+# normalizer (see family comment above).
+_URL_ORACLE_CTE = """
+WITH u AS (
+  SELECT doc_id, doc_id // 4 AS g FROM documents
+), c AS (
+  SELECT doc_id, g,
+         (['com','org','co.uk','com.au','io'])[CAST(g % 5 AS INTEGER) + 1] AS tld,
+         g % 2 AS depth,
+         'd' || CAST(g % 10 AS VARCHAR) AS token,
+         CAST(g % 7 AS VARCHAR) AS page,
+         'x' || CAST(g % 3 AS VARCHAR) AS qv
+  FROM u
+), h AS (
+  SELECT doc_id, g, tld, depth, page, qv,
+         CASE WHEN depth = 0 THEN token || '.example.' || tld
+              ELSE token || '-site.' || tld END AS host
+  FROM c
+), canon AS (
+  SELECT doc_id,
+         'https://' || host || '/docs/' || CAST(g AS VARCHAR)
+           || '?page=' || page || '&q=' || qv AS norm_url,
+         CASE WHEN depth = 0 THEN 'example.' || tld ELSE host END AS reg_domain
+  FROM h
+)
+"""
+
+
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization + registered-domain extraction (urls.py
+    url_normalize / registered_domain): case, default ports, fragments,
+    tracking params, param order, trailing slash all folded; the PSL
+    heuristic picks last-3 labels for two-level public suffixes. Pure
+    scan-stage Catalyst expressions — zero shuffle at any corpus size."""
+    docs = load_catalog(spark, sf_dir).documents
+    messy = docs.select("doc_id", _messy_url().alias("url"))
+    return messy.select(
+        "doc_id",
+        ur.url_normalize("url").alias("norm_url"),
+        ur.registered_domain(ur.url_host("url")).alias("reg_domain"),
+    )
+
+
+ORACLE_URL_NORMALIZE = (
+    _URL_ORACLE_CTE + "SELECT doc_id, norm_url, reg_domain FROM canon"
+)
+
+
+def q_url_dedup(spark, sf_dir):
+    """First-seen-wins dedup by canonical URL (urls.py url_dedup): one
+    hash aggregation on the ~60-byte canonical string — the CCNet-style
+    URL-level pass that runs before any content fingerprinting."""
+    docs = load_catalog(spark, sf_dir).documents
+    messy = docs.select("doc_id", _messy_url().alias("url"))
+    return ur.url_dedup(messy, "doc_id", "url")
+
+
+ORACLE_URL_DEDUP = _URL_ORACLE_CTE + """
+SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups, norm_url
+FROM canon GROUP BY norm_url
+"""
+
+_URL_BLOCKLIST = ("example.com", "d7-site.co.uk")
+
+
+def q_host_blocklist(spark, sf_dir):
+    """Domain blocklist filter (urls.py filter_by_host_blocklist):
+    broadcast anti-join on the registered domain — the blocklist is KBs
+    against a TB corpus, so the corpus never shuffles."""
+    docs = load_catalog(spark, sf_dir).documents
+    messy = docs.select("doc_id", _messy_url().alias("url"))
+    bl = spark.createDataFrame(
+        [(d,) for d in _URL_BLOCKLIST], "reg_domain string"
+    )
+    kept = ur.filter_by_host_blocklist(messy, bl, "url")
+    return kept.select(
+        "doc_id", ur.registered_domain(ur.url_host("url")).alias("reg_domain")
+    )
+
+
+ORACLE_HOST_BLOCKLIST = _URL_ORACLE_CTE + f"""
+SELECT doc_id, reg_domain FROM canon
+WHERE reg_domain NOT IN ('{_URL_BLOCKLIST[0]}', '{_URL_BLOCKLIST[1]}')
+"""
+
+
+def q_host_shares(spark, sf_dir):
+    """Per-registered-domain corpus share (urls.py host_doc_shares) —
+    the input to domain-cap / blocklist decisions. The corpus total is
+    a 1-row aggregate broadcast over the per-domain counts, never a
+    global window."""
+    docs = load_catalog(spark, sf_dir).documents
+    messy = docs.select("doc_id", _messy_url().alias("url"))
+    return ur.host_doc_shares(messy, "url")
+
+
+ORACLE_HOST_SHARES = _URL_ORACLE_CTE + """
+SELECT reg_domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       COUNT(*) / (SELECT COUNT(*) FROM documents) AS share
+FROM canon GROUP BY reg_domain
+"""
+
+
 def q_winnow_fp(spark, sf_dir):
     """Winnowing fingerprints (MOSS rolling k-gram window minima,
     text.winnow_fingerprints): shared-run detection primitives, k=5 w=4."""
@@ -1687,6 +1841,10 @@ DATA_QUERIES = {
     "hashed_classifier": q_hashed_classifier,
     "bloom_decontam": q_bloom_decontaminate,
     "domain_cap": q_domain_cap,
+    "url_normalize": q_url_normalize,
+    "url_dedup": q_url_dedup,
+    "host_blocklist": q_host_blocklist,
+    "host_shares": q_host_shares,
     "tfidf_topk": q_tfidf_topk,
     "winnow_fp": q_winnow_fp,
     "simhash": q_simhash,
@@ -1741,6 +1899,10 @@ DATA_ORACLES = {
     "hashed_classifier": ORACLE_HASHED_CLASSIFIER,
     "bloom_decontam": ORACLE_BLOOM_DECONTAM,
     "domain_cap": ORACLE_DOMAIN_CAP,
+    "url_normalize": ORACLE_URL_NORMALIZE,
+    "url_dedup": ORACLE_URL_DEDUP,
+    "host_blocklist": ORACLE_HOST_BLOCKLIST,
+    "host_shares": ORACLE_HOST_SHARES,
     "tfidf_topk": ORACLE_TFIDF,
     "winnow_fp": ORACLE_WINNOW,
     "simhash": ORACLE_SIMHASH,

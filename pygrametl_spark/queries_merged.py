@@ -123,6 +123,10 @@ PART_COLS: dict[str, list[str]] = {
     "line_clean": ["doc_id", "n_lines", "n_dropped", "clean_text"],
     "hashed_classifier": ["doc_id", "n_feats", "score_units", "label"],
     "bloom_decontam": ["doc_id", "n_flagged", "contaminated"],
+    "url_normalize": ["doc_id", "norm_url", "reg_domain"],
+    "url_dedup": ["doc_id", "n_dups", "norm_url"],
+    "host_blocklist": ["doc_id", "reg_domain"],
+    "host_shares": ["reg_domain", "n_docs", "share"],
     "domain_cap": ["doc_id", "source", "rk"],
     "shuffle_shards": ["doc_id", "shard", "pos"],
     "cluster_survivors": ["doc_id", "cluster_id", "rk"],
@@ -440,6 +444,8 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("clean_text", "string"),
             ("n_feats", "bigint"), ("score_units", "bigint"),
             ("label", "boolean"), ("n_flagged", "bigint"),
+            ("norm_url", "string"), ("reg_domain", "string"),
+            ("n_dups", "bigint"), ("n_docs", "bigint"), ("share", "double"),
         ],
         [
             ("pii", "pii_scan"),
@@ -447,6 +453,10 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("lineclean", "line_clean"),
             ("classifier", "hashed_classifier"),
             ("bloomdecontam", "bloom_decontam"),
+            ("urlnorm", "url_normalize"),
+            ("urldedup", "url_dedup"),
+            ("hostblock", "host_blocklist"),
+            ("hostshares", "host_shares"),
         ],
     ),
     "events_stream_windows": (

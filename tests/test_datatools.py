@@ -2983,3 +2983,132 @@ def test_ivfpq_probe_retries_on_stale_layout(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(sim, "_resolve_index_tiers", flaky_resolve)
     assert probe(rerank=25) == before  # retried, re-resolved, identical
     assert calls["n"] >= 2
+
+
+# ---------------------------------------------------------------------------
+# URL curation (functions/urls.py)
+# ---------------------------------------------------------------------------
+
+from pygrametl_spark.functions import urls as ur  # noqa: E402
+
+
+_MESSY_URLS = [
+    "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+    "https://example.com/a/b?a=1&b=2",
+    "http://example.com:80/a/b?b=2&a=1&utm_campaign=y",
+    "https://example.com:8443/a/b?a=1&b=2",  # non-default port KEPT
+    "ftp://Files.Example.org/pub/",
+    "https://example.com",  # no path, no query
+    "https://example.com/?gclid=zzz",  # only tracking params -> no query
+]
+
+
+def _norm(spark, urls, **kw):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r[0] for r in df.select(ur.url_normalize("url", **kw)).collect()]
+
+
+def test_url_normalize_canonicalizes(spark):
+    out = _norm(spark, _MESSY_URLS)
+    assert out[0] == "https://example.com/a/b?a=1&b=2"  # case/port/slash/utm/#/order
+    assert out[1] == "https://example.com/a/b?a=1&b=2"
+    assert out[2] == "http://example.com/a/b?a=1&b=2"
+    assert out[3] == "https://example.com:8443/a/b?a=1&b=2"
+    assert out[4] == "ftp://files.example.org/pub"
+    assert out[5] == "https://example.com"
+    assert out[6] == "https://example.com"
+
+
+def test_url_normalize_idempotent(spark):
+    once = _norm(spark, _MESSY_URLS)
+    twice = _norm(spark, once)
+    assert once == twice
+
+
+def test_url_normalize_options_off(spark):
+    urls = ["https://www.example.com/x?utm_source=a&k=v"]
+    assert _norm(spark, urls, strip_www=False) == [
+        "https://www.example.com/x?k=v"
+    ]
+    assert _norm(spark, urls, strip_tracking=False) == [
+        "https://example.com/x?k=v&utm_source=a"
+    ]
+
+
+def test_url_components(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://Host.Example.co.uk:8080/p/q?x=1#f",)], "url string"
+    )
+    row = df.select(
+        ur.url_scheme("url").alias("s"),
+        ur.url_host("url").alias("h"),
+        ur.url_path("url").alias("p"),
+        ur.url_query("url").alias("q"),
+    ).first()
+    assert (row.s, row.h, row.p, row.q) == (
+        "https", "host.example.co.uk", "/p/q", "x=1"
+    )
+
+
+def test_registered_domain(spark):
+    hosts = [
+        ("a.b.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("bbc.co.uk", "bbc.co.uk"),
+        ("co.uk", "co.uk"),  # <=2 labels pass through
+        ("localhost", "localhost"),
+        ("shop.example.com.au", "example.com.au"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], "h string")
+    out = [r[0] for r in df.select(ur.registered_domain("h")).collect()]
+    assert out == [want for _, want in hosts]
+
+
+def test_url_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com/a?x=1&y=2"),
+            (2, "HTTPS://EXAMPLE.COM:443/a/?y=2&x=1&utm_medium=m"),
+            (3, "https://www.example.com/a?x=1&y=2#top"),
+            (4, "https://example.com/b"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.norm_url: (r.doc_id, r.n_dups) for r in ur.url_dedup(df).collect()}
+    assert out == {
+        "https://example.com/a?x=1&y=2": (1, 3),
+        "https://example.com/b": (4, 1),
+    }
+
+
+def test_host_blocklist_and_shares(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.spam.co.uk/x"),
+            (2, "https://b.spam.co.uk/y"),
+            (3, "https://good.org/z"),
+            (4, "https://also.good.org/w"),
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("SPAM.co.uk",)], "reg_domain string")
+    kept = sorted(
+        r.doc_id for r in ur.filter_by_host_blocklist(df, bl).collect()
+    )
+    assert kept == [3, 4]
+    shares = {
+        r.reg_domain: (r.n_docs, r.share)
+        for r in ur.host_doc_shares(df).collect()
+    }
+    assert shares == {"spam.co.uk": (2, 0.5), "good.org": (2, 0.5)}
+
+
+def test_url_normalize_is_pure_catalyst(spark):
+    """The URL pass must stay a scan-stage projection: no Python UDF
+    (BatchEvalPython / ArrowEvalPython) anywhere in the plan."""
+    df = spark.createDataFrame([("https://x.com/a?b=1",)], "url string")
+    plan = df.select(
+        ur.url_normalize("url"), ur.registered_domain(ur.url_host("url"))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
