@@ -26,6 +26,8 @@ __all__ = [
     "ngram_lm_train", "ngram_lm_score",
     "hashed_classifier_score", "bloom_decontaminate", "build_bloom_bitmap",
     "bpe_train", "bpe_apply", "bpe_apply_arrow",
+    "gopher_rules", "GOPHER_REQUIRED_WORDS",
+    "normalize_text", "line_dedup_across_docs",
 ]
 
 # Tiny deterministic marker lists (the heuristic, not a model).
@@ -1094,3 +1096,230 @@ def bpe_apply_arrow(
             yield pdf[out_fields]
 
     return df.mapInPandas(run, schema=schema_src)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1)
+# ---------------------------------------------------------------------------
+
+# The paper's "required words" rule: a document must contain at least
+# ``min_stopwords`` of these to pass (filters symbol soup / code dumps).
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_BULLET_RE = r"^[-*•‣▪]"
+
+
+def gopher_rules(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.80,
+    max_bullet_ratio: float = 0.90,
+    max_ellipsis_line_ratio: float = 0.30,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher rule-based quality filter (arXiv:2112.11446 Table A1):
+    per-document features + one boolean per rule + combined
+    ``gopher_pass``. Default thresholds are the paper's.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min, max]; (``#`` + ellipsis)-to-word ratio <= max_symbol_ratio;
+    fraction of words with >= 1 alphabetic char >= min_alpha_word_ratio;
+    fraction of lines starting with a bullet <= max_bullet_ratio;
+    fraction of lines ending with an ellipsis <= max_ellipsis_line_ratio;
+    >= min_stopwords distinct :data:`GOPHER_REQUIRED_WORDS` present.
+
+    Scale shape: every feature is a built-in Column expression over the
+    row's own text — a scan-stage projection with zero shuffle and zero
+    Python, so at 100 TB this runs at parquet-scan speed inside
+    whole-stage codegen. Ratios are ROUND(6) so a DuckDB oracle hashes
+    bit-identically.
+    """
+    t = F.col(text_col)
+    toks = F.filter(tokens(t), lambda x: x != "")
+    n = F.size(toks)
+    nd = F.when(n > 0, n.cast("double"))  # NULL-propagating denominator
+    mean_len = F.round(
+        F.length(F.regexp_replace(t, r"\s+", "")) / nd, 6
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_uell = F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    n_dots = F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    # symbols = n_hash + n_uell + n_dots/3; computed as ONE division of
+    # exact integers (3*symbols / 3*words) so the double — and therefore
+    # the ROUND and any threshold comparison — is bit-identical in every
+    # engine regardless of addition order.
+    symbol_ratio = F.round(
+        (3 * n_hash + 3 * n_uell + n_dots) / F.when(n > 0, (3 * n).cast("double")), 6
+    )
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]")))
+    alpha_ratio = F.round(n_alpha / nd, 6)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_ratio = F.round(
+        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(_BULLET_RE))) / n_lines, 6
+    )
+    ell_line_ratio = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+            )
+        )
+        / n_lines,
+        6,
+    )
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+    n_stops = F.size(F.filter(req, lambda w: F.array_contains(toks, w)))
+
+    out = (
+        df.withColumn("n_words", n.cast("long"))
+        .withColumn("mean_word_len", mean_len)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("alpha_word_ratio", alpha_ratio)
+        .withColumn("bullet_line_ratio", bullet_ratio)
+        .withColumn("ellipsis_line_ratio", ell_line_ratio)
+        .withColumn("n_required_stops", n_stops.cast("long"))
+    )
+    flags = {
+        "pass_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "pass_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "pass_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "pass_alpha_words": F.col("alpha_word_ratio") >= min_alpha_word_ratio,
+        "pass_bullets": F.col("bullet_line_ratio") <= max_bullet_ratio,
+        "pass_ellipsis_lines": F.col("ellipsis_line_ratio")
+        <= max_ellipsis_line_ratio,
+        "pass_stopwords": F.col("n_required_stops") >= min_stopwords,
+    }
+    gopher_pass = F.lit(True)
+    for name, flag in flags.items():
+        out = out.withColumn(name, F.coalesce(flag, F.lit(False)))
+        gopher_pass = gopher_pass & F.col(name)
+    return out.withColumn("gopher_pass", gopher_pass)
+
+
+# ---------------------------------------------------------------------------
+# Unicode/text normalization (ftfy-style cleanup, scan-stage only)
+# ---------------------------------------------------------------------------
+
+# 1:1 character folds applied via translate (single JVM pass, no regex):
+# curly quotes -> ASCII, dashes -> '-', exotic spaces -> ' '.
+_FOLD_SRC = (
+    "‘’‚‛"  # single quotes
+    "“”„‟"  # double quotes
+    "–—−―"  # en/em dash, minus, horizontal bar
+    "   　"  # nbsp, narrow nbsp, thin space, ideographic
+)
+_FOLD_DST = "''''\"\"\"\"----    "
+
+# Removed outright: zero-widths, BOM, soft hyphen, C0/C1 controls except
+# tab (folded to space later) and newline.
+_STRIP_RE = (
+    "[​‌‍﻿­"
+    "\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+)
+
+
+def normalize_text(text: str | Column = "text") -> Column:
+    """ftfy-style canonical text cleanup as ONE Column expression:
+    curly quotes/dashes/exotic spaces folded to ASCII, ``…`` ->
+    ``...``, zero-width + control chars stripped, horizontal whitespace
+    runs collapsed to one space, spaces trimmed around newlines, >= 3
+    consecutive newlines collapsed to 2, ends trimmed.
+
+    Pure Catalyst (translate + regexp_replace chain): a scan-stage
+    projection — zero shuffle, zero Python, idempotent by construction
+    (unit-tested), so it can run defensively in front of every text
+    operator at 100 TB for the cost of the scan.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.translate(c, _FOLD_SRC, _FOLD_DST)
+    c = F.replace(c, F.lit("…"), F.lit("..."))
+    c = F.regexp_replace(c, _STRIP_RE, "")
+    c = F.regexp_replace(c, "[ \t]+", " ")
+    c = F.regexp_replace(c, "[ ]*\n[ ]*", "\n")
+    c = F.regexp_replace(c, "\n{3,}", "\n\n")
+    return F.trim(c)
+
+
+# ---------------------------------------------------------------------------
+# Inter-document line dedup (the C4 rule, line-level)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup_across_docs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "dedup_text",
+) -> DataFrame:
+    """Corpus-wide line deduplication (the C4 repeated-span rule at line
+    granularity, arXiv:1910.10683 §2.2): every distinct non-blank
+    trimmed line is kept ONLY at its first occurrence — ordered by
+    ``(id, position)`` — and dropped everywhere else, including later
+    repeats inside the same document. Blank lines always survive
+    (document structure is not content). Each document is rebuilt from
+    its surviving lines in order; returns
+    ``(id, n_lines, n_dropped, dedup_text)``.
+
+    Contrast with :func:`remove_boilerplate_lines`, which drops a
+    frequent line from EVERY document; this keeps exactly one copy.
+
+    Scale shape: one row per line; the first-occurrence winner per line
+    key is a ``groupBy(line).agg(min(struct(id, pos)))`` — map-side
+    partial min collapses within-partition repeats before the shuffle,
+    so the exchange carries at most one row per distinct line per input
+    partition (a window/row_number formulation would instead sort every
+    repeat of a hot line inside one reducer — the skew trap). The
+    winner relation (one row per DISTINCT line) joins back on the line
+    key; the per-document reassembly groupBy is the same exchange every
+    rebuild op here pays.
+    """
+    lines = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line")
+    )
+    nonblank = lines.filter(F.length(F.trim("_line")) > 0)
+    firsts = (
+        nonblank.groupBy(F.trim("_line").alias("_k"))
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("_i"), F.col("_pos").alias("_p"))
+            ).alias("_w")
+        )
+        .select("_k", F.col("_w._i").alias("_wi"), F.col("_w._p").alias("_wp"))
+    )
+    winners = (
+        nonblank.join(firsts, F.trim(F.col("_line")) == F.col("_k"))
+        .filter((F.col(id_col) == F.col("_wi")) & (F.col("_pos") == F.col("_wp")))
+        .select(id_col, "_pos", "_line")
+    )
+    kept = winners.unionByName(
+        lines.filter(F.length(F.trim("_line")) == 0).select(id_col, "_pos", "_line")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("_clean"),
+        F.count("*").alias("_kept"),
+    )
+    totals = df.select(
+        id_col, F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("_kept", F.lit(0))).cast("long").alias("n_dropped"),
+        F.coalesce("_clean", F.lit("")).alias(out),
+    )

@@ -1112,6 +1112,146 @@ FROM canon GROUP BY reg_domain
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher rule filter / text normalization / inter-doc line dedup (r9)
+# ---------------------------------------------------------------------------
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality rules (text.gopher_rules, arXiv:2112.11446):
+    per-doc rule features + combined pass verdict. Thresholds tuned so
+    the 10-100-word synthetic docs split on word count (30..90) and on
+    required-stopword presence (>=1) — both outcomes exercised."""
+    docs = load_catalog(spark, sf_dir).documents
+    return tx.gopher_rules(docs, min_words=30, max_words=90, min_stopwords=1).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_word_ratio", "n_required_stops", "gopher_pass",
+    )
+
+
+ORACLE_GOPHER = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter({_TOKS}, x -> x <> '') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id, text,
+    len(toks) AS n_words,
+    ROUND(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(toks), 6)
+      AS mean_word_len,
+    ROUND((3 * (length(text) - length(replace(text, '#', '')))
+           + 3 * (length(text) - length(replace(text, '…', '')))
+           + (length(text) - length(replace(text, '...', ''))))
+          * 1.0 / (3 * len(toks)), 6) AS symbol_ratio,
+    ROUND(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+          * 1.0 / len(toks), 6) AS alpha_word_ratio,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+                    w -> list_contains(toks, w))) AS n_required_stops
+  FROM t
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len, symbol_ratio,
+       alpha_word_ratio, CAST(n_required_stops AS BIGINT) AS n_required_stops,
+       (n_words BETWEEN 30 AND 90
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_ratio <= 0.1
+        AND alpha_word_ratio >= 0.8
+        AND NOT regexp_matches(ltrim(text), '^[-*•‣▪]')
+        AND NOT (rtrim(text) LIKE '%...' OR rtrim(text) LIKE '%…')
+        AND n_required_stops >= 1) AS gopher_pass
+FROM f
+"""
+
+
+def q_normalize_text(spark, sf_dir):
+    """ftfy-style normalization (text.normalize_text). Each doc is made
+    DETERMINISTICALLY messy (curly quote, doubled NBSPs, unicode
+    ellipsis, zero-width, em dash, control char, stray tab) and the
+    oracle constructs the expected clean string '"'+text+'...-tail'
+    DIRECTLY from the pristine source text — independent ground truth,
+    never a replay of the normalizer."""
+    docs = load_catalog(spark, sf_dir).documents
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("\t“"),
+            F.replace(F.col("text"), F.lit(" "), F.lit("\u00a0\u00a0")),
+            F.lit("\u2026\u200b\u2014tail\x07"),
+        ).alias("raw"),
+    )
+    return messy.select(
+        "doc_id",
+        tx.normalize_text("raw").alias("norm_text"),
+        F.length(tx.normalize_text("raw")).cast("long").alias("n_clean_chars"),
+    )
+
+
+ORACLE_NORMALIZE_TEXT = """
+SELECT doc_id, '"' || text || '...-tail' AS norm_text,
+       CAST(length('"' || text || '...-tail') AS BIGINT) AS n_clean_chars
+FROM documents
+"""
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide line dedup (text.line_dedup_across_docs, the C4
+    repeated-span rule at line level): synthetic 5-line docs — a header
+    shared by every doc_id%7 group, the original text, a blank line
+    (always kept), and a footer repeated twice within the doc and
+    shared across the doc_id%3 group — so cross-doc AND within-doc
+    repeats both occur; only the (doc_id, pos)-first copy survives."""
+    docs = spread(load_catalog(spark, sf_dir).documents)
+    ftr = F.concat(F.lit("ftr "), (F.col("doc_id") % 3).cast("string"))
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("hdr "), (F.col("doc_id") % 7).cast("string")),
+            F.col("text"),
+            F.lit(""),
+            ftr,
+            ftr,
+        ).alias("text"),
+    )
+    return tx.line_dedup_across_docs(multi)
+
+
+ORACLE_LINE_DEDUP = """
+WITH msrc AS (
+  SELECT doc_id,
+         'hdr ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || text || chr(10)
+         || chr(10) || 'ftr ' || CAST(doc_id % 3 AS VARCHAR) || chr(10)
+         || 'ftr ' || CAST(doc_id % 3 AS VARCHAR) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, pos, ls[pos] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM msrc),
+       LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS pos) u
+),
+ranked AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY trim(line) ORDER BY doc_id, pos) AS rn
+  FROM lines WHERE length(trim(line)) > 0
+),
+kept AS (
+  SELECT doc_id, pos, line FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, pos, line FROM lines WHERE length(trim(line)) = 0
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS dedup_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT m.doc_id,
+       CAST(len(string_split(m.text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(string_split(m.text, chr(10))) - COALESCE(r.n_kept, 0) AS BIGINT)
+         AS n_dropped,
+       COALESCE(r.dedup_text, '') AS dedup_text
+FROM msrc m LEFT JOIN rebuilt r ON m.doc_id = r.doc_id
+"""
+
+
 def q_winnow_fp(spark, sf_dir):
     """Winnowing fingerprints (MOSS rolling k-gram window minima,
     text.winnow_fingerprints): shared-run detection primitives, k=5 w=4."""
@@ -1846,6 +1986,9 @@ DATA_QUERIES = {
     "host_blocklist": q_host_blocklist,
     "host_shares": q_host_shares,
     "tfidf_topk": q_tfidf_topk,
+    "gopher_rules": q_gopher_rules,
+    "normalize_text": q_normalize_text,
+    "line_dedup": q_line_dedup,
     "winnow_fp": q_winnow_fp,
     "simhash": q_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1904,6 +2047,9 @@ DATA_ORACLES = {
     "host_blocklist": ORACLE_HOST_BLOCKLIST,
     "host_shares": ORACLE_HOST_SHARES,
     "tfidf_topk": ORACLE_TFIDF,
+    "gopher_rules": ORACLE_GOPHER,
+    "normalize_text": ORACLE_NORMALIZE_TEXT,
+    "line_dedup": ORACLE_LINE_DEDUP,
     "winnow_fp": ORACLE_WINNOW,
     "simhash": ORACLE_SIMHASH,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,

@@ -123,6 +123,12 @@ PART_COLS: dict[str, list[str]] = {
     "line_clean": ["doc_id", "n_lines", "n_dropped", "clean_text"],
     "hashed_classifier": ["doc_id", "n_feats", "score_units", "label"],
     "bloom_decontam": ["doc_id", "n_flagged", "contaminated"],
+    "gopher_rules": [
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_word_ratio", "n_required_stops", "gopher_pass",
+    ],
+    "normalize_text": ["doc_id", "norm_text", "n_clean_chars"],
+    "line_dedup": ["doc_id", "n_lines", "n_dropped", "dedup_text"],
     "url_normalize": ["doc_id", "norm_url", "reg_domain"],
     "url_dedup": ["doc_id", "n_dups", "norm_url"],
     "host_blocklist": ["doc_id", "reg_domain"],
@@ -297,6 +303,12 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("char_entropy", "double"),
             ("rank", "bigint"), ("term", "string"), ("tfidf", "double"),
             ("wfp", "bigint"), ("n_bigrams", "bigint"), ("lm_score", "double"),
+            ("n_words", "bigint"), ("mean_word_len", "double"),
+            ("symbol_ratio", "double"), ("alpha_word_ratio", "double"),
+            ("n_required_stops", "bigint"), ("gopher_pass", "boolean"),
+            ("norm_text", "string"), ("n_clean_chars", "bigint"),
+            ("n_lines", "bigint"), ("n_dropped", "bigint"),
+            ("dedup_text", "string"),
         ],
         [
             ("quality", "text_quality"),
@@ -307,6 +319,9 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("tfidf", "tfidf_topk"),
             ("winnow", "winnow_fp"),
             ("lmscore", "lm_score"),
+            ("gopher", "gopher_rules"),
+            ("textnorm", "normalize_text"),
+            ("linededup", "line_dedup"),
         ],
     ),
     "multimodal_pipeline": (

@@ -3112,3 +3112,134 @@ def test_url_normalize_is_pure_catalyst(spark):
         ur.url_normalize("url"), ur.registered_domain(ur.url_host("url"))
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Gopher rules / normalize_text / line_dedup_across_docs (r9)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_flags(spark):
+    from pygrametl_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            # passes everything (min_words=10 here)
+            (1, "the quick brown fox jumps over that lazy dog with plenty "
+                "of honest words to be sure we have enough of everything"),
+            # symbol soup: fails symbol ratio + alpha + stopwords
+            (2, "### #@! 123 456 %%% !!! ??? ^^^ &&& ***"),
+            # bullet-heavy multiline: fails bullet ratio (3/4 > 0.5)
+            (3, "- one\n- two\n• three\nthe end of and that have with list"),
+            # ellipsis line endings: 2/3 lines end with ... (> 0.3)
+            (4, "to be continued...\nthe story of and that...\nhave with end"),
+            # too short
+            (5, "the of and"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in tx.gopher_rules(
+            docs, min_words=10, max_bullet_ratio=0.5, min_stopwords=2
+        ).collect()
+    }
+    assert out[1]["gopher_pass"]
+    assert not out[2]["pass_symbol_ratio"]
+    assert not out[2]["pass_alpha_words"]
+    assert not out[2]["pass_stopwords"]
+    assert out[3]["bullet_line_ratio"] == 0.75 and not out[3]["pass_bullets"]
+    assert round(out[4]["ellipsis_line_ratio"], 4) == round(2 / 3, 4)
+    assert not out[4]["pass_ellipsis_lines"]
+    assert not out[5]["pass_word_count"] and not out[5]["gopher_pass"]
+
+
+def test_gopher_rules_empty_text_fails_closed(spark):
+    from pygrametl_spark.functions import text as tx
+
+    docs = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    for r in tx.gopher_rules(docs).collect():
+        assert r["n_words"] == 0
+        assert r["mean_word_len"] is None  # no denominator, not a fake 0
+        assert not r["gopher_pass"]
+
+
+def test_normalize_text_folds(spark):
+    from pygrametl_spark.functions import text as tx
+
+    cases = {
+        # quotes, dashes, ellipsis, nbsp
+        "“Hi” — there… and more": '"Hi" - there... and more',
+        # zero-width + soft hyphen + control chars stripped, \n kept
+        "a​b­c\x07d\ne": "abcd\ne",
+        # horizontal runs collapse; spaces around newlines dropped
+        "a  \t b \n   c": "a b\nc",
+        # newline runs cap at 2; ends trimmed
+        "  x\n\n\n\n\ny  ": "x\n\ny",
+        # single curly quotes
+        "‘q’ ‚r‛": "'q' 'r'",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "raw string")
+    got = [r[0] for r in df.select(tx.normalize_text("raw")).collect()]
+    assert got == list(cases.values())
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_normalize_text_idempotent_property(spark, texts):
+    from pygrametl_spark.functions import text as tx
+
+    df = spark.createDataFrame([(t,) for t in texts], "raw string")
+    once = [r[0] for r in df.select(tx.normalize_text("raw").alias("c")).collect()]
+    df2 = spark.createDataFrame([(t,) for t in once], "raw string")
+    twice = [r[0] for r in df2.select(tx.normalize_text("raw").alias("c")).collect()]
+    assert once == twice
+
+
+def test_line_dedup_across_docs_semantics(spark):
+    from pygrametl_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared\nuniq one\n\nshared"),  # within-doc repeat dropped
+            (2, "shared\nuniq two"),            # cross-doc repeat dropped
+            (3, "only dup\nshared"),
+            (4, "shared"),                       # every line dropped -> ''
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in tx.line_dedup_across_docs(docs).collect()
+    }
+    # doc 1 owns the first (1, pos 0) occurrence of 'shared'
+    assert out[1]["dedup_text"] == "shared\nuniq one\n"  # blank kept
+    assert out[1]["n_dropped"] == 1
+    assert out[2]["dedup_text"] == "uniq two" and out[2]["n_dropped"] == 1
+    assert out[3]["dedup_text"] == "only dup" and out[3]["n_dropped"] == 1
+    assert out[4]["dedup_text"] == "" and out[4]["n_dropped"] == 1
+    assert all(r["n_lines"] == n for r, n in
+               [(out[1], 4), (out[2], 2), (out[3], 2), (out[4], 1)])
+
+
+def test_line_dedup_winner_is_min_id_then_pos(spark):
+    from pygrametl_spark.functions import text as tx
+
+    # the same line appears at pos 1 of doc 5 and pos 0 of doc 9:
+    # doc order wins before position order
+    docs = spark.createDataFrame(
+        [(5, "first\ndup"), (9, "dup\nsecond")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["dedup_text"]
+           for r in tx.line_dedup_across_docs(docs).collect()}
+    assert out[5] == "first\ndup"
+    assert out[9] == "second"

@@ -88,6 +88,22 @@ CASES = {
          "SortMergeJoin", "BroadcastHashJoin"],
         {},
     ),
+    # Gopher rule filter + ftfy normalization (r9): pure scan-stage
+    # projections — a join or aggregate appearing at all means the
+    # zero-shuffle design regressed.
+    "gopher_rules": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "SortMergeJoin", "BroadcastHashJoin", "HashAggregate", "Exchange"],
+        {},
+    ),
+    "normalize_text": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "SortMergeJoin", "BroadcastHashJoin", "HashAggregate", "Exchange"],
+        {},
+    ),
+    # inter-doc line dedup (r9): winner selection is a map-side-combined
+    # groupBy min + equi-join back on the line key — never a product.
+    "line_dedup": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
 }
 
 
