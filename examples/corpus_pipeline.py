@@ -5,10 +5,17 @@ from a raw document crawl to packed, split, sharded training data —
 every stage an operator this engine ships, each scale-shaped for a
 100 TB corpus (see PERF.md for the per-operator plan audits):
 
-1. hygiene   — C4-style boilerplate line removal, rebuilt in order
-2. filtering — language ID + quality score + repetition gates, the
-               CCNet LM perplexity proxy, and the fastText-style hashed
-               linear classifier as the model-based gate
+0. acquisition — URL canonicalization + canonical-URL dedup (the
+               CCNet first pass: one crawl row per canonical URL),
+               domain blocklist (broadcast anti-join), and ftfy-style
+               unicode normalization — all scan-stage
+1. hygiene   — C4-style boilerplate line removal + corpus-wide line
+               dedup (first copy of every line survives), rebuilt in
+               order
+2. filtering — Gopher rule gate, language ID + quality score +
+               repetition gates, the CCNet LM perplexity proxy, and
+               the fastText-style hashed linear classifier as the
+               model-based gate
 3. dedup     — exact (hash-groupBy), ExactSubstr duplicated-span
                removal (docs that are mostly duplicated text go), then
                near-dup clusters over the MinHash-LSH pair graph; the
@@ -38,6 +45,7 @@ from pygrametl_spark import get_spark
 from pygrametl_spark.catalog import load_catalog, spread
 from pygrametl_spark.functions import dedup as dd
 from pygrametl_spark.functions import text as tx
+from pygrametl_spark.functions import urls as ur
 from pygrametl_spark.functions.sampling import (
     cluster_split,
     pack_by_token_budget,
@@ -52,18 +60,60 @@ def run_pipeline(spark, sf_dir: str, out_dir: str):
     docs = spread(load_catalog(spark, sf_dir).documents)
     counts = {"raw": docs.count()}
 
-    # 1. hygiene: drop corpus-frequent lines, rebuild documents
+    # 0. acquisition hygiene — all scan-stage. A real crawl carries a
+    # URL per row; the synthetic corpus derives a deterministic messy
+    # one (two docs per group share a canonical URL) to exercise the
+    # exact operators a crawl front-end runs.
+    crawl = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://WWW.Site-"),
+            ((F.col("doc_id") / 2).cast("long") % 40).cast("string"),
+            F.lit(".example.com:443/page/"),
+            ((F.col("doc_id") / 2).cast("long")).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=crawl&v=1#top"))
+            .otherwise(F.lit("/?v=1")),
+        ),
+    )
+    blocklist = spark.createDataFrame(
+        [("blocked.example.net",)], "reg_domain string"
+    )
+    crawl = ur.filter_by_host_blocklist(crawl, blocklist)
+    # canonical-URL dedup: ONE crawl row per canonical URL (CCNet's
+    # first pass — shuffles ~60-byte keys, never documents)
+    first = ur.url_dedup(crawl, "doc_id", "url").select("doc_id")
+    crawl = crawl.join(first, "doc_id")
+    # ftfy-style normalization: defensively canonical text from here on
+    docs0 = crawl.select(
+        "doc_id", tx.normalize_text("text").alias("text"), "source"
+    )
+    counts["after_urlpass"] = docs0.count()
+
+    # 1. hygiene: drop corpus-frequent lines, then keep only the FIRST
+    # corpus-wide copy of every surviving line; rebuild documents
     cleaned = (
-        tx.remove_boilerplate_lines(docs, min_docs=3)
+        tx.remove_boilerplate_lines(docs0, min_docs=3)
         .filter(F.length("clean_text") > 0)
         .select("doc_id", F.col("clean_text").alias("text"))
-        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    cleaned = (
+        tx.line_dedup_across_docs(cleaned)
+        .filter(F.length("dedup_text") > 0)
+        .select("doc_id", F.col("dedup_text").alias("text"))
+        .join(docs0.select("doc_id", "source"), "doc_id")
     )
     counts["after_lineclean"] = cleaned.count()
 
-    # 2. filtering: language + quality + repetition gates, then the
+    # 2. filtering: Gopher rule gate first (pure scan-stage — cheapest
+    # possible rejection), then language + quality + repetition gates, then the
     # CCNet-style LM perplexity proxy — drop the most-gibberish tail
     # (NULL lm_score = <2 tokens, already gone via quality gates)
+    gopher_ok = (
+        tx.gopher_rules(cleaned, min_words=10, min_stopwords=1)
+        .filter("gopher_pass")
+        .select("doc_id")
+    )
+    cleaned = cleaned.join(gopher_ok, "doc_id")
     scored = tx.quality_score(tx.lang_id(cleaned))
     rep_ok = tx.repetition_stats(cleaned).filter(~F.col("repetitive")).select("doc_id")
     kept = (

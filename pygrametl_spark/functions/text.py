@@ -1260,6 +1260,7 @@ def line_dedup_across_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
     out: str = "dedup_text",
+    sep: str = "\n",
 ) -> DataFrame:
     """Corpus-wide line deduplication (the C4 repeated-span rule at line
     granularity, arXiv:1910.10683 §2.2): every distinct non-blank
@@ -1282,9 +1283,16 @@ def line_dedup_across_docs(
     winner relation (one row per DISTINCT line) joins back on the line
     key; the per-document reassembly groupBy is the same exchange every
     rebuild op here pays.
+
+    ``sep`` sets the unit: the default ``"\n"`` dedups lines;
+    ``"\n\n"`` dedups paragraphs (closer to C4's three-sentence spans
+    for prose corpora). The separator is treated as a literal.
     """
+    import re as _re
+
+    sep_re = _re.escape(sep)
     lines = df.select(
-        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line")
+        id_col, F.posexplode(F.split(F.col(text_col), sep_re)).alias("_pos", "_line")
     )
     nonblank = lines.filter(F.length(F.trim("_line")) > 0)
     firsts = (
@@ -1310,12 +1318,12 @@ def line_dedup_across_docs(
                 F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
                 lambda s: s["_line"],
             ),
-            "\n",
+            sep,
         ).alias("_clean"),
         F.count("*").alias("_kept"),
     )
     totals = df.select(
-        id_col, F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines")
+        id_col, F.size(F.split(F.col(text_col), sep_re)).cast("long").alias("n_lines")
     )
     return totals.join(rebuilt, id_col, "left").select(
         id_col,

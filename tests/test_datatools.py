@@ -3243,3 +3243,23 @@ def test_line_dedup_winner_is_min_id_then_pos(spark):
            for r in tx.line_dedup_across_docs(docs).collect()}
     assert out[5] == "first\ndup"
     assert out[9] == "second"
+
+
+def test_line_dedup_paragraph_mode(spark):
+    from pygrametl_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "para one\nstill para one\n\npara two"),
+            (2, "para two\n\npara one\nstill para one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in tx.line_dedup_across_docs(docs, sep="\n\n").collect()
+    }
+    # doc 1 owns both paragraphs; doc 2 keeps nothing
+    assert out[1]["dedup_text"] == "para one\nstill para one\n\npara two"
+    assert out[1]["n_dropped"] == 0 and out[1]["n_lines"] == 2
+    assert out[2]["dedup_text"] == "" and out[2]["n_dropped"] == 2

@@ -49,6 +49,7 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     # monotone funnel, nothing silently dropped between counted stages
     assert (
         counts["raw"]
+        >= counts["after_urlpass"]
         >= counts["after_lineclean"]
         >= counts["after_quality"]
         >= counts["after_dedup"]
