@@ -460,6 +460,24 @@ def q_dedup_streaming(spark, sf_dir):
     )
 
 
+# (oracle assigned after _URL_ORACLE_CTE below)
+def q_url_dedup_stream(spark, sf_dir):
+    """Streaming canonical-URL dedup (streaming/corpus.py
+    stream_dedup_url): per-batch url_normalize + anti-join against the
+    accepted canonical-URL store — the CCNet first pass as a live crawl
+    would run it, before content is fetched. First-seen-wins over
+    id-ordered batches == global MIN(doc_id) per canonical URL; the
+    oracle constructs the canonical string as GROUND TRUTH from the
+    (g, tld, depth) derivation, never re-running the normalizer.
+    Drained once per (tmpdir, sf_dir) and replayed (_memo_stream_gate)."""
+    from pygrametl_spark.streaming.corpus import stream_dedup_url
+
+    return _memo_stream_gate(
+        spark, "urlstream", sf_dir, "n2",
+        lambda: stream_dedup_url(spark, sf_dir, url=_messy_url(), n_files=2),
+    )
+
+
 ORACLE_DEDUP_STREAMING = r"""
 SELECT MIN(doc_id) AS doc_id,
        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
@@ -1110,6 +1128,12 @@ SELECT reg_domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
        COUNT(*) / (SELECT COUNT(*) FROM documents) AS share
 FROM canon GROUP BY reg_domain
 """
+
+# Ground-truth twin of the STREAMING canonical-URL dedup (first-seen ==
+# global MIN per canonical URL); placeholder declared next to the query.
+ORACLE_URL_DEDUP_STREAM = (
+    _URL_ORACLE_CTE + "SELECT MIN(doc_id) AS doc_id, norm_url FROM canon GROUP BY norm_url"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1983,6 +2007,7 @@ DATA_QUERIES = {
     "domain_cap": q_domain_cap,
     "url_normalize": q_url_normalize,
     "url_dedup": q_url_dedup,
+    "url_dedup_stream": q_url_dedup_stream,
     "host_blocklist": q_host_blocklist,
     "host_shares": q_host_shares,
     "tfidf_topk": q_tfidf_topk,
@@ -2044,6 +2069,7 @@ DATA_ORACLES = {
     "domain_cap": ORACLE_DOMAIN_CAP,
     "url_normalize": ORACLE_URL_NORMALIZE,
     "url_dedup": ORACLE_URL_DEDUP,
+    "url_dedup_stream": ORACLE_URL_DEDUP_STREAM,
     "host_blocklist": ORACLE_HOST_BLOCKLIST,
     "host_shares": ORACLE_HOST_SHARES,
     "tfidf_topk": ORACLE_TFIDF,

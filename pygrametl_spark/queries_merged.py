@@ -153,6 +153,7 @@ PART_COLS: dict[str, list[str]] = {
     "doc_chunks": ["doc_id", "chunk_id", "n_chunk_tokens", "chunk_fp"],
     "chunk_dedup": ["doc_id", "chunk_id", "chunk_fp", "n_copies"],
     "dedup_streaming": ["doc_id", "fp"],
+    "url_dedup_stream": ["doc_id", "norm_url"],
     "dedup_minhash_stream": ["doc_id"],
     "events_dedup_watermark": ["user_id", "event_type"],
     "char_entropy": ["doc_id", "char_entropy"],
@@ -345,11 +346,13 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
         [
             ("doc_id", "bigint"), ("fp", "string"),
             ("user_id", "bigint"), ("event_type", "string"),
+            ("norm_url", "string"),
         ],
         [
             ("batch", "dedup_exact"),
             ("incremental", "dedup_incremental"),
             ("stream", "dedup_streaming"),
+            ("urlstream", "url_dedup_stream"),
             ("minhashstream", "dedup_minhash_stream"),
             ("watermark", "events_dedup_watermark"),
         ],

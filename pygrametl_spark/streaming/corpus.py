@@ -25,7 +25,8 @@ from pygrametl_spark.functions.text import fingerprint
 from pygrametl_spark.streaming.scratch import scratch_dir, scratch_path
 
 __all__ = ["stream_dedup_exact", "stream_dedup_minhash", "minhash_accept_fn",
-           "stream_dedup_exactsubstr", "exactsubstr_accept_fn"]
+           "stream_dedup_exactsubstr", "exactsubstr_accept_fn",
+           "stream_dedup_url"]
 
 
 def _source_slice_key(path: str, n_files: int) -> str:
@@ -345,3 +346,60 @@ def stream_dedup_exactsubstr(
     )
     q.awaitTermination()
     return spark.read.parquet(result_store).dropDuplicates(["doc_id"])
+
+
+def stream_dedup_url(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    url,
+    n_files: int = 2,
+) -> DataFrame:
+    """Incremental canonical-URL dedup on a live crawl stream — the
+    CCNet first pass in streaming form. ``url`` is a Column expression
+    deriving each document's raw URL from the staged row (a real crawl
+    carries one; the harness synthesizes it deterministically).
+
+    Each micro-batch: canonicalize (:func:`pygrametl_spark.functions.
+    urls.url_normalize` — scan-stage, zero shuffle), collapse
+    within-batch duplicates to the lowest doc_id (one groupBy on the
+    ~60-byte canonical string, on the BATCH only), anti-join the
+    accepted store, append survivors. Identical store/anti-join shape
+    to :func:`stream_dedup_exact`, keyed on the canonical URL instead
+    of a content fingerprint — in a production crawl this pass runs
+    BEFORE content is fetched, so its state is also the fetch-dedup
+    frontier. First-seen-wins over doc_id-ordered micro-batches equals
+    the global MIN(doc_id) per canonical URL: the oracle's batch twin.
+    Returns the accepted (doc_id, norm_url) relation.
+    """
+    from pygrametl_spark.functions.urls import url_normalize
+
+    full, stage = _stage_id_sliced(spark, sf_dir, n_files)
+    store = scratch_path(f"urldedupstore_{uuid.uuid4().hex[:8]}")
+    empty = spark.createDataFrame([], "doc_id long, norm_url string")
+    empty.write.mode("overwrite").parquet(store)
+
+    def accept(bdf, _bid):
+        batch = (
+            bdf.select("doc_id", url_normalize(url).alias("norm_url"))
+            .groupBy("norm_url")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        seen = bdf.sparkSession.read.parquet(store).select("norm_url")
+        batch.join(seen, "norm_url", "left_anti").select(
+            "doc_id", "norm_url"
+        ).write.mode("append").parquet(store)
+
+    files = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/part*")
+    )
+    q = (
+        files.writeStream.foreachBatch(accept)
+        .option("checkpointLocation", scratch_dir("urldedup_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(store)

@@ -3263,3 +3263,29 @@ def test_line_dedup_paragraph_mode(spark):
     assert out[1]["dedup_text"] == "para one\nstill para one\n\npara two"
     assert out[1]["n_dropped"] == 0 and out[1]["n_lines"] == 2
     assert out[2]["dedup_text"] == "" and out[2]["n_dropped"] == 2
+
+
+def test_stream_dedup_url_equals_batch_twin(spark):
+    """The streaming canonical-URL store must reproduce the batch
+    url_dedup winners exactly: id-ordered micro-batches make 'canonical
+    URL seen in an earlier batch' == 'global MIN(doc_id) per canonical
+    URL'. Uses the same deterministic messy synth as the oracle-gated
+    query, over 3 micro-batches."""
+    from pygrametl_spark.functions import urls as ur
+    from pygrametl_spark.queries_data import _messy_url
+    from pygrametl_spark.streaming.corpus import stream_dedup_url
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        map(tuple, stream_dedup_url(spark, sf, url=_messy_url(), n_files=3).collect())
+    )
+    full = spark.read.parquet(f"{sf}/documents.parquet")
+    want = sorted(
+        (r["doc_id"], r["norm_url"])
+        for r in ur.url_dedup(
+            full.select("doc_id", _messy_url().alias("url")), "doc_id", "url"
+        ).collect()
+    )
+    assert got == want
+    # the synth collides 4 docs per canonical URL: real dedup happened
+    assert 0 < len(got) < full.count()
