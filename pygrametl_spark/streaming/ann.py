@@ -442,27 +442,57 @@ def _read_lease_log(path: str):
 def _put_lease_record(path: str, seq: int, rec: dict) -> bool:
     """Create-exclusive PUT of one immutable checksummed record — the
     POSIX realization of an if-none-match single-key PUT. Returns False
-    iff the key exists (lost the head race)."""
+    iff the key exists (lost the head race).
+
+    Atomic WITH its payload: the record is fully written + fsynced to a
+    private temp name first, then published by ``os.link`` (atomic
+    create-exclusive of a complete file). An object-store PUT is
+    payload-atomic by nature; a bare O_EXCL-create-then-write is not —
+    a reader between the create and the write would see a torn head and
+    refuse the claim as in-flight (observed as a flaky
+    claimed-concurrently error under heavy host load). A crash between
+    write and link leaves only ``.tmp-*`` debris, which
+    ``_read_lease_log`` never considers a record. Filesystems without
+    hard links fall back to the create-then-write realization, whose
+    torn window the ``_TORN_GRACE`` read path still covers."""
     import hashlib
     import json
+    import uuid
 
     d = os.path.join(path, _LEASE_LOG)
     os.makedirs(d, exist_ok=True)
     line = json.dumps(rec, sort_keys=True)
     content = line + "\n" + hashlib.sha256(line.encode()).hexdigest()
-    try:
-        fd = os.open(
-            os.path.join(d, _lease_rec_name(seq)),
-            os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644,
-        )
-    except FileExistsError:
-        return False
+    final = os.path.join(d, _lease_rec_name(seq))
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
     try:
         os.write(fd, content.encode())
         os.fsync(fd)
     finally:
         os.close(fd)
-    return True
+    try:
+        os.link(tmp, final)
+        return True
+    except FileExistsError:
+        return False
+    except OSError:
+        # no hard-link support: fall back to create-exclusive + write
+        try:
+            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, content.encode())
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        return True
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def _lease_record_live(rec: dict, ttl: float) -> bool:
@@ -504,7 +534,19 @@ def _prune_lease_log(path: str, head_seq: int) -> None:
         names = os.listdir(d)
     except OSError:
         return
+    import time
+
     for n in names:
+        if n.startswith(".tmp-"):
+            # a crash between a PUT's payload write and its link publish
+            # leaves one orphaned temp; sweep once it is clearly stale
+            # (an in-flight PUT links within milliseconds)
+            try:
+                if time.time() - os.path.getmtime(os.path.join(d, n)) > 300:
+                    os.remove(os.path.join(d, n))
+            except OSError:
+                pass
+            continue
         m = re.match(r"^l(\d+)\.json$", n)
         if m and int(m.group(1)) <= head_seq - _LEASE_KEEP:
             try:
