@@ -114,10 +114,25 @@ class Engine:
 
         from pygrametl_spark.streaming.ann import (
             _TORN_GRACE, _break_writer_lock, _holder_is_live,
-            _read_writer_lock,
+            _lease_record_live, _read_lease_log, _read_writer_lock,
         )
 
         os.makedirs(self.warehouse_dir, exist_ok=True)
+        # mixed-mode visibility: a live pointer-protocol endloader (lease
+        # log head at the warehouse root) must block a POSIX claim
+        head, _seq, _torn = _read_lease_log(self.warehouse_dir)
+        if (
+            isinstance(head, dict)
+            and head.get("action") != "release"
+            and _lease_record_live(head, ttl)
+        ):
+            raise RuntimeError(
+                f"warehouse {self.warehouse_dir} is being endloaded by "
+                "another session under the pointer lock protocol "
+                f"(namespace={head.get('namespace')!r}, "
+                f"pid={head.get('pid')}, host={head.get('host')!r}): one "
+                "warehouse must use ONE lock protocol."
+            )
         lock = os.path.join(self.warehouse_dir, "_endload.lock")
         payload = json.dumps(
             {"pid": os.getpid(), "host": socket.gethostname()},
@@ -161,8 +176,136 @@ class Engine:
             f"lost the endload-lock race on {self.warehouse_dir}"
         )
 
+    def _acquire_endload_lock_pointer(self, ttl: float) -> str:
+        """Object-store twin of :meth:`_acquire_endload_lock` (the same
+        port the IVF-PQ writer lease got in r9): single-endloader
+        enforcement via the append-only lease log at the warehouse root
+        — every transition is one create-exclusive PUT of the next
+        ``lease_log/l{seq}.json`` record, the only primitive an object
+        store gives (if-none-match PUT). Mixed-mode visibility: a live
+        POSIX ``_endload.lock`` holder blocks a pointer claim (and the
+        POSIX path checks the lease-log head), so one warehouse can
+        never have two endloaders just because they chose different
+        protocols. Returns the acquisition's fence token."""
+        import json
+        import socket
+        import uuid
+
+        from pygrametl_spark.streaming.ann import (
+            _acquire_writer_lease_pointer, _holder_is_live,
+            _read_writer_lock,
+        )
+
+        os.makedirs(self.warehouse_dir, exist_ok=True)
+        lock = os.path.join(self.warehouse_dir, "_endload.lock")
+        held, age, _ident = _read_writer_lock(lock)
+        if isinstance(held, dict) and _holder_is_live(held, age, ttl):
+            raise RuntimeError(
+                f"warehouse {self.warehouse_dir} is being endloaded by "
+                "another session under the POSIX lock protocol "
+                f"(pid={held.get('pid')}, host={held.get('host')!r}): "
+                "one warehouse must use ONE lock protocol."
+            )
+        # unique namespace per call: endload sessions are transient, so
+        # no lineage ever legitimately "reclaims" another's lease — a
+        # crashed holder is broken by the pid probe / ts ttl instead
+        ns = f"endload-{socket.gethostname()}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        try:
+            return _acquire_writer_lease_pointer(self.warehouse_dir, ns, ttl)
+        except RuntimeError as e:
+            if "live stream writer" in str(e):
+                raise RuntimeError(
+                    f"warehouse {self.warehouse_dir} is being endloaded "
+                    f"by another session ({e})"
+                ) from e
+            raise
+
+    def _put_endload_commit(self, written: list[str]) -> None:
+        """Pointer-mode completeness marker: one immutable checksummed
+        ``_endload_commits/c{N}.json`` record per complete endload,
+        published create-exclusively — the object-store-safe replacement
+        for the POSIX ``os.replace`` of ``_ENDLOAD_COMMITTED``. The last
+        VALID record is the last complete load's table set."""
+        import hashlib
+        import json
+        import re
+        import time
+
+        d = os.path.join(self.warehouse_dir, "_endload_commits")
+        os.makedirs(d, exist_ok=True)
+        seqs = [
+            int(m.group(1))
+            for n in os.listdir(d)
+            if (m := re.match(r"^c(\d+)\.json$", n))
+        ]
+        rec = {"tables": written, "ts": time.time(), "pid": os.getpid()}
+        line = json.dumps(rec, sort_keys=True)
+        content = line + "\n" + hashlib.sha256(line.encode()).hexdigest()
+        for seq in range(max(seqs, default=0) + 1, max(seqs, default=0) + 9):
+            try:
+                fd = os.open(
+                    os.path.join(d, f"c{seq}.json"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644,
+                )
+            except FileExistsError:
+                continue  # debris squatting on the seq: take the next
+            try:
+                os.write(fd, content.encode())
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            return
+        raise RuntimeError(
+            f"could not publish the endload commit record under {d}"
+        )
+
+    @staticmethod
+    def last_committed_endload(warehouse_dir: str) -> "list[str] | None":
+        """Table set of the last COMPLETE endload of ``warehouse_dir``,
+        reading whichever marker protocol wrote last: the highest valid
+        ``_endload_commits/c{N}.json`` record (pointer mode) or the
+        POSIX ``_ENDLOAD_COMMITTED`` file; None if neither exists. A
+        warehouse whose directory listing disagrees with this set is
+        torn (crash mid-endload) — rerun ``endload()``."""
+        import hashlib
+        import json
+        import re
+
+        best: "tuple[float, list[str]] | None" = None
+        d = os.path.join(warehouse_dir, "_endload_commits")
+        try:
+            names = sorted(
+                (int(m.group(1)), n)
+                for n in os.listdir(d)
+                if (m := re.match(r"^c(\d+)\.json$", n))
+            )
+        except OSError:
+            names = []
+        for _seq, n in reversed(names):
+            try:
+                raw = open(os.path.join(d, n)).read()
+                line, digest = raw.rsplit("\n", 1)
+                if hashlib.sha256(line.encode()).hexdigest() != digest.strip():
+                    continue
+                rec = json.loads(line)
+                best = (rec.get("ts", 0.0), rec["tables"])
+                break
+            except (OSError, ValueError, KeyError):
+                continue
+        posix = os.path.join(warehouse_dir, "_ENDLOAD_COMMITTED")
+        try:
+            st = os.stat(posix)
+            with open(posix) as fh:
+                tables = json.load(fh)["tables"]
+            if best is None or st.st_mtime >= best[0]:
+                return tables
+        except (OSError, ValueError, KeyError):
+            pass
+        return best[1] if best else None
+
     def endload(self, mode: str = "overwrite", *, target=None,
-                parquet: bool = True, lock_ttl: float = 3600.0) -> list[str]:
+                parquet: bool = True, lock_ttl: float = 3600.0,
+                lock_protocol: str = "posix") -> list[str]:
         """Persist every registered table, FK dependencies first
         (the reference's global endload + dependson ordering).
 
@@ -188,11 +331,40 @@ class Engine:
         every write is an idempotent overwrite. A torn warehouse is
         detectable: ``_ENDLOAD_COMMITTED`` at the root records the table
         list of the last COMPLETE endload and is written only after all
-        tables land."""
+        tables land.
+
+        ``lock_protocol="pointer"`` runs the SAME single-endloader
+        semantics on object-store primitives (the r9 IVF-PQ lease port):
+        acquisition/fencing/release through the append-only
+        ``lease_log/`` at the warehouse root (create-exclusive PUTs
+        only), and the completeness marker as an immutable checksummed
+        ``_endload_commits/c{N}.json`` record instead of an
+        ``os.replace``. The two protocols are mutually visible — a live
+        holder of either mode blocks the other. Read the marker with
+        :meth:`last_committed_endload` (protocol-agnostic)."""
         import json
 
         if not parquet:
             return self._endload_body(mode, target, parquet)
+        if lock_protocol not in ("posix", "pointer"):
+            raise ValueError(f"unknown lock_protocol {lock_protocol!r}")
+        if lock_protocol == "pointer":
+            from pygrametl_spark.streaming.ann import (
+                _release_lease_pointer_if_fence, _verify_writer_lease_pointer,
+            )
+
+            fence = self._acquire_endload_lock_pointer(lock_ttl)
+            try:
+                written = self._endload_body(mode, target, parquet)
+                # still the holder? (a stalled endload past lock_ttl may
+                # have been usurped — its marker must NOT be published)
+                _verify_writer_lease_pointer(
+                    self.warehouse_dir, fence, touch=False
+                )
+                self._put_endload_commit(written)
+            finally:
+                _release_lease_pointer_if_fence(self.warehouse_dir, fence)
+            return written
         self._acquire_endload_lock(lock_ttl)
         try:
             written = self._endload_body(mode, target, parquet)

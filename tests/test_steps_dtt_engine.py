@@ -757,3 +757,80 @@ def test_engine_endload_two_session_race(spark, tmp_path):
         os.path.join(wh, "_endload.lock"), (1_700_000_000, 1_700_000_000)
     )
     assert eng1.endload(lock_ttl=60.0) == ["dim", "fact"]
+
+
+def test_engine_endload_pointer_protocol(spark, tmp_path):
+    """Object-store endload lock (r9, the endload twin of the IVF-PQ
+    pointer-lease port): single endloader enforced through the
+    append-only lease log (create-exclusive PUTs only), completeness
+    marker as an immutable checksummed commit record, crashed-holder
+    recovery, and mixed-protocol mutual visibility in both directions."""
+    import json
+    import socket
+
+    from pygrametl_spark.streaming.ann import (
+        _put_lease_record, _read_lease_log,
+    )
+
+    dim = Dimension(
+        "dim", "id", ["name"],
+        df=spark.createDataFrame([(1, "a")], "id long, name string"),
+    )
+    fact = FactTable(
+        "fact", ["id"], ["m"],
+        df=spark.createDataFrame([(1, 10)], "id long, m long"),
+    )
+    wh = str(tmp_path / "wh")
+    eng1 = Engine(spark, wh)
+    eng1.register(fact, dependson=[dim])
+    eng1.register(dim)
+    eng2 = Engine(spark, wh)
+    eng2.register(dim)
+
+    # session 1 mid-endload (live pointer lease); session 2 fails LOUDLY
+    # under the pointer protocol AND under the POSIX protocol (mutual
+    # visibility), and writes nothing
+    fence = eng1._acquire_endload_lock_pointer(3600.0)
+    with pytest.raises(RuntimeError, match="endloaded by another session"):
+        eng2.endload(lock_protocol="pointer")
+    with pytest.raises(RuntimeError, match="pointer lock protocol"):
+        eng2.endload()  # posix claim sees the live pointer holder
+    assert not os.path.exists(os.path.join(wh, "dim"))
+    from pygrametl_spark.streaming.ann import _release_lease_pointer_if_fence
+
+    assert _release_lease_pointer_if_fence(wh, fence)
+
+    # a full pointer-mode endload: tables land, an immutable commit
+    # record is published, the lease head is a release record
+    assert eng1.endload(lock_protocol="pointer") == ["dim", "fact"]
+    assert Engine.last_committed_endload(wh) == ["dim", "fact"]
+    head, _seq, _torn = _read_lease_log(wh)
+    assert head["action"] == "release"
+
+    # sequential endloads append NEW commit records; the reader returns
+    # the latest
+    assert eng2.endload(lock_protocol="pointer") == ["dim"]
+    assert Engine.last_committed_endload(wh) == ["dim"]
+
+    # crashed holder (dead same-host pid, live-looking ts is impossible
+    # after a crash only for clock reasons — the pid probe breaks it)
+    head, max_seq, _ = _read_lease_log(wh)
+    assert _put_lease_record(wh, max_seq + 1, {
+        "seq": max_seq + 1, "action": "acquire", "namespace": "crashed",
+        "fence": "dead", "pid": 2**22 + 54321,
+        "host": socket.gethostname(), "ts": 1_700_000_000.0,
+    })
+    assert eng1.endload(lock_protocol="pointer") == ["dim", "fact"]
+    assert Engine.last_committed_endload(wh) == ["dim", "fact"]
+
+    # reverse mixed visibility: a live POSIX holder blocks pointer mode
+    with open(os.path.join(wh, "_endload.lock"), "w") as fh:
+        json.dump({"pid": os.getpid(), "host": socket.gethostname()}, fh)
+    with pytest.raises(RuntimeError, match="POSIX lock protocol"):
+        eng1.endload(lock_protocol="pointer")
+    os.remove(os.path.join(wh, "_endload.lock"))
+
+    # the POSIX marker still interops: a later posix endload wins the
+    # protocol-agnostic reader
+    assert eng1.endload() == ["dim", "fact"]
+    assert Engine.last_committed_endload(wh) == ["dim", "fact"]
