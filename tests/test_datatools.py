@@ -3289,3 +3289,46 @@ def test_stream_dedup_url_equals_batch_twin(spark):
     assert got == want
     # the synth collides 4 docs per canonical URL: real dedup happened
     assert 0 < len(got) < full.count()
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    scheme=st.sampled_from(["http", "HTTPS", "ftp"]),
+    host=st.lists(
+        st.text(alphabet="aB9-", min_size=1, max_size=5), min_size=1, max_size=4
+    ).map(".".join),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.lists(
+        st.text(alphabet="xY2._~", min_size=0, max_size=4), min_size=0, max_size=3
+    ).map(lambda ps: "".join(f"/{p}" for p in ps)),
+    params=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "B", "utm_x", "gclid", "ref", "k-2"]),
+            st.text(alphabet="v3%+", max_size=3),
+        ),
+        max_size=4,
+    ),
+    slash=st.booleans(),
+    frag=st.sampled_from(["", "#f", "#a/b?c=1"]),
+)
+def test_url_normalize_idempotent_property(
+    spark, scheme, host, port, path, params, slash, frag
+):
+    """normalize(normalize(u)) == normalize(u) over randomized
+    component-built URLs (mixed case, default/explicit ports, tracking
+    and regular params in any order, trailing slashes, fragments)."""
+    from pygrametl_spark.functions import urls as ur
+
+    q = "&".join(f"{k}={v}" for k, v in params)
+    u = f"{scheme}://{host}{port}{path}{'/' if slash else ''}"
+    if q:
+        u += f"?{q}"
+    u += frag
+    df = spark.createDataFrame([(u,)], "url string")
+    once = df.select(ur.url_normalize("url").alias("n")).collect()[0][0]
+    twice = (
+        spark.createDataFrame([(once,)], "url string")
+        .select(ur.url_normalize("url").alias("n"))
+        .collect()[0][0]
+    )
+    assert once == twice, f"{u!r}: {once!r} -> {twice!r}"
