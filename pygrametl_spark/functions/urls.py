@@ -63,8 +63,10 @@ def _after_scheme(url: Column) -> Column:
 
 
 def url_host(url: str | Column) -> Column:
-    """Lower-cased host with any explicit port stripped."""
-    hostport = F.regexp_extract(_after_scheme(_as_col(url)), r"^([^/?#]*)", 1)
+    """Lower-cased host: userinfo (``user:pass@``) and any explicit
+    port stripped from the authority."""
+    auth = F.regexp_extract(_after_scheme(_as_col(url)), r"^([^/?#]*)", 1)
+    hostport = F.regexp_replace(auth, r"^[^@]*@", "")
     return F.lower(F.regexp_replace(hostport, r":[0-9]+$", ""))
 
 
@@ -145,7 +147,10 @@ def registered_domain(host: str | Column) -> Column:
     last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
     last3 = F.array_join(F.slice(labels, n - 2, 3), ".")
     return (
-        F.when(n <= 2, h)
+        # IP literals have no registered domain: IPv4 passes through
+        # whole, as does a bracketed IPv6 authority ([::1])
+        F.when(h.rlike(r"^\d+\.\d+\.\d+\.\d+$") | h.startswith("["), h)
+        .when(n <= 2, h)
         .when(last2.isin(*MULTI_PART_TLDS), last3)
         .otherwise(last2)
     )
