@@ -104,6 +104,19 @@ CASES = {
     # inter-doc line dedup (r9): winner selection is a map-side-combined
     # groupBy min + equi-join back on the line key — never a product.
     "line_dedup": (["CartesianProduct", "BroadcastNestedLoopJoin"], {}),
+    # URL canonicalization (r9): pure scan-stage projection — zero
+    # exchange at any corpus size.
+    "url_normalize": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "SortMergeJoin", "BroadcastHashJoin", "HashAggregate", "Exchange"],
+        {},
+    ),
+    # domain blocklist (r9): the KB-scale blocklist must broadcast — a
+    # sort-merge anti-join would shuffle the whole corpus for it.
+    "host_blocklist": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+        {"broadcast_joins": 1},
+    ),
 }
 
 
