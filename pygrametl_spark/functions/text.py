@@ -27,7 +27,7 @@ __all__ = [
     "hashed_classifier_score", "bloom_decontaminate", "build_bloom_bitmap",
     "bpe_train", "bpe_apply", "bpe_apply_arrow",
     "gopher_rules", "GOPHER_REQUIRED_WORDS",
-    "normalize_text", "line_dedup_across_docs",
+    "normalize_text", "line_dedup_across_docs", "vocab_coverage",
 ]
 
 # Tiny deterministic marker lists (the heuristic, not a model).
@@ -1330,4 +1330,88 @@ def line_dedup_across_docs(
         "n_lines",
         (F.col("n_lines") - F.coalesce("_kept", F.lit(0))).cast("long").alias("n_dropped"),
         F.coalesce("_clean", F.lit("")).alias(out),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary / tokenizer coverage
+# ---------------------------------------------------------------------------
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Out-of-vocabulary rate per group — the pre-flight QA for a
+    tokenizer or vocabulary swap: how much of each source's token mass
+    a candidate vocab covers. Returns
+    ``(group, total_tokens, n_oov, oov_rate)``.
+
+    ``vocab`` as a sequence of strings rides into the expression as an
+    in-row array literal (zero shuffle, scan-stage — right for the
+    KB-scale vocabs of rule sets and stopword lists). ``vocab`` as a
+    single-column DataFrame handles real tokenizer vocabularies
+    (100k+ entries, too big for a literal): tokens explode to rows and
+    the vocab broadcasts into a left-anti membership probe — the corpus
+    itself still never shuffles; the only exchange is the final
+    per-group partial-aggregated rollup.
+    """
+    if isinstance(vocab, DataFrame):
+        vcol = vocab.columns[0]
+        toks = df.select(
+            group_col, F.explode(F.filter(tokens(text_col), lambda t: t != "")).alias("_t")
+        )
+        oov = (
+            toks.join(
+                F.broadcast(vocab.select(F.col(vcol).alias("_v")).distinct()),
+                toks["_t"] == F.col("_v"),
+                "left_anti",
+            )
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_oov"))
+        )
+        # totals from the BASE relation (in-row size, no explode): a
+        # group whose every document tokenizes empty must still appear
+        totals = (
+            df.select(
+                group_col,
+                F.size(F.filter(tokens(text_col), lambda t: t != "")).alias("_n"),
+            )
+            .groupBy(group_col)
+            .agg(F.sum("_n").cast("long").alias("total_tokens"))
+        )
+        return (
+            totals.join(oov, group_col, "left")
+            .select(
+                group_col,
+                "total_tokens",
+                F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+                F.round(
+                    F.coalesce("n_oov", F.lit(0))
+                    / F.when(F.col("total_tokens") > 0, F.col("total_tokens").cast("double")),
+                    6,
+                ).alias("oov_rate"),
+            )
+        )
+    varr = F.array(*[F.lit(w) for w in vocab])
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    n = F.size(toks).cast("long")
+    n_oov = F.size(F.filter(toks, lambda t: ~F.array_contains(varr, t))).cast("long")
+    return (
+        df.select(group_col, n.alias("_n"), n_oov.alias("_o"))
+        .groupBy(group_col)
+        .agg(F.sum("_n").alias("total_tokens"), F.sum("_o").alias("n_oov"))
+        .select(
+            group_col,
+            "total_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov")
+                / F.when(F.col("total_tokens") > 0, F.col("total_tokens").cast("double")),
+                6,
+            ).alias("oov_rate"),
+        )
     )

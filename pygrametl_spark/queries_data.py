@@ -202,6 +202,37 @@ FROM documents GROUP BY source
 """
 
 
+_QA_VOCAB = (
+    "the", "a", "table", "value", "row", "data", "key", "scan",
+    "fast", "slow", "part", "agg", "batch", "window", "order",
+)
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Per-source OOV rate against a candidate vocabulary
+    (text.vocab_coverage, in-row literal mode): the pre-flight QA for a
+    tokenizer/vocab swap. The broadcast-join DataFrame-vocab mode is
+    pinned equivalent in unit tests."""
+    docs = load_catalog(spark, sf_dir).documents
+    return tx.vocab_coverage(docs, _QA_VOCAB)
+
+
+ORACLE_VOCAB_COVERAGE = rf"""
+WITH t AS (
+  SELECT source, list_filter({_TOKS}, x -> x <> '') AS toks FROM documents
+), per AS (
+  SELECT source, len(toks) AS n,
+         len(list_filter(toks, x -> NOT list_contains(
+           [{", ".join(repr(w) for w in _QA_VOCAB)}], x))) AS o
+  FROM t
+)
+SELECT source, CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(o) AS BIGINT) AS n_oov,
+       ROUND(SUM(o) * 1.0 / SUM(n), 6) AS oov_rate
+FROM per GROUP BY source
+"""
+
+
 def q_bpe_token_count(spark, sf_dir):
     """Per-source BPE-ish token counts (GPT-2 split rule,
     text.tokens_bpe) — the budget metric an LLM pipeline actually plans
@@ -2007,6 +2038,7 @@ DATA_QUERIES = {
     "domain_cap": q_domain_cap,
     "url_normalize": q_url_normalize,
     "url_dedup": q_url_dedup,
+    "vocab_coverage": q_vocab_coverage,
     "url_dedup_stream": q_url_dedup_stream,
     "host_blocklist": q_host_blocklist,
     "host_shares": q_host_shares,
@@ -2069,6 +2101,7 @@ DATA_ORACLES = {
     "domain_cap": ORACLE_DOMAIN_CAP,
     "url_normalize": ORACLE_URL_NORMALIZE,
     "url_dedup": ORACLE_URL_DEDUP,
+    "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "url_dedup_stream": ORACLE_URL_DEDUP_STREAM,
     "host_blocklist": ORACLE_HOST_BLOCKLIST,
     "host_shares": ORACLE_HOST_SHARES,

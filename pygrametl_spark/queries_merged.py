@@ -152,6 +152,7 @@ PART_COLS: dict[str, list[str]] = {
     "mixture_sample": ["doc_id", "source", "n_tokens"],
     "doc_chunks": ["doc_id", "chunk_id", "n_chunk_tokens", "chunk_fp"],
     "chunk_dedup": ["doc_id", "chunk_id", "chunk_fp", "n_copies"],
+    "vocab_coverage": ["source", "total_tokens", "n_oov", "oov_rate"],
     "dedup_streaming": ["doc_id", "fp"],
     "url_dedup_stream": ["doc_id", "norm_url"],
     "dedup_minhash_stream": ["doc_id"],
@@ -364,7 +365,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("p90_tokens", "double"), ("avg_chars", "double"), ("n_langs", "bigint"),
             ("doc_id", "bigint"), ("chunk_id", "bigint"),
             ("n_chunk_tokens", "bigint"), ("chunk_fp", "string"),
-            ("n_copies", "bigint"),
+            ("n_copies", "bigint"), ("n_oov", "bigint"), ("oov_rate", "double"),
         ],
         [
             ("counts", "token_count"),
@@ -372,6 +373,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("report", "corpus_report"),
             ("chunks", "doc_chunks"),
             ("chunkdedup", "chunk_dedup"),
+            ("vocab", "vocab_coverage"),
         ],
     ),
     "ann_lsh_neardup": (

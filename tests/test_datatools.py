@@ -3362,3 +3362,31 @@ def test_url_userinfo_and_ip_hosts(spark):
         assert r["h"] == h, (url, r["h"])
         assert r["n"] == n, (url, r["n"])
         assert r["d"] == d, (url, r["d"])
+
+
+def test_vocab_coverage_modes_agree(spark):
+    """The in-row literal-vocab fast path and the broadcast-anti-join
+    DataFrame-vocab path (the 100k+-entry tokenizer shape) must produce
+    identical per-group OOV stats, including all-OOV and empty-text
+    groups."""
+    from pygrametl_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "the cat sat on the mat"),
+            ("a", "dogs run"),
+            ("b", "zz yy xx"),      # all OOV
+            ("c", "   "),            # no tokens at all
+        ],
+        "source string, text string",
+    )
+    voc = ("the", "cat", "sat", "on", "mat", "run")
+    lit = sorted(map(tuple, tx.vocab_coverage(docs, voc).collect()))
+    vdf = spark.createDataFrame([(w,) for w in voc], "w string")
+    big = sorted(map(tuple, tx.vocab_coverage(docs, vdf).collect()))
+    assert lit == big
+    d = {r[0]: r for r in lit}
+    assert d["a"] == ("a", 8, 1, 0.125)
+    assert d["b"] == ("b", 3, 3, 1.0)
+    # empty-text group: zero tokens, NULL rate (no fake 0.0)
+    assert d["c"][1] == 0 and d["c"][3] is None
