@@ -1528,3 +1528,62 @@ def test_ssjoin_file_sink_empty_drain_returns_schema(spark, tmp_path):
     out = stream_click_to_purchase_join(spark, str(src), sink="files")
     assert out.columns == ["click_id", "buy_id"]
     assert out.count() == 0
+
+
+def test_put_lease_record_atomic_with_payload(tmp_path):
+    """Readers racing record PUTs must NEVER observe a torn head: the
+    hard-link publish makes every visible l{seq}.json complete (the
+    object-store PUT-if-absent contract). 8 writers contend per round
+    while a reader thread hammers _read_lease_log; any torn_head_age
+    observation = the pre-r9 create-then-write window is back."""
+    import threading
+
+    from pygrametl_spark.streaming.ann import (
+        _put_lease_record, _read_lease_log,
+    )
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    stop = threading.Event()
+    torn_seen = []
+
+    def reader():
+        while not stop.is_set():
+            head, _seq, torn = _read_lease_log(path)
+            if torn is not None:
+                torn_seen.append(torn)
+            if head is not None:
+                assert "fence" in head  # parsed = complete payload
+
+    rt = threading.Thread(target=reader)
+    rt.start()
+    try:
+        for seq in range(1, 30):
+            wins = []
+            barrier = threading.Barrier(8)
+
+            def put(i, seq=seq):
+                barrier.wait()
+                rec = {"seq": seq, "action": "acquire", "namespace": f"n{i}",
+                       "fence": f"f{i}", "pid": os.getpid(), "host": "h",
+                       "ts": 1_700_000_000.0}
+                if _put_lease_record(path, seq, rec):
+                    wins.append(i)
+
+            ts = [threading.Thread(target=put, args=(i,)) for i in range(8)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            assert len(wins) == 1, f"seq {seq}: {wins}"
+    finally:
+        stop.set()
+        rt.join()
+    assert torn_seen == []
+    # no .tmp- debris survives the successful publishes
+    import re
+    leftovers = [
+        n for n in os.listdir(os.path.join(path, "lease_log"))
+        if not re.match(r"^l\d+\.json$", n)
+    ]
+    assert leftovers == []
