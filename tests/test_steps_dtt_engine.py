@@ -834,3 +834,44 @@ def test_engine_endload_pointer_protocol(spark, tmp_path):
     # protocol-agnostic reader
     assert eng1.endload() == ["dim", "fact"]
     assert Engine.last_committed_endload(wh) == ["dim", "fact"]
+
+
+def test_endload_pointer_usurped_never_stamps_commit(spark, tmp_path, monkeypatch):
+    """A pointer-mode endload stalled past lock_ttl whose lease was
+    usurped mid-run must FAIL at the fence re-verify and never publish
+    a completeness marker — the usurper's view of the warehouse is now
+    authoritative and a late marker from the loser would stamp a mixed
+    table set as complete."""
+    import socket
+    import time as _time
+
+    from pygrametl_spark.streaming.ann import _put_lease_record, _read_lease_log
+
+    dim = Dimension(
+        "dim", "id", ["name"],
+        df=spark.createDataFrame([(1, "a")], "id long, name string"),
+    )
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, wh)
+    eng.register(dim)
+
+    real_body = Engine._endload_body
+
+    def usurping_body(self, mode, target, parquet):
+        out = real_body(self, mode, target, parquet)
+        head, max_seq, _ = _read_lease_log(wh)
+        assert _put_lease_record(wh, max_seq + 1, {
+            "seq": max_seq + 1, "action": "acquire", "namespace": "usurper",
+            "fence": "stolen", "pid": os.getpid(),
+            "host": socket.gethostname(), "ts": _time.time(),
+        })
+        return out
+
+    monkeypatch.setattr(Engine, "_endload_body", usurping_body)
+    with pytest.raises(RuntimeError, match="lease .*was lost|was lost"):
+        eng.endload(lock_protocol="pointer")
+    # no completeness record was stamped, and the usurper's lease is
+    # untouched (the loser's release is fence-guarded)
+    assert Engine.last_committed_endload(wh) is None
+    head, _seq, _ = _read_lease_log(wh)
+    assert head["namespace"] == "usurper" and head["action"] == "acquire"
