@@ -1587,3 +1587,53 @@ def test_put_lease_record_atomic_with_payload(tmp_path):
         if not re.match(r"^l\d+\.json$", n)
     ]
     assert leftovers == []
+
+
+def test_url_dedup_stream_recovery_equals_batch_twin(spark, tmp_path):
+    """Canonical-URL ingest (r9 stream_dedup_url): batch 1's accepted
+    store append lands, then the job dies before the checkpoint commit.
+    The replay's anti-join on the canonical string drops every
+    already-accepted URL, so the store still equals the batch twin
+    (global MIN(doc_id) per canonical URL)."""
+    from pygrametl_spark.functions.urls import url_normalize
+    from pygrametl_spark.queries_data import _messy_url
+    from pygrametl_spark.streaming.corpus import _stage_id_sliced
+
+    full, stage = _stage_id_sliced(spark, SF, 3)
+    store = str(tmp_path / "store")
+    spark.createDataFrame([], "doc_id long, norm_url string").write.parquet(store)
+
+    def make_accept(fail_on_batch=None):
+        state = {"tripped": False}
+
+        def accept(bdf, bid):
+            batch = (
+                bdf.select("doc_id", url_normalize(_messy_url()).alias("norm_url"))
+                .groupBy("norm_url")
+                .agg(F.min("doc_id").alias("doc_id"))
+            )
+            seen = bdf.sparkSession.read.parquet(store).select("norm_url")
+            batch.join(seen, "norm_url", "left_anti").select(
+                "doc_id", "norm_url"
+            ).write.mode("append").parquet(store)
+            if fail_on_batch == bid and not state["tripped"]:
+                state["tripped"] = True
+                raise RuntimeError("injected crash after store append")
+
+        return accept
+
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="injected crash"):
+        _run_stream(spark, stage, full.schema, make_accept(fail_on_batch=1), ckpt)
+    _run_stream(spark, stage, full.schema, make_accept(), ckpt)
+
+    got = {
+        (r["norm_url"], r["doc_id"])
+        for r in spark.read.parquet(store).collect()
+    }
+    want = {
+        (r["norm_url"], r["doc_id"])
+        for r in full.select("doc_id", url_normalize(_messy_url()).alias("norm_url"))
+        .groupBy("norm_url").agg(F.min("doc_id").alias("doc_id")).collect()
+    }
+    assert got == want and 0 < len(got) < full.count()
