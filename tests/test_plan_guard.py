@@ -117,6 +117,13 @@ CASES = {
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
         {"broadcast_joins": 1},
     ),
+    # vocab coverage (r9), literal-vocab mode: in-row array probe + one
+    # per-group rollup — any join means the vocab fell out of the row.
+    "vocab_coverage": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "SortMergeJoin", "BroadcastHashJoin"],
+        {},
+    ),
 }
 
 
