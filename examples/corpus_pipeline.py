@@ -22,9 +22,13 @@ every stage an operator this engine ships, each scale-shaped for a
                BEST-quality doc per cluster survives (cluster_survivors)
 4. leakage   — benchmark decontamination (broadcast eval shingles) and
                a cluster-aware split so near-dups never straddle splits
-5. balancing — per-domain quota cap so no source dominates
-6. packing   — token-budget sequence packing per source shard
-7. export    — val/test parquet partitioned by (split, source); train
+5. selection — DSIR importance weights vs the curated English slice as
+               the target distribution, tiered CCNet-style per language
+               (quantile_bucket); each language's least-target-like
+               tier is dropped
+6. balancing — per-domain quota cap so no source dominates
+7. packing   — token-budget sequence packing per source shard
+8. export    — val/test parquet partitioned by (split, source); train
                seeded-shuffled into row-ordered loader shards
                (shuffle_shards — reproducible epoch read order)
 
@@ -50,6 +54,7 @@ from pygrametl_spark.functions.sampling import (
     cluster_split,
     pack_by_token_budget,
     per_group_cap,
+    quantile_bucket,
     write_shuffled_shards,
 )
 
@@ -172,10 +177,36 @@ def run_pipeline(spark, sf_dir: str, out_dir: str):
     bench = load_catalog(spark, sf_dir).documents.filter("doc_id % 50 = 0")
     flags = tx.decontaminate(kept, bench, n=8)
     kept = kept.join(flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id")
-    split = cluster_split(kept, clusters=clusters).select("doc_id", "split")
+    # 90/5/5 demo ratios: at quickstart scale (hundreds of surviving
+    # docs) the production 98/1/1 default can hash EVERY cluster into
+    # train, leaving the eval export empty
+    split = cluster_split(
+        kept,
+        clusters=clusters,
+        splits={"train": (0, 90), "val": (90, 95), "test": (95, 100)},
+    ).select("doc_id", "split")
     counts["after_decontam"] = kept.count()
 
-    # 5. balancing: per-domain quota — no source may exceed its cap
+    # 5. selection: DSIR importance of every surviving doc under the
+    # curated English slice as the target distribution (hashed-ngram
+    # bag models, integer micro-nat weight sidecar, scan-stage
+    # scoring), then CCNet-style tiers per language over the mean
+    # log-ratio — each language's least-target-like quartile goes.
+    # Tiering, not a global threshold, so no language is wiped out.
+    # Pin first: DSIR's two count sidecars and the tier rank each
+    # re-evaluate their input, and the post-dedup lineage is deep —
+    # same stage-boundary materialization as the LM pass above.
+    kept = kept.localCheckpoint(eager=False)
+    target = kept.filter("lang_pred = 'en'")
+    dsir = tx.dsir_importance(kept, target, dim=1024)
+    tiers = quantile_bucket(
+        kept.join(dsir.select("doc_id", "dsir_score"), "doc_id"),
+        "doc_id", "dsir_score", 4, by="lang_pred",
+    )
+    kept = kept.join(tiers.filter("bucket > 1").select("doc_id"), "doc_id")
+    counts["after_selection"] = kept.count()
+
+    # 6. balancing: per-domain quota — no source may exceed its cap
     # (deterministic longest-first ranking within each source)
     quota = per_group_cap(
         kept.withColumn("_len", F.length("text")),
@@ -184,13 +215,13 @@ def run_pipeline(spark, sf_dir: str, out_dir: str):
     kept = kept.join(quota, "doc_id")
     counts["after_domain_cap"] = kept.count()
 
-    # 6. packing: token budgets per source shard
+    # 7. packing: token budgets per source shard
     packed = pack_by_token_budget(
         kept.withColumn("n_tokens", F.size(tx.tokens()).cast("long")),
         "n_tokens", 512, order_by="doc_id", partition_by="source",
     ).join(split, "doc_id")
 
-    # 7. export: val/test as plain partitioned parquet (audited by
+    # 8. export: val/test as plain partitioned parquet (audited by
     # split/source); TRAIN through a seeded deterministic global shuffle
     # into loader shards — epoch read order is reproducible, restartable,
     # and uncorrelated with crawl/source order (reseed = new epoch)

@@ -19,6 +19,7 @@ __all__ = [
     "hash_bucket", "hash_split", "hash_sample", "stratified_hash_sample",
     "cluster_split", "pack_by_token_budget", "mixture_sample",
     "per_group_cap", "shuffle_shards", "write_shuffled_shards",
+    "quantile_bucket",
 ]
 
 
@@ -311,4 +312,86 @@ def per_group_cap(
         df.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= cap)
         .select(id_col, group_col, "rk")
+    )
+
+
+# above this row count, per-group NTILE switches from a window (whose
+# largest group must fit one partition's sort) to the two-phase
+# distributed rank (same machinery as plans/keys.py dense keys)
+_QB_WINDOW_THRESHOLD = 1_000_000
+
+
+def _ceil_div(a: Column, b: Column) -> Column:
+    """ceil(a/b) for positive integer columns, in exact integer math."""
+    return F.floor((a + b - F.lit(1)) / b).cast("long")
+
+
+def quantile_bucket(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    k: int,
+    *,
+    by: "str | None" = None,
+    out: str = "bucket",
+) -> DataFrame:
+    """Per-group quantile bucketing — standard ``NTILE(k)`` over
+    ``(score_col, id_col)`` within each ``by`` group. The CCNet
+    head/middle/tail split (Wenzek et al. 2020, arXiv:1911.00359)
+    generalized: bucket web documents by a quality/perplexity score per
+    language, then keep or re-weight buckets in the training mixture
+    (``k=3`` with a perplexity score IS CCNet; compose with
+    :func:`hash_sample` / ``lm_score`` for the full pipeline).
+
+    Deterministic: ordering is total (``score_col`` then ``id_col``), so
+    the assignment replays bit-for-bit across runs and engines, and the
+    bucket arithmetic is standard NTILE (first ``n % k`` buckets get the
+    extra row) — a DuckDB/ANSI ``NTILE(k) OVER (PARTITION BY .. ORDER
+    BY score, id)`` produces the identical column.
+
+    Scale shape: below 1M input rows this is a plain per-group window
+    (largest group sorts in one partition). Above, a window would put a
+    30 TB language on one executor, so it switches to the two-phase
+    distributed rank from ``plans/keys.py``: range-repartition on
+    ``(by, score, id)``, partition-local ``row_number`` plus a
+    per-partition offset map (a bounded driver sidecar, one row per
+    partition), then per-group ``(start, n)`` via an aggregate join —
+    the group stats relation has one row per group and broadcasts under
+    AQE. No global sort, no single-partition window, NTILE computed
+    from the within-group rank in exact integer math.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    gcols = [by] if by else []
+    n_total = df.count()
+    if n_total <= _QB_WINDOW_THRESHOLD:
+        w = (
+            Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        ).orderBy(F.col(score_col), F.col(id_col))
+        return df.withColumn(out, F.ntile(k).over(w))
+
+    from pygrametl_spark.plans.keys import _assign_dense_keys_distributed
+
+    ordercols = gcols + [score_col, id_col]
+    pos = _assign_dense_keys_distributed(df, ordercols, "_qb_pos", 0)
+    if gcols:
+        grp = pos.groupBy(*gcols).agg(
+            F.min("_qb_pos").alias("_qb_start"),
+            F.count("*").alias("_qb_n"),
+        )
+        pos = pos.join(grp, gcols)
+        rank = F.col("_qb_pos") - F.col("_qb_start") + 1
+        n = F.col("_qb_n")
+    else:
+        rank = F.col("_qb_pos")
+        n = F.lit(n_total).cast("long")
+    kk = F.lit(k).cast("long")
+    q = F.floor(n / kk).cast("long")
+    r = n % kk
+    cut = r * (q + 1)
+    bucket = F.when(rank <= cut, _ceil_div(rank, q + 1)).otherwise(
+        r + _ceil_div(rank - cut, F.greatest(q, F.lit(1)))
+    )
+    return pos.withColumn(out, bucket.cast("int")).drop(
+        "_qb_pos", "_qb_start", "_qb_n"
     )

@@ -28,6 +28,7 @@ __all__ = [
     "bpe_train", "bpe_apply", "bpe_apply_arrow",
     "gopher_rules", "GOPHER_REQUIRED_WORDS",
     "normalize_text", "line_dedup_across_docs", "vocab_coverage",
+    "dsir_importance",
 ]
 
 # Tiny deterministic marker lists (the heuristic, not a model).
@@ -1414,4 +1415,118 @@ def vocab_coverage(
                 6,
             ).alias("oov_rate"),
         )
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    importance weight of each raw-corpus document under hashed-n-gram
+    bag models of a small high-quality ``target`` corpus vs the raw
+    corpus itself — ``log p_target(doc) - log p_raw(doc)`` where both
+    are add-``alpha``-smoothed unigram models over unigram+bigram
+    features hashed into ``dim`` buckets (the same feature map as
+    :func:`hashed_classifier_score`). Rank by the score and keep the
+    top mass (or feed :func:`~pygrametl_spark.functions.sampling
+    .quantile_bucket` for CCNet-style tiers) to select raw data that
+    "looks like" the target distribution.
+
+    Scale shape: two bucket-count aggregates (raw + target) each
+    collapse map-side to at most ``dim`` rows; the per-bucket
+    log-ratio weights are computed on that tiny relation and ride back
+    into the scoring expression as a ``dim``-entry array literal — a
+    bounded driver sidecar like the IVF centroids/Bloom bitmaps, NOT a
+    corpus-sized model. Scoring is then fully in-row (``aggregate``
+    over the feature array inside the scan stage): zero shuffle, no
+    join, no Python on the hot path, however large the raw corpus.
+
+    Determinism: weights are integer MICRO-log-units
+    (``round(log_ratio * 1e6)`` as BIGINT, the ``ngram_lm_score``
+    discipline) so per-doc sums are accumulation-order exact; the
+    rounded mean is replayable bit-for-bit by a DuckDB oracle.
+
+    Returns ``(id_col, n_feats, dsir_units, dsir_score)`` where
+    ``dsir_units`` = sum of per-occurrence weight units and
+    ``dsir_score`` = mean log-ratio in nats rounded to 4 (NULL for
+    featureless docs).
+    """
+    from pygrametl_spark.functions.dedup import hash32
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+
+    def feat_rows(frame: DataFrame) -> DataFrame:
+        toks = tokens(text_col)
+        feats = F.concat(toks, shingles_of_tokens(toks, 2))
+        return frame.select(F.explode(feats).alias("_f")).select(
+            F.pmod(hash32(F.col("_f")), F.lit(dim)).alias("_b")
+        )
+
+    raw_counts = feat_rows(df).groupBy("_b").agg(F.count("*").alias("_c"))
+    tgt_counts = feat_rows(target).groupBy("_b").agg(F.count("*").alias("_c"))
+    s_map = {r["_b"]: r["_c"] for r in raw_counts.collect()}
+    t_map = {r["_b"]: r["_c"] for r in tgt_counts.collect()}
+    s_tot, t_tot = sum(s_map.values()), sum(t_map.values())
+
+    # per-bucket integer weight units computed in a tiny Spark job so the
+    # ln is the SAME engine ln the scoring side of the oracle replays
+    spark = df.sparkSession
+    buckets = spark.range(dim).select(
+        F.col("id").cast("int").alias("_b"),
+        F.element_at(
+            F.array(*[F.lit(int(t_map.get(b, 0))) for b in range(dim)]),
+            F.col("id").cast("int") + 1,
+        ).cast("double").alias("_t"),
+        F.element_at(
+            F.array(*[F.lit(int(s_map.get(b, 0))) for b in range(dim)]),
+            F.col("id").cast("int") + 1,
+        ).cast("double").alias("_s"),
+    )
+    a, b_ = float(alpha), float(alpha) * dim
+    w_rows = buckets.select(
+        "_b",
+        F.round(
+            (
+                F.log((F.col("_t") + a) / F.lit(t_tot + b_))
+                - F.log((F.col("_s") + a) / F.lit(s_tot + b_))
+            )
+            * 1e6,
+            0,
+        )
+        .cast("bigint")
+        .alias("_w"),
+    ).collect()
+    w_units = [0] * dim
+    for r in w_rows:
+        w_units[r["_b"]] = r["_w"]
+    warr = F.array(*[F.lit(int(v)).cast("long") for v in w_units])
+
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.concat(toks, shingles_of_tokens(toks, 2)).alias("_feats"),
+    )
+    w_of = lambda f: F.element_at(  # noqa: E731
+        warr, (F.pmod(hash32(f), F.lit(dim)) + 1).cast("int")
+    )
+    units = F.aggregate(
+        "_feats", F.lit(0).cast("long"), lambda acc, f: acc + w_of(f)
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("_feats").cast("long").alias("n_feats"),
+        units.alias("dsir_units"),
+    ).withColumn(
+        "dsir_score",
+        F.when(
+            F.col("n_feats") > 0,
+            F.round(F.col("dsir_units") / (F.col("n_feats") * F.lit(1e6)), 4),
+        ),
     )

@@ -2002,6 +2002,70 @@ FROM events c JOIN events b
 """
 
 
+def q_quantile_buckets(spark, sf_dir):
+    """CCNet-style per-language quality tiers (sampling.quantile_bucket,
+    arXiv:1911.00359): NTILE(10) over (n_chars, doc_id) within each
+    lang. Above 1M rows the engine switches from the per-group window
+    to the two-phase distributed rank — K-scale parity exercises that
+    path while the oracle stays plain NTILE."""
+    from pygrametl_spark.functions.sampling import quantile_bucket
+
+    docs = load_catalog(spark, sf_dir).documents
+    return quantile_bucket(docs, "doc_id", "n_chars", 10, by="lang").select(
+        "doc_id", "lang", F.col("bucket").cast("long").alias("bucket")
+    )
+
+
+ORACLE_QUANTILE_BUCKETS = """
+SELECT doc_id, lang,
+       NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bucket
+FROM documents
+"""
+
+
+def q_dsir_importance(spark, sf_dir):
+    """DSIR data selection (text.dsir_importance, arXiv:2302.03169):
+    importance weight of every raw doc under hashed-n-gram bag models
+    of an English target slice vs the raw corpus. Weights are integer
+    micro-nats from a 1024-bucket sidecar; scoring is in-row."""
+    docs = spread(load_catalog(spark, sf_dir).documents)
+    target = docs.filter("lang = 'en' AND doc_id % 5 = 0")
+    return tx.dsir_importance(docs, target, dim=1024)
+
+
+_DSIR_TGT = "lang = 'en' AND doc_id % 5 = 0"
+
+ORACLE_DSIR = rf"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+uni AS (SELECT doc_id, lang, unnest(toks) AS f FROM t),
+bi AS (
+  SELECT doc_id, lang, array_to_string(toks[i:i+1], ' ') AS f
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) _
+),
+feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+b AS (SELECT doc_id, lang, {_H32('f')} % 1024 AS bkt FROM feats),
+src AS (SELECT bkt, COUNT(*) AS c FROM b GROUP BY bkt),
+tgt AS (SELECT bkt, COUNT(*) AS c FROM b WHERE {_DSIR_TGT} GROUP BY bkt),
+tot AS (SELECT (SELECT SUM(c) FROM src) AS s_tot,
+               (SELECT COALESCE(SUM(c), 0) FROM tgt) AS t_tot),
+w AS (
+  SELECT src.bkt,
+         CAST(ROUND((ln((COALESCE(tgt.c, 0) + 1.0) / (tot.t_tot + 1024.0))
+                   - ln((src.c + 1.0) / (tot.s_tot + 1024.0))) * 1e6, 0)
+              AS BIGINT) AS w
+  FROM src LEFT JOIN tgt USING (bkt), tot
+),
+agg AS (
+  SELECT b.doc_id, COUNT(*) AS n_feats,
+         CAST(SUM(w.w) AS BIGINT) AS dsir_units
+  FROM b JOIN w USING (bkt) GROUP BY b.doc_id
+)
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, dsir_units,
+       ROUND(dsir_units / (n_feats * 1e6), 4) AS dsir_score
+FROM agg
+"""
+
+
 DATA_QUERIES = {
     "text_quality": q_text_quality,
     "repetition_stats": q_repetition_stats,
@@ -2063,6 +2127,8 @@ DATA_QUERIES = {
     "events_stream_windows": q_events_stream_windows,
     "events_stream_enriched": q_events_stream_enriched,
     "events_stream_ssjoin": q_events_stream_ssjoin,
+    "quantile_buckets": q_quantile_buckets,
+    "dsir_importance": q_dsir_importance,
 }
 
 DATA_ORACLES = {
@@ -2126,4 +2192,6 @@ DATA_ORACLES = {
     "events_stream_windows": ORACLE_EVENTS_STREAM,
     "events_stream_enriched": ORACLE_EVENTS_ENRICHED,
     "events_stream_ssjoin": ORACLE_EVENTS_SSJOIN,
+    "quantile_buckets": ORACLE_QUANTILE_BUCKETS,
+    "dsir_importance": ORACLE_DSIR,
 }

@@ -122,6 +122,8 @@ PART_COLS: dict[str, list[str]] = {
     "pii_scan": ["doc_id", "n_emails", "n_urls", "n_ips", "has_pii"],
     "line_clean": ["doc_id", "n_lines", "n_dropped", "clean_text"],
     "hashed_classifier": ["doc_id", "n_feats", "score_units", "label"],
+    "quantile_buckets": ["doc_id", "lang", "bucket"],
+    "dsir_importance": ["doc_id", "n_feats", "dsir_units", "dsir_score"],
     "bloom_decontam": ["doc_id", "n_flagged", "contaminated"],
     "gopher_rules": [
         "doc_id", "n_words", "mean_word_len", "symbol_ratio",
@@ -466,6 +468,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("label", "boolean"), ("n_flagged", "bigint"),
             ("norm_url", "string"), ("reg_domain", "string"),
             ("n_dups", "bigint"), ("n_docs", "bigint"), ("share", "double"),
+            ("dsir_units", "bigint"), ("dsir_score", "double"),
         ],
         [
             ("pii", "pii_scan"),
@@ -477,6 +480,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("urldedup", "url_dedup"),
             ("hostblock", "host_blocklist"),
             ("hostshares", "host_shares"),
+            ("dsir", "dsir_importance"),
         ],
     ),
     "events_stream_windows": (
@@ -497,6 +501,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("n_tokens", "bigint"), ("pack_id", "bigint"),
             ("cluster_id", "bigint"), ("rk", "bigint"),
             ("shard", "bigint"), ("pos", "bigint"),
+            ("lang", "string"), ("bucket", "bigint"),
         ],
         [
             ("split", "dataset_split"),
@@ -507,6 +512,7 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
             ("domaincap", "domain_cap"),
             ("shards", "shuffle_shards"),
             ("survivors", "cluster_survivors"),
+            ("quantile", "quantile_buckets"),
         ],
     ),
 }

@@ -54,6 +54,7 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
         >= counts["after_quality"]
         >= counts["after_dedup"]
         >= counts["after_decontam"]
+        >= counts["after_selection"]
         >= counts["after_domain_cap"]
         == counts["exported"]
         > 0

@@ -124,6 +124,24 @@ CASES = {
          "SortMergeJoin", "BroadcastHashJoin"],
         {},
     ),
+    # per-language NTILE tiers (r9): below the distributed-rank
+    # threshold this is ONE lang-partitioned window — no join may
+    # appear (the >1M two-phase path joins per-group stats by design
+    # and is pinned by tests/test_selection.py path equivalence).
+    "quantile_buckets": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "SortMergeJoin", "BroadcastHashJoin"],
+        {},
+    ),
+    # DSIR importance scoring (r9): the bucket weights ride in as a
+    # dim-entry array literal, so scoring must stay a scan-stage
+    # projection like hashed_classifier — no join, no aggregate (the
+    # count sidecars are separate bounded jobs at build time).
+    "dsir_importance": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "SortMergeJoin", "BroadcastHashJoin", "HashAggregate"],
+        {},
+    ),
 }
 
 
