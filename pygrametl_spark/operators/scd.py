@@ -293,6 +293,13 @@ class SlowlyChangingDimension(Dimension):
                     F.when(F.col("_src") == 0, F.col("_to")).otherwise(F.lit(self.maxto))
                 ),
             )
+        # Pin the merge output before it fans out: new_rows (counted AND
+        # numbered by assign_dense_keys), old_rows, and the final union
+        # all read `kept` — unpinned, each action replays the whole
+        # stack-window merge from the parquet scans (measured r9: the
+        # scd2/snowflake entries spent 60-97% of their wall time in such
+        # construction-phase replays; guide §1.2).
+        kept = kept.localCheckpoint(eager=False)
         # assign dense keys to the new version rows
         new_rows = kept.filter(F.col("_src") == 1)
         offset = max_key(self.df, self.key)

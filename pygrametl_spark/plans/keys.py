@@ -48,6 +48,19 @@ def assign_dense_keys(
     ``ordercols`` must uniquely order the rows (for dimension loads the
     business key does) — otherwise numbering of ties is undefined.
     """
+    if approx_count is None:
+        # Pin the input before the plan-choosing count: the count is an
+        # eager action, and without the pin its full upstream DAG (scan +
+        # shuffle + window chains in the SCD merges) is recomputed a
+        # second time by the numbering pass — and a third time by
+        # whatever action consumes the result (guide §1.2: don't compute
+        # things you throw away). The lazy localCheckpoint makes the
+        # count's materialization the single computation every later
+        # pass reuses, and truncates the lineage the same way the
+        # mutation-chain `_set_state` pin already does (PERF.md "Mutable
+        # state persistence"). Measured r9: scd2_type1_overrides build
+        # phase 12.8 s/40 jobs -> see OPTIMIZATION_r09.md.
+        df = df.localCheckpoint(eager=False)
     n = approx_count if approx_count is not None else df.count()
     if n <= _WINDOW_THRESHOLD:
         w = Window.orderBy(*[F.col(c) for c in ordercols])

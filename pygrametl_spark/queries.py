@@ -955,7 +955,18 @@ ALL_ORACLES = {
     **MORE_ORACLES,
 }
 
-_MERGED_Q, _MERGED_O = build_merged(ALL_QUERIES, ALL_ORACLES)
+# Shared-intermediate merged builders (optimization r9): merges whose
+# parts duplicate heavy subtrees compute them once; same tags, same
+# rows, same oracle (queries_merged._shared_union_query).
+from pygrametl_spark.queries_data import shared_sampling_suite  # noqa: E402
+from pygrametl_spark.queries_more import shared_scd2_type1_overrides  # noqa: E402
+
+_SHARED_BUILDERS = {
+    "scd2_type1_overrides": shared_scd2_type1_overrides,
+    "sampling_suite": shared_sampling_suite,
+}
+
+_MERGED_Q, _MERGED_O = build_merged(ALL_QUERIES, ALL_ORACLES, _SHARED_BUILDERS)
 
 # Driver-facing registry: <=50 entries, highest-value first, every
 # SURVEY §2 operator gated by exactly one entry (directly or as a

@@ -518,19 +518,45 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
 }
 
 
+def _pad_one(df: DataFrame, tag: str, schema) -> DataFrame:
+    """Tag + NULL-pad one part's output to the merged schema."""
+    have = set(df.columns)
+    cols = [F.lit(tag).alias("part")] + [
+        F.col(c).alias(c) if c in have else F.lit(None).cast(t).alias(c)
+        for c, t in schema
+    ]
+    return df.select(*cols)
+
+
 def _union_query(parts, schema):
     """Merged Spark query: run each part unchanged, tag + NULL-pad, union."""
 
     def q(spark, sf_dir):
-        outs = []
-        for tag, fn in parts:
-            df = fn(spark, sf_dir)
-            have = set(df.columns)
-            cols = [F.lit(tag).alias("part")] + [
-                F.col(c).alias(c) if c in have else F.lit(None).cast(t).alias(c)
-                for c, t in schema
-            ]
-            outs.append(df.select(*cols))
+        outs = [_pad_one(fn(spark, sf_dir), tag, schema) for tag, fn in parts]
+        return reduce(DataFrame.unionByName, outs)
+
+    return q
+
+
+def _shared_union_query(builder, schema, expected_tags):
+    """Merged Spark query from a SHARED builder: ``builder(spark, sf_dir)``
+    returns ``[(tag, DataFrame)]`` for every part, computing heavy
+    intermediates common to several parts ONCE (pinned via lazy
+    localCheckpoint) instead of once per part. The builder must yield
+    exactly the merge's tags, each with rows identical to the standalone
+    part query — the DuckDB oracle is unchanged, so the correctness gate
+    verifies that equivalence every round (guide §1.2: the generic
+    per-part construction replayed shared subtrees; measured builds in
+    OPTIMIZATION_r09.md)."""
+
+    def q(spark, sf_dir):
+        built = builder(spark, sf_dir)
+        tags = [t for t, _ in built]
+        if tags != list(expected_tags):
+            raise ValueError(
+                f"shared builder yielded tags {tags}, expected {list(expected_tags)}"
+            )
+        outs = [_pad_one(df, tag, schema) for tag, df in built]
         return reduce(DataFrame.unionByName, outs)
 
     return q
@@ -549,14 +575,26 @@ def _union_oracle(parts, schema):
     return "\nUNION ALL\n".join(selects)
 
 
-def build_merged(all_queries, all_oracles):
+def build_merged(all_queries, all_oracles, shared_builders=None):
     """Instantiate every merge in :data:`MERGES` against the full per-part
-    query/oracle dicts. Returns ``(merged_queries, merged_oracles)``."""
+    query/oracle dicts. Returns ``(merged_queries, merged_oracles)``.
+
+    ``shared_builders`` maps a merge name to a shared-intermediate
+    builder (see :func:`_shared_union_query`); merges without one keep
+    the generic call-each-part-unchanged construction. Oracles are
+    always the generic UNION ALL — a shared builder is checked against
+    the SAME oracle as the generic construction."""
+    shared_builders = shared_builders or {}
     merged_q, merged_o = {}, {}
     for name, (schema, parts) in MERGES.items():
-        merged_q[name] = _union_query(
-            [(tag, all_queries[p]) for tag, p in parts], schema
-        )
+        if name in shared_builders:
+            merged_q[name] = _shared_union_query(
+                shared_builders[name], schema, [tag for tag, _ in parts]
+            )
+        else:
+            merged_q[name] = _union_query(
+                [(tag, all_queries[p]) for tag, p in parts], schema
+            )
         merged_o[name] = _union_oracle(
             [(tag, all_oracles[p], PART_COLS[p]) for tag, p in parts], schema
         )
