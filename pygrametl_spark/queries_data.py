@@ -2080,26 +2080,38 @@ def shared_sampling_suite(spark, sf_dir):
     from pygrametl_spark.functions.dedup import cluster_survivors, neardup_clusters
     from pygrametl_spark.functions.sampling import cluster_split
 
+    from concurrent.futures import ThreadPoolExecutor
+
     docs_spread = spread(load_catalog(spark, sf_dir).documents)
     clusters = neardup_clusters(docs_spread, threshold=0.5)
-    clustersplit = cluster_split(
-        docs_spread, "doc_id", "text", clusters=clusters
-    ).select("doc_id", "cluster_id", "split")
-    scored = tx.quality_score(docs_spread)
-    survivors = cluster_survivors(
-        scored, "doc_id", score="quality_score", clusters=clusters
-    ).select("doc_id", "cluster_id", "rk")
-    return [
-        ("split", q_dataset_split(spark, sf_dir)),
-        ("clustersplit", clustersplit),
-        ("stratified", q_stratified_sample(spark, sf_dir)),
-        ("pack", q_pack_tokens(spark, sf_dir)),
-        ("mixture", q_mixture_sample(spark, sf_dir)),
-        ("domaincap", q_domain_cap(spark, sf_dir)),
-        ("shards", q_shuffle_shards(spark, sf_dir)),
-        ("survivors", survivors),
-        ("quantile", q_quantile_buckets(spark, sf_dir)),
+
+    def _clustersplit(spark, sf_dir):
+        return cluster_split(
+            docs_spread, "doc_id", "text", clusters=clusters
+        ).select("doc_id", "cluster_id", "split")
+
+    def _survivors(spark, sf_dir):
+        scored = tx.quality_score(docs_spread)
+        return cluster_survivors(
+            scored, "doc_id", score="quality_score", clusters=clusters
+        ).select("doc_id", "cluster_id", "rk")
+
+    builders = [
+        ("split", q_dataset_split),
+        ("clustersplit", _clustersplit),
+        ("stratified", q_stratified_sample),
+        ("pack", q_pack_tokens),
+        ("mixture", q_mixture_sample),
+        ("domaincap", q_domain_cap),
+        ("shards", q_shuffle_shards),
+        ("survivors", _survivors),
+        ("quantile", q_quantile_buckets),
     ]
+    # remaining construction actions (quantile's plan-choosing count)
+    # overlap on a small pool (guide §2.6)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        dfs = list(pool.map(lambda tf: tf[1](spark, sf_dir), builders))
+    return [(tag, df) for (tag, _), df in zip(builders, dfs)]
 
 
 DATA_QUERIES = {

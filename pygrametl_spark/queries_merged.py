@@ -528,11 +528,47 @@ def _pad_one(df: DataFrame, tag: str, schema) -> DataFrame:
     return df.select(*cols)
 
 
-def _union_query(parts, schema):
+# Merges whose parts may CONSTRUCT concurrently (guide §2.6 — overlap
+# independent jobs): construction-phase driver actions (quantizer memo
+# loads, model-sidecar collects, plan-choosing counts) serialized one
+# part after another, leaving the cluster idle between small jobs.
+# These parts only read the parquet catalog and their own scratch
+# paths: no temp-view registration (sql_transforming stays sequential),
+# no session-conf scoping and no drained-stream gates (the streaming
+# merges stay sequential), no shared mutable operator state. Part
+# results are deterministic, so construction order cannot change rows.
+PARALLEL_BUILD = {
+    "ann_lsh_neardup",
+    "ann_ivf_index",
+    "text_analysis",
+    "token_count",
+    "curation_guard",
+    "multimodal_pipeline",
+    "dedup_ngram_jaccard",
+    "sources_roundtrip",
+}
+
+_BUILD_POOL_WORKERS = 4  # 2-4 in flight fills the tail (guide §2.6)
+
+
+def _build_parts(builders, spark, sf_dir, parallel):
+    """Construct every part DataFrame, optionally overlapping the
+    construction-phase Spark jobs on a small thread pool. Returns the
+    DataFrames in part order regardless of completion order."""
+    if not parallel or len(builders) < 2:
+        return [fn(spark, sf_dir) for fn in builders]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(_BUILD_POOL_WORKERS, len(builders))) as pool:
+        return list(pool.map(lambda fn: fn(spark, sf_dir), builders))
+
+
+def _union_query(parts, schema, parallel=False):
     """Merged Spark query: run each part unchanged, tag + NULL-pad, union."""
 
     def q(spark, sf_dir):
-        outs = [_pad_one(fn(spark, sf_dir), tag, schema) for tag, fn in parts]
+        dfs = _build_parts([fn for _, fn in parts], spark, sf_dir, parallel)
+        outs = [_pad_one(df, tag, schema) for (tag, _), df in zip(parts, dfs)]
         return reduce(DataFrame.unionByName, outs)
 
     return q
@@ -593,7 +629,8 @@ def build_merged(all_queries, all_oracles, shared_builders=None):
             )
         else:
             merged_q[name] = _union_query(
-                [(tag, all_queries[p]) for tag, p in parts], schema
+                [(tag, all_queries[p]) for tag, p in parts], schema,
+                parallel=name in PARALLEL_BUILD,
             )
         merged_o[name] = _union_oracle(
             [(tag, all_oracles[p], PART_COLS[p]) for tag, p in parts], schema

@@ -1249,15 +1249,21 @@ def shared_scd2_type1_overrides(spark, sf_dir):
     the pin fixes). Build the base ONCE, pin it, and derive both modes
     from the pinned frames; rows are identical to the standalone part
     queries, which the unchanged UNION ALL oracle verifies."""
+    from concurrent.futures import ThreadPoolExecutor
+
     dim_df, latest = _scd2_t1_base(spark, sf_dir)
     prebuilt = (
         dim_df.localCheckpoint(eager=False),
         latest.localCheckpoint(eager=False),
     )
-    return [
-        ("allversions", _scd2_with_t1(spark, sf_dir, updateall=True, prebuilt=prebuilt)),
-        ("latestonly", _scd2_with_t1(spark, sf_dir, updateall=False, prebuilt=prebuilt)),
-    ]
+    # both modes' scdensure sidecar jobs (max-key, dense-key count) read
+    # the same pinned base — overlap them (guide §2.6)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        allv, latestonly = pool.map(
+            lambda ua: _scd2_with_t1(spark, sf_dir, updateall=ua, prebuilt=prebuilt),
+            [True, False],
+        )
+    return [("allversions", allv), ("latestonly", latestonly)]
 
 
 def q_scd2_streaming_maintain(spark, sf_dir):
