@@ -29,6 +29,22 @@ __all__ = ["assign_dense_keys", "max_key"]
 _WINDOW_THRESHOLD = 1_000_000
 
 
+_EXPENSIVE_NODES = ("Join", "Aggregate", "Window", "Sort", "Generate", "Deduplicate")
+
+
+def _worth_pinning(df: DataFrame) -> bool:
+    """True when recomputing ``df`` means replaying shuffle/window work —
+    i.e. its analyzed plan contains a wide or generating operator. A
+    plain (filtered/projected) scan is cheaper to recompute than to
+    checkpoint. The analyzed plan is already cached on the
+    queryExecution, so this is a driver-side string scan, no job."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    except Exception:  # noqa: BLE001 — default to pinning on any doubt
+        return True
+    return any(node in plan for node in _EXPENSIVE_NODES)
+
+
 def max_key(df: DataFrame, key: str, default: int = 0) -> int:
     """Current max surrogate key (ref ``SELECT MAX(key)`` tables.py:237-239)."""
     row = df.agg(F.max(F.col(key)).alias("m")).first()
@@ -48,7 +64,7 @@ def assign_dense_keys(
     ``ordercols`` must uniquely order the rows (for dimension loads the
     business key does) — otherwise numbering of ties is undefined.
     """
-    if approx_count is None:
+    if approx_count is None and _worth_pinning(df):
         # Pin the input before the plan-choosing count: the count is an
         # eager action, and without the pin its full upstream DAG (scan +
         # shuffle + window chains in the SCD merges) is recomputed a
@@ -59,7 +75,9 @@ def assign_dense_keys(
         # pass reuses, and truncates the lineage the same way the
         # mutation-chain `_set_state` pin already does (PERF.md "Mutable
         # state persistence"). Measured r9: scd2_type1_overrides build
-        # phase 12.8 s/40 jobs -> see OPTIMIZATION_r09.md.
+        # phase 12.8 s/40 jobs -> see OPTIMIZATION_r09.md. Trivial
+        # scan-only inputs (small dimension seeds) skip the pin — there
+        # the recompute is cheaper than the checkpoint write.
         df = df.localCheckpoint(eager=False)
     n = approx_count if approx_count is not None else df.count()
     if n <= _WINDOW_THRESHOLD:
