@@ -208,6 +208,14 @@ class Dimension:
         4. append; 5. final lookup join for the whole batch.
         """
         b = apply_namemapping(batch, namemapping)
+        from pygrametl_spark.plans.keys import _worth_pinning
+
+        if _worth_pinning(b):
+            # the batch feeds the anti-join (via _dedup_new) AND the
+            # final lookup join — pin derived batches so each consumer
+            # reads one materialization instead of replaying the
+            # caller's window/join chain (guide §1.2)
+            b = b.localCheckpoint(eager=False)
         new = self._dedup_new(b).join(
             self.df.select(*self.lookupatts), on=self.lookupatts, how="left_anti"
         )

@@ -57,6 +57,14 @@ class TypeOneSlowlyChangingDimension(Dimension):
         """Lookup by business key; miss -> insert; hit -> overwrite changed
         ``type1atts`` in place (ref :797-871). Returns batch with keys."""
         b = apply_namemapping(batch, namemapping)
+        from pygrametl_spark.plans.keys import _worth_pinning
+
+        if _worth_pinning(b):
+            # the batch feeds BOTH the ensure (anti-join + dense keys)
+            # and the type-1 overwrite join — unpinned, a derived batch
+            # (window + join chains in the callers) is replayed once per
+            # consumer (guide §1.2)
+            b = b.localCheckpoint(eager=False)
         keyed = self.ensure(b)  # inserts new members with dense keys
         # overwrite type1atts of existing members with the batch's values
         upd = self._dedup_new(b).select(*self.lookupatts, *self.type1atts)
@@ -196,6 +204,13 @@ class SlowlyChangingDimension(Dimension):
         on the member key) — only the sort key changes.
         """
         b = apply_namemapping(batch, namemapping)
+        from pygrametl_spark.plans.keys import _worth_pinning
+
+        if _worth_pinning(b):
+            # the batch feeds the stacked merge AND (with type-1 atts)
+            # the latest-value override window — pin derived batches so
+            # each consumer reads one materialization (guide §1.2)
+            b = b.localCheckpoint(eager=False)
         eff = (
             F.col(self.srcdateatt)
             if self.srcdateatt and self.srcdateatt in b.columns

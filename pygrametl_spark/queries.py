@@ -350,13 +350,14 @@ FROM customer c LEFT JOIN latest l ON c.c_custkey = l.o_custkey
 """
 
 
-def q_scd2_build(spark, sf_dir):
+def q_scd2_build(spark, sf_dir, *, dim_df=None):
     """Replay the full event history through SCD2 semantics in one job."""
-    events = load_catalog(spark, sf_dir).events
-    dim = scd2_from_history(
-        events, ["user_id"], ["event_type"], "ts", key="id", tiebreak=["event_id"]
-    )
-    return dim.select(
+    if dim_df is None:
+        events = load_catalog(spark, sf_dir).events
+        dim_df = scd2_from_history(
+            events, ["user_id"], ["event_type"], "ts", key="id", tiebreak=["event_id"]
+        )
+    return dim_df.select(
         "id", "user_id", "event_type", "version",
         _fmt_ts("fromdate").alias("fromdate"), _fmt_ts("todate").alias("todate"),
     )
@@ -486,12 +487,13 @@ WHERE e.event_type = 'purchase'
 """
 
 
-def q_scd_closecurrent(spark, sf_dir):
+def q_scd_closecurrent(spark, sf_dir, *, dim_df=None):
     """closecurrent: stamp the open version's todate (ref tables.py:1530-1553)."""
-    events = load_catalog(spark, sf_dir).events
-    dim_df = scd2_from_history(
-        events, ["user_id"], ["event_type"], "ts", key="id", tiebreak=["event_id"]
-    )
+    if dim_df is None:
+        events = load_catalog(spark, sf_dir).events
+        dim_df = scd2_from_history(
+            events, ["user_id"], ["event_type"], "ts", key="id", tiebreak=["event_id"]
+        )
     scd = SlowlyChangingDimension(
         "user_scd", "id", ["user_id", "event_type", "version", "fromdate", "todate"],
         ["user_id"], versionatt="version", fromatt="fromdate", toatt="todate", df=dim_df,
@@ -961,9 +963,39 @@ ALL_ORACLES = {
 from pygrametl_spark.queries_data import shared_sampling_suite  # noqa: E402
 from pygrametl_spark.queries_more import shared_scd2_type1_overrides  # noqa: E402
 
+
+def shared_scd2_build_close(spark, sf_dir):
+    """Shared builder for scd2_build_close: the build and close parts
+    derive from the IDENTICAL SCD2-from-history dimension — built
+    generically, each replayed the events window chain + dense-key
+    assignment. Build it once, pin it, and construct the datechange
+    part (its own version-on-datechange base) concurrently."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pygrametl_spark.queries_extra import q_scd2_datechange
+
+    def _build_close(spark, sf_dir):
+        events = load_catalog(spark, sf_dir).events
+        hist = scd2_from_history(
+            events, ["user_id"], ["event_type"], "ts", key="id", tiebreak=["event_id"]
+        ).localCheckpoint(eager=False)
+        return (
+            q_scd2_build(spark, sf_dir, dim_df=hist),
+            q_scd_closecurrent(spark, sf_dir, dim_df=hist),
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_bc = pool.submit(_build_close, spark, sf_dir)
+        f_dc = pool.submit(q_scd2_datechange, spark, sf_dir)
+        build, close = f_bc.result()
+        datechange = f_dc.result()
+    return [("build", build), ("close", close), ("datechange", datechange)]
+
+
 _SHARED_BUILDERS = {
     "scd2_type1_overrides": shared_scd2_type1_overrides,
     "sampling_suite": shared_sampling_suite,
+    "scd2_build_close": shared_scd2_build_close,
 }
 
 _MERGED_Q, _MERGED_O = build_merged(ALL_QUERIES, ALL_ORACLES, _SHARED_BUILDERS)

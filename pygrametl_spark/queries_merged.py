@@ -546,6 +546,16 @@ PARALLEL_BUILD = {
     "multimodal_pipeline",
     "dedup_ngram_jaccard",
     "sources_roundtrip",
+    "project_map_filter",
+    "joining_sources",
+    "steps_suite",
+    "dim_getby",
+    "snowflake_lookup_ensure",
+    "fact_suite",
+    "rollup_cube_agg",
+    "advanced_aggs",
+    "helpers_suite",
+    "scd_lookupasof",
 }
 
 _BUILD_POOL_WORKERS = 4  # 2-4 in flight fills the tail (guide §2.6)
