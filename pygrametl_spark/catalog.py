@@ -57,6 +57,35 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+# Session-scoped catalog-relation memo — the metastore role. Every
+# `spark.read.parquet` call re-lists files and re-reads footers
+# (measured ~100 ms per table at sf0.1), and operator construction
+# resolves the same immutable catalog tables hundreds of times per
+# bench sweep / gate run. Spark caches the FileIndex per DataFrame but
+# not across reads (guide §6 — file listing is meant to be cached per
+# session); this memo provides that property one level up. It holds
+# PLAN handles only — no rows, no results; every action recomputes
+# from the parquet files. Keys include the path's mtime so a rewritten
+# table can never serve a stale file index (Catalog is only ever
+# pointed at the immutable test-data dirs, but the guard makes the
+# memo safe even if that changes); keyed by applicationId so a new
+# session never sees another session's plan handles.
+_RELATION_MEMO: dict = {}
+
+
+def _catalog_relation(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        key = (spark.sparkContext.applicationId, path, os.path.getmtime(path))
+    except Exception:  # noqa: BLE001 — unkeyable: read fresh
+        key = None
+    if key is not None and key in _RELATION_MEMO:
+        return _RELATION_MEMO[key]
+    df = read_parquet(spark, path)
+    if key is not None:
+        _RELATION_MEMO[key] = df
+    return df
+
+
 TPCH_TABLES = (
     "region",
     "nation",
@@ -89,7 +118,7 @@ class Catalog:
 
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
-            self._cache[name] = read_parquet(self.spark, self.path(name))
+            self._cache[name] = _catalog_relation(self.spark, self.path(name))
         return self._cache[name]
 
     def register_views(self, names=TPCH_TABLES) -> None:
