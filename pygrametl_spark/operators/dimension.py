@@ -191,6 +191,16 @@ class Dimension:
         b = apply_namemapping(rows, namemapping)
         if self.key in b.columns:
             keyed = b.select(*self.all)
+        elif self._df is not None and self.idfinder is None:
+            from pygrametl_spark.plans.keys import _worth_pinning, max_key_and_count
+
+            new = self._dedup_new(b)
+            if _worth_pinning(new):
+                new = new.localCheckpoint(eager=False)
+            offset, n = max_key_and_count(self.df, self.key, new)
+            keyed = assign_dense_keys(
+                new, self.lookupatts, self.key, offset, approx_count=n
+            ).select(*self.all)
         else:
             offset = max_key(self.df, self.key) if self._df is not None else 0
             keyed = self._assign_keys(self._dedup_new(b), offset).select(*self.all)
@@ -221,8 +231,22 @@ class Dimension:
         )
         if self.rowexpander is not None:
             new = self.rowexpander(new)
-        offset = max_key(self.df, self.key)
-        keyed = self._assign_keys(new, offset).select(*self.all)
+        if self.idfinder is None:
+            # one action for both scalars (offset + plan-choosing count)
+            # instead of two sequential jobs per ensure level (r9,
+            # guide §2.6); pin first so the count materializes the pin
+            # the numbering pass reuses
+            from pygrametl_spark.plans.keys import max_key_and_count
+
+            if _worth_pinning(new):
+                new = new.localCheckpoint(eager=False)
+            offset, n = max_key_and_count(self.df, self.key, new)
+            keyed = assign_dense_keys(
+                new, self.lookupatts, self.key, offset, approx_count=n
+            ).select(*self.all)
+        else:
+            offset = max_key(self.df, self.key)
+            keyed = self._assign_keys(new, offset).select(*self.all)
         self._set_state(self.df.unionByName(keyed))
         return self.lookup(b, broadcast=broadcast)
 

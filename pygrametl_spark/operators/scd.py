@@ -315,11 +315,16 @@ class SlowlyChangingDimension(Dimension):
         # scd2/snowflake entries spent 60-97% of their wall time in such
         # construction-phase replays; guide §1.2).
         kept = kept.localCheckpoint(eager=False)
-        # assign dense keys to the new version rows
+        # assign dense keys to the new version rows; offset + the
+        # plan-choosing count in ONE action (r9, guide §2.6 — the two
+        # scalars are independent single-row aggregates)
+        from pygrametl_spark.plans.keys import max_key_and_count
+
         new_rows = kept.filter(F.col("_src") == 1)
-        offset = max_key(self.df, self.key)
+        offset, n_new = max_key_and_count(self.df, self.key, new_rows)
         new_keyed = assign_dense_keys(
-            new_rows, [*self.lookupatts, "_newver"], "_assigned", offset
+            new_rows, [*self.lookupatts, "_newver"], "_assigned", offset,
+            approx_count=n_new,
         )
         old_rows = kept.filter(F.col("_src") == 0)
         merged = old_rows.withColumn("_assigned", F.col("_key")).unionByName(new_keyed)

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["assign_dense_keys", "max_key"]
+__all__ = ["assign_dense_keys", "max_key", "max_key_and_count"]
 
 # Above this many rows, route to the distributed two-phase plan.
 _WINDOW_THRESHOLD = 1_000_000
@@ -49,6 +49,35 @@ def max_key(df: DataFrame, key: str, default: int = 0) -> int:
     """Current max surrogate key (ref ``SELECT MAX(key)`` tables.py:237-239)."""
     row = df.agg(F.max(F.col(key)).alias("m")).first()
     return default if row is None or row["m"] is None else int(row["m"])
+
+
+def max_key_and_count(
+    dim_df: DataFrame, key: str, new_df: DataFrame, default: int = 0
+) -> tuple[int, int]:
+    """``(max_key(dim_df), new_df.count())`` in ONE Spark action.
+
+    Every ensure/scdensure level needs both scalars — the key offset
+    from the dimension and the plan-choosing row count of the new
+    members — and paying them as two sequential driver round-trips
+    serializes two small jobs per level (guide §2.6: independent work
+    should overlap). A union of the two single-row aggregates collects
+    both in one action; the independent subtrees' stages schedule
+    concurrently. Values are identical to the separate calls by
+    construction. Callers should pin ``new_df`` first when it is
+    derived (the count then materializes the pin the numbering pass
+    reuses, exactly as :func:`assign_dense_keys` would)."""
+    rows = (
+        dim_df.agg(F.max(F.col(key)).cast("long").alias("v"))
+        .select(F.lit("m").alias("k"), "v")
+        .unionByName(
+            new_df.agg(F.count(F.lit(1)).cast("long").alias("v"))
+            .select(F.lit("n").alias("k"), "v")
+        )
+        .collect()
+    )
+    d = {r["k"]: r["v"] for r in rows}
+    m = d.get("m")
+    return (default if m is None else int(m)), int(d.get("n") or 0)
 
 
 def assign_dense_keys(
