@@ -350,12 +350,25 @@ def ivf_write_index(
     routing pass runs once, and every probe afterwards reads only its
     ``nprobe`` cluster directories."""
     cent = centroids if centroids is not None else _centroids(df, id_col, vec_col, n_clusters)
+    # Materialize the n_clusters centroid rows ONCE (eager pin of a
+    # bounded relation) and feed BOTH consumers from it: the sidecar
+    # write and the routing pass's broadcast each held their own copy of
+    # the centroid subtree, so the corpus was scanned twice per index
+    # build — once for each TopK — and, with an externally trained
+    # quantizer (kmeans_refine), the whole training trajectory replayed
+    # twice (r9; guide §1.2 — don't compute the same subtree per
+    # consumer). NOT a driver collect + createDataFrame: the
+    # list-of-Rows route builds a Python-RDD-backed relation whose
+    # every action respawns Python workers (measured: 5-7 s to write 8
+    # such rows vs 0.3 s for this pin).
+    cent = cent.localCheckpoint()
     cent.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/centroids"
     )  # n_clusters rows: one file, not one per shuffle partition —
     # this sidecar is opened on EVERY probe
     ivf_assign(
-        df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, centroids=cent
+        df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters,
+        centroids=cent,
     ).write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/vectors")
 
 
