@@ -585,9 +585,16 @@ def neardup_clusters(
     edges = pairs.select(F.col("id_1").alias("_a"), F.col("id_2").alias("_b"))
     if algorithm == "auto":
         edges = edges.localCheckpoint(eager=False)
-        if edges.limit(driver_edge_threshold + 1).count() <= driver_edge_threshold:
+        # One action probes AND fetches: limit(N+1).collect() returning
+        # <= N rows proves it exhausted the input, so those rows ARE the
+        # complete edge set — the former separate count-probe plus full
+        # collect paid the result stage twice (r9, guide §1.2). Union-
+        # find is order-independent, so the collected order is
+        # irrelevant.
+        probe = edges.limit(driver_edge_threshold + 1).collect()
+        if len(probe) <= driver_edge_threshold:
             spark = df.sparkSession
-            lab = _cc_driver_labels([(r["_a"], r["_b"]) for r in edges.collect()])
+            lab = _cc_driver_labels([(r["_a"], r["_b"]) for r in probe])
             id_type = dict(df.dtypes)[id_col]
             labels = (
                 spark.createDataFrame(lab, schema=f"_id {id_type}, _label {id_type}")
