@@ -31,20 +31,45 @@ __all__ = [
 ]
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of the sequential double dot product (see :func:`dot_expr`).
+
+    Exposed as TEXT so composite expressions embed it in ONE ``F.expr``
+    parse: building the same tree from python ``F.aggregate``/``F.zip_with``
+    lambdas costs ~75 py4j round-trips (~100 ms of driver wall per call
+    on this host) vs ~3 for the parsed string (r9 measurement, guide §1.2
+    — the driver must not pay per-node for constant expression shapes).
+    """
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
 def dot_expr(a: str, b: str) -> Column:
     """Sequential double-precision dot product of two array<float> columns.
 
     Left-to-right ``aggregate`` accumulation => bit-identical to a SQL
     engine summing in index order (the oracle's list_sum/list_transform).
     """
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
+    return F.expr(_dot_sql(a, b))
 
 
 def norm_expr(a: str) -> Column:
-    return F.sqrt(dot_expr(a, a))
+    return F.expr(_norm_sql(a))
+
+
+def _qc_cos_expr() -> Column:
+    """``round(cos(_qv, _cent), 6)`` — the query-to-centroid ranking
+    expression shared by every IVF prober (one parse, not per-node py4j)."""
+    return F.expr(
+        f"round({_dot_sql('_qv', '_cent')} / "
+        f"nullif({_norm_sql('_qv')} * _cnorm, CAST(0.0 AS DOUBLE)), 6)"
+    )
 
 
 def pair_dot_arrow() -> Column:
@@ -143,15 +168,6 @@ def cosine_neardup_pairs(
     )
 
 
-def _dot_cols(a: Column, b: Column) -> Column:
-    """Column-object variant of :func:`dot_expr` (usable inside HOF lambdas)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0).cast("double"),
-        lambda acc, v: acc + v,
-    )
-
-
 def _centroids(df: DataFrame, id_col: str, vec_col: str, n_clusters: int) -> DataFrame:
     """(_cid, _cent, _cnorm): the first ``n_clusters`` vectors by id —
     deterministic seeding, which is what the oracle can replay;
@@ -164,7 +180,7 @@ def _centroids(df: DataFrame, id_col: str, vec_col: str, n_clusters: int) -> Dat
         .select(
             F.col(id_col).alias("_cid"),
             F.col(vec_col).alias("_cent"),
-            F.sqrt(_dot_cols(F.col(vec_col), F.col(vec_col))).alias("_cnorm"),
+            norm_expr(vec_col).alias("_cnorm"),
         )
     )
 
@@ -198,20 +214,16 @@ def ivf_assign(
     )
     base = df.select(
         id_col, vec_col,
-        F.sqrt(_dot_cols(F.col(vec_col), F.col(vec_col))).alias("_vnorm"),
+        norm_expr(vec_col).alias("_vnorm"),
     )
     scored = base.crossJoin(F.broadcast(cent_arr))
-    best = F.array_max(
-        F.transform(
-            "_cents",
-            lambda c: F.struct(
-                F.round(
-                    _dot_cols(F.col(vec_col), c["_cent"])
-                    / F.nullif(F.col("_vnorm") * c["_cnorm"], F.lit(0.0)), 6
-                ).alias("cos"),
-                (-c["_cid"]).alias("ncid"),
-            ),
-        )
+    # one parsed expression instead of ~200 py4j lambda-builder calls
+    # (same tree, same values — see _dot_sql)
+    best = F.expr(
+        "array_max(transform(_cents, c -> struct("
+        f"round({_dot_sql(vec_col, 'c._cent')} / "
+        "nullif(_vnorm * c._cnorm, CAST(0.0 AS DOUBLE)), 6) AS cos, "
+        "-c._cid AS ncid)))"
     )
     return scored.select(
         id_col, (-best["ncid"]).alias("cluster"), vec_col
@@ -264,7 +276,7 @@ def kmeans_refine(
             .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm"))
             .select(
                 F.col("cluster").alias("_cid"),
-                F.transform("_pm", lambda s: s["_m"]).alias("_new"),
+                F.expr("transform(_pm, s -> s._m)").alias("_new"),
             )
         )
         cent = (
@@ -273,7 +285,7 @@ def kmeans_refine(
                 cent["_cid"],
                 F.coalesce(new["_new"], cent["_cent"]).alias("_cent"),
             )
-            .withColumn("_cnorm", F.sqrt(_dot_cols(F.col("_cent"), F.col("_cent"))))
+            .withColumn("_cnorm", norm_expr("_cent"))
         )
     return cent
 
@@ -307,14 +319,7 @@ def ivf_topk(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     qc = q.crossJoin(F.broadcast(cent)).withColumn(
         "_cos",
-        F.round(
-            _dot_cols(F.col("_qv"), F.col("_cent"))
-            / F.nullif(
-                F.sqrt(_dot_cols(F.col("_qv"), F.col("_qv"))) * F.col("_cnorm"),
-                F.lit(0.0),
-            ),
-            6,
-        ),
+        _qc_cos_expr(),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
     probes = (
@@ -424,14 +429,7 @@ def ivf_topk_from_index(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     qc = q.crossJoin(F.broadcast(cent)).withColumn(
         "_cos",
-        F.round(
-            _dot_cols(F.col("_qv"), F.col("_cent"))
-            / F.nullif(
-                F.sqrt(_dot_cols(F.col("_qv"), F.col("_qv"))) * F.col("_cnorm"),
-                F.lit(0.0),
-            ),
-            6,
-        ),
+        _qc_cos_expr(),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
     probes = (
@@ -472,28 +470,35 @@ def lsh_bucket(
     # constant instead of n_planes*dim unrolled arithmetic nodes (which
     # blew codegen past the 1 MB task-binary mark and dominated driver
     # time). Projection sums run left-to-right, matching the oracle's
-    # list_sum order bit-for-bit.
-    bucket = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_planes - 1)),
-            lambda p: F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.element_at(_planes_lit(planes), p + F.lit(1)),
-                        lambda x, w: x.cast("double") * w,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                >= 0,
-                F.pow(F.lit(2.0), p.cast("double")).cast("int"),
-            ).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    # list_sum order bit-for-bit. The whole fold is ONE parsed expression
+    # (py4j lambda builders cost ~100 ms per HOF on this driver).
+    bucket = F.expr(
+        f"aggregate(transform(sequence(0, {n_planes - 1}), "
+        f"p -> CASE WHEN aggregate(zip_with({vec_col}, "
+        f"element_at({_planes_sql(planes)}, p + 1), "
+        "(x, w) -> CAST(x AS DOUBLE) * w), 0.0D, (acc, v) -> acc + v) >= 0 "
+        "THEN CAST(power(2.0D, CAST(p AS DOUBLE)) AS INT) ELSE 0 END), "
+        "0, (acc2, v2) -> acc2 + v2)"
     )
     return df.withColumn(out, bucket.cast("int"))
+
+
+def _banded_buckets_expr(
+    vec_sql: str, planes: "list[list[float]]", n_bands: int, planes_per_band: int
+) -> Column:
+    """Per-row ``array<int>`` of ``n_bands`` sign-bit bucket ids — band b
+    uses planes ``b*planes_per_band .. (b+1)*planes_per_band-1``. One
+    parsed expression: the python lambda builders for this nested fold
+    cost ~20 py4j round-trips per node (~0.5 s of driver wall per call
+    site at 8x6 bands, measured r9)."""
+    return F.expr(
+        f"transform(sequence(0, {n_bands - 1}), "
+        f"b -> aggregate(sequence(0, {planes_per_band - 1}), 0, "
+        f"(acc, p) -> acc + (CASE WHEN aggregate(zip_with({vec_sql}, "
+        f"element_at({_planes_sql(planes)}, b * {planes_per_band} + p + 1), "
+        "(x, w) -> CAST(x AS DOUBLE) * w), 0.0D, (a2, v2) -> a2 + v2) >= 0 "
+        "THEN CAST(power(2.0D, CAST(p AS DOUBLE)) AS INT) ELSE 0 END)))"
+    )
 
 
 def lsh_banded_neardup(
@@ -543,29 +548,7 @@ def lsh_banded_neardup(
         for p in range(n_bands * planes_per_band)
     ]
     # per-row array of n_bands bucket ids, computed in the scan stage
-    buckets = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.aggregate(
-            F.sequence(F.lit(0), F.lit(planes_per_band - 1)),
-            F.lit(0),
-            lambda acc, p: acc
-            + F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.element_at(
-                            _planes_lit(planes), b * planes_per_band + p + F.lit(1)
-                        ),
-                        lambda x, w: x.cast("double") * w,
-                    ),
-                    F.lit(0.0),
-                    lambda a2, v: a2 + v,
-                )
-                >= 0,
-                F.pow(F.lit(2.0), p.cast("double")).cast("int"),
-            ).otherwise(F.lit(0)),
-        ),
-    )
+    buckets = _banded_buckets_expr(vec_col, planes, n_bands, planes_per_band)
     # norms once per vector (8k aggregates), NOT once per candidate pair
     # (millions) — the per-pair work is then a single dot product; the
     # value is bit-identical to inlining, so the oracle is unaffected
@@ -703,49 +686,20 @@ def lsh_topk(
         for p in range(n_bands * planes_per_band)
     ]
 
-    def buckets(col):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(n_bands - 1)),
-            lambda b: F.aggregate(
-                F.sequence(F.lit(0), F.lit(planes_per_band - 1)),
-                F.lit(0),
-                lambda acc, p: acc
-                + F.when(
-                    F.aggregate(
-                        F.zip_with(
-                            col,
-                            F.element_at(
-                                _planes_lit(planes),
-                                b * planes_per_band + p + F.lit(1),
-                            ),
-                            lambda x, w: x.cast("double") * w,
-                        ),
-                        F.lit(0.0),
-                        lambda a2, v: a2 + v,
-                    )
-                    >= 0,
-                    F.pow(F.lit(2.0), p.cast("double")).cast("int"),
-                ).otherwise(F.lit(0)),
-            ),
-        )
-
+    buckets = _banded_buckets_expr(vec_col, planes, n_bands, planes_per_band)
     c = df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-        F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"),
+        F.posexplode(buckets).alias("band", "bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
-        F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"),
+        F.posexplode(buckets).alias("band", "bucket"),
     )
     if multiprobe:
-        variants = F.concat(
-            F.array(F.col("bucket")),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(planes_per_band - 1)),
-                lambda p: F.col("bucket").bitwiseXOR(
-                    F.pow(F.lit(2.0), p.cast("double")).cast("int")
-                ),
-            ),
+        variants = F.expr(
+            "concat(array(bucket), "
+            f"transform(sequence(0, {planes_per_band - 1}), "
+            "p -> bucket ^ CAST(power(2.0D, CAST(p AS DOUBLE)) AS INT)))"
         )
         q = q.select(
             "query_id", "_qv", "band", F.explode(variants).alias("bucket")
@@ -906,6 +860,15 @@ def _dlit(v: float) -> str:
     return s if ("e" in s or "E" in s) else s + "E0"
 
 
+def _planes_sql(planes: list[list[float]]) -> str:
+    """SQL text of the hyperplane matrix literal (see :func:`_planes_lit`)."""
+    return (
+        "array(" + ",".join(
+            "array(" + ",".join(_dlit(v) for v in row) + ")" for row in planes
+        ) + ")"
+    )
+
+
 def _planes_lit(planes: list[list[float]]) -> Column:
     """The hyperplane matrix as ONE nested array literal, built through
     the SQL parser instead of ``F.lit``: constructing a 48x64 nested
@@ -913,19 +876,34 @@ def _planes_lit(planes: list[list[float]]) -> Column:
     per-element calls (measured), i.e. more than executing the whole
     near-dup query — ``F.expr`` parses the same constant in ~8 ms.
     """
-    return F.expr(
+    return F.expr(_planes_sql(planes))
+
+
+def _mat_sql(rows: "list[list[float]]") -> str:
+    """SQL text of a 2-level float matrix literal."""
+    return (
         "array(" + ",".join(
-            "array(" + ",".join(_dlit(v) for v in row) + ")" for row in planes
+            "array(" + ",".join(_dlit(v) for v in row) + ")" for row in rows
         ) + ")"
     )
 
 
 def _mat_lit(rows: "list[list[float]]") -> Column:
     """A 2-level float matrix as one parsed array<array<double>> literal."""
-    return F.expr(
-        "array(" + ",".join(
-            "array(" + ",".join(_dlit(v) for v in row) + ")" for row in rows
-        ) + ")"
+    return F.expr(_mat_sql(rows))
+
+
+def _adc_sub_dot_sql(
+    qv: str, codes_col: str, books: "list[list[list[float]]]", i: int, d: int
+) -> str:
+    """SQL text of one subspace's ADC dot: dot(query subvector i,
+    codebook centroid picked by the candidate's i-th code)."""
+    return (
+        f"aggregate(zip_with(slice({qv}, {i * d + 1}, {d}), "
+        f"element_at(element_at({_pq3_sql(books)}, {i + 1}), "
+        f"CAST(element_at({codes_col}, {i + 1}) AS INT) + 1), "
+        "(x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
@@ -957,30 +935,27 @@ def sq8_codes(
     # maxabs is bound to a projected column first: referenced inside the
     # transform lambda it would re-run the O(d) fold once PER ELEMENT
     # (no loop-invariant hoisting in HOF lambdas) — O(d^2) per row.
-    maxabs = F.aggregate(
-        F.col(vec_col),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    # Both expressions are single parsed strings (py4j lambda builders
+    # cost ~100 ms per HOF on this driver; the parse is ~2 ms).
+    maxabs = F.expr(
+        f"aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
     )
     staged = df.withColumn("_maxabs", maxabs)
-    code = F.when(
-        F.col("_maxabs") == 0.0,
-        F.transform(F.col(vec_col), lambda x: F.lit(0).cast("bigint")),
-    ).otherwise(
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * 127.0 / F.col("_maxabs") + F.lit(0.5)),
-        )
+    code = F.expr(
+        f"CASE WHEN _maxabs = 0.0D THEN transform({vec_col}, x -> CAST(0 AS BIGINT)) "
+        f"ELSE transform({vec_col}, "
+        "x -> floor(CAST(x AS DOUBLE) * 127.0D / _maxabs + 0.5D)) END"
     )
     return staged.withColumn(out, code).drop("_maxabs")
 
 
-def _int_dot(a: Column, b: Column) -> Column:
-    """Integer dot product of two array<bigint> code columns (exact)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
+def _int_dot_sql(a: str, b: str) -> str:
+    """SQL text of the exact integer dot product of two array<bigint>
+    code columns."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
 
 
@@ -1004,18 +979,29 @@ def sq8_topk(
 
     Returns (query_id, rank, neighbor_id, qcosine).
     """
+    # each side's norm is computed ONCE per vector before the join —
+    # not once per (corpus x query) pair (guide §1.2: the per-pair work
+    # is then a single integer fold + one divide). sqrt of the same
+    # exact integer dot gives the same double, so values are unchanged.
     c = sq8_codes(df.select(F.col(id_col).alias("neighbor_id"),
                             F.col(vec_col).alias("_v")), vec_col="_v", out="_cc")
+    c = c.drop("_v").withColumn(
+        "_cn", F.expr(f"sqrt(CAST({_int_dot_sql('_cc', '_cc')} AS DOUBLE))")
+    )
     q = sq8_codes(queries.select(F.col(id_col).alias("query_id"),
                                  F.col(vec_col).alias("_v")), vec_col="_v", out="_qc")
-    pairs = c.drop("_v").crossJoin(F.broadcast(q.drop("_v"))).filter(
+    q = q.drop("_v").withColumn(
+        "_qn", F.expr(f"sqrt(CAST({_int_dot_sql('_qc', '_qc')} AS DOUBLE))")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    qdot = _int_dot(F.col("_qc"), F.col("_cc"))
-    qn = F.sqrt(_int_dot(F.col("_qc"), F.col("_qc")).cast("double"))
-    cn = F.sqrt(_int_dot(F.col("_cc"), F.col("_cc")).cast("double"))
     pairs = pairs.withColumn(
-        "qcosine", F.round(qdot.cast("double") / F.nullif(qn * cn, F.lit(0.0)), 6)
+        "qcosine",
+        F.expr(
+            f"round(CAST({_int_dot_sql('_qc', '_cc')} AS DOUBLE) / "
+            "nullif(_qn * _cn, CAST(0.0 AS DOUBLE)), 6)"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("qcosine").desc_nulls_last(), F.col("neighbor_id").asc()
@@ -1039,11 +1025,9 @@ def sq8_topk(
 # ---------------------------------------------------------------------------
 
 
-def _pq3_lit(books: "list[list[list[float]]]") -> Column:
-    """Codebooks as ONE 3-level nested array literal through the SQL
-    parser (same rationale as :func:`_planes_lit`: F.lit would pay py4j
-    per element; the whole m x k x d constant parses in milliseconds)."""
-    return F.expr(
+def _pq3_sql(books: "list[list[list[float]]]") -> str:
+    """SQL text of the 3-level codebook literal (see :func:`_pq3_lit`)."""
+    return (
         "array(" + ",".join(
             "array(" + ",".join(
                 "array(" + ",".join(_dlit(v) for v in cent) + ")" for cent in sub
@@ -1052,38 +1036,38 @@ def _pq3_lit(books: "list[list[list[float]]]") -> Column:
     )
 
 
-def _pq_assign_codes(vec_col: str, books_col: Column, m: int, d: int) -> Column:
+def _pq3_lit(books: "list[list[list[float]]]") -> Column:
+    """Codebooks as ONE 3-level nested array literal through the SQL
+    parser (same rationale as :func:`_planes_lit`: F.lit would pay py4j
+    per element; the whole m x k x d constant parses in milliseconds)."""
+    return F.expr(_pq3_sql(books))
+
+
+def _pq_assign_codes(
+    vec_col: str, books: "list[list[list[float]]]", m: int, d: int
+) -> Column:
     """array<bigint> of length m: per subspace, the index of the nearest
     centroid by squared L2 (tie -> lowest code), computed fully in-row —
-    one argmin over k per subspace inside the scan stage, zero shuffle."""
-    def sub_code(i):
-        sv = F.slice(F.col(vec_col), i * d + 1, d)
-        cents = F.element_at(books_col, i + 1)
-        best = F.array_max(
-            F.transform(
-                F.sequence(F.lit(0), F.size(cents) - 1),
-                lambda j: F.struct(
-                    # distance rounded to 6 BEFORE the argmin so the
-                    # ordering (and the code-asc tiebreak) is identical
-                    # across engines — same rule as the k-means oracle
-                    (-F.round(
-                        F.aggregate(
-                            F.zip_with(
-                                sv, F.element_at(cents, j + 1),
-                                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                            ),
-                            F.lit(0.0).cast("double"),
-                            lambda acc, v: acc + v,
-                        ),
-                        6,
-                    )).alias("nd"),
-                    (-j).alias("nc"),
-                ),
-            )
+    one argmin over k per subspace inside the scan stage, zero shuffle.
+    Emitted as ONE parsed expression: the python lambda builders for the
+    m nested argmin folds cost seconds of py4j driver wall per call
+    (measured r9); the parse is milliseconds. The distance is rounded to
+    6 BEFORE the argmin so the ordering (and the code-asc tiebreak) is
+    identical across engines — same rule as the k-means oracle."""
+    def sub_sql(i: int) -> str:
+        cents = f"element_at({_pq3_sql(books)}, {i + 1})"
+        dist = (
+            f"round(aggregate(zip_with(slice({vec_col}, {i * d + 1}, {d}), "
+            f"element_at({cents}, j + 1), "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6)"
         )
-        return (-best["nc"]).cast("bigint")
+        return (
+            f"CAST(-(array_max(transform(sequence(0, size({cents}) - 1), "
+            f"j -> struct(-{dist} AS nd, -j AS nc))).nc) AS BIGINT)"
+        )
 
-    return F.array(*[sub_code(i) for i in range(m)])
+    return F.expr("array(" + ",".join(sub_sql(i) for i in range(m)) + ")")
 
 
 def pq_train(
@@ -1119,7 +1103,7 @@ def pq_train(
     seed_rows = (
         df.orderBy(F.col(id_col).asc())
         .limit(k)
-        .select(F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), 6)).alias("_v"))
+        .select(F.expr(f"transform({vec_col}, x -> round(CAST(x AS DOUBLE), 6))").alias("_v"))
         .collect()
     )
     if len(seed_rows) < k:
@@ -1129,19 +1113,16 @@ def pq_train(
         for i in range(m)
     ]
     for _ in range(iters):
-        lit = _pq3_lit(books)
         coded = df.select(
-            _pq_assign_codes(vec_col, lit, m, d).alias("_codes"), F.col(vec_col)
+            _pq_assign_codes(vec_col, books, m, d).alias("_codes"), F.col(vec_col)
         )
         sums = (
             coded.select(
                 F.posexplode(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(m - 1)),
-                        lambda i: F.struct(
-                            F.element_at("_codes", i + 1).alias("code"),
-                            F.slice(F.col(vec_col), i * d + 1, d).alias("sv"),
-                        ),
+                    F.expr(
+                        f"transform(sequence(0, {m - 1}), "
+                        "i -> struct(element_at(_codes, i + 1) AS code, "
+                        f"slice({vec_col}, i * {d} + 1, {d}) AS sv))"
                     )
                 ).alias("_sub", "_e")
             )
@@ -1172,7 +1153,7 @@ def pq_codes(
     m = len(books)
     d = len(books[0][0])
     return df.select(
-        id_col, _pq_assign_codes(vec_col, _pq3_lit(books), m, d).alias(out)
+        id_col, _pq_assign_codes(vec_col, books, m, d).alias(out)
     )
 
 
@@ -1202,38 +1183,32 @@ def pq_topk(
     csq = [
         [round(sum(v * v for v in cent), 6) for cent in sub] for sub in books
     ]
-    lit = _pq3_lit(books)
-    csq_lit = _mat_lit(csq)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        F.sqrt(_dot_cols(F.col(vec_col), F.col(vec_col))).alias("_qn"),
+        norm_expr(vec_col).alias("_qn"),
     )
     pairs = codes.select(
         F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("_codes")
     ).crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
 
-    def sub_dot(i):
-        sv = F.slice(F.col("_qv"), i * d + 1, d)
-        cent = F.element_at(
-            F.element_at(lit, i + 1), F.element_at("_codes", i + 1).cast("int") + 1
-        )
-        return F.aggregate(
-            F.zip_with(sv, cent, lambda x, y: x.cast("double") * y),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
-
-    def sub_csq(i):
-        return F.element_at(
-            F.element_at(csq_lit, i + 1), F.element_at("_codes", i + 1).cast("int") + 1
-        )
-
-    adc_dot = sum([sub_dot(i) for i in range(m)], F.lit(0.0).cast("double"))
-    rec_n = F.sqrt(sum([sub_csq(i) for i in range(m)], F.lit(0.0).cast("double")))
+    # ADC dot + reconstruction norm as ONE parsed expression each (the
+    # python per-subspace fold builders cost ~100 ms of py4j per HOF)
+    adc_dot = " + ".join(
+        _adc_sub_dot_sql("_qv", "_codes", books, i, d) for i in range(m)
+    )
+    rec_sq = " + ".join(
+        f"element_at(element_at({_mat_sql(csq)}, {i + 1}), "
+        f"CAST(element_at(_codes, {i + 1}) AS INT) + 1)"
+        for i in range(m)
+    )
     pairs = pairs.withColumn(
         "adc_score",
-        F.round(adc_dot / F.nullif(F.col("_qn") * rec_n, F.lit(0.0)), 6),
+        F.expr(
+            f"round((CAST(0.0 AS DOUBLE) + {adc_dot}) / "
+            f"nullif(_qn * sqrt(CAST(0.0 AS DOUBLE) + {rec_sq}), "
+            "CAST(0.0 AS DOUBLE)), 6)"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc_nulls_last(), F.col("neighbor_id").asc()
@@ -1466,7 +1441,7 @@ def ivfpq_write_index(
     d = len(books[0][0])
     coded = assigned.select(
         id_col, "cluster",
-        _pq_assign_codes(enc_col, _pq3_lit(books), len(books), d).alias("codes"),
+        _pq_assign_codes(enc_col, books, len(books), d).alias("codes"),
     )
     coded.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/codes")
     if store_raw:
@@ -1488,9 +1463,9 @@ def _residualize(assigned: DataFrame, cent: DataFrame, vec_col: str) -> DataFram
         assigned.join(F.broadcast(c), "cluster")
         .withColumn(
             "_res",
-            F.zip_with(
-                F.col(vec_col), F.col("_rc"),
-                lambda x, y: F.round(x.cast("double") - y.cast("double"), 6),
+            F.expr(
+                f"zip_with({vec_col}, _rc, "
+                "(x, y) -> round(CAST(x AS DOUBLE) - CAST(y AS DOUBLE), 6))"
             ),
         )
         .drop("_rc")
@@ -1736,14 +1711,7 @@ def _ivfpq_topk_build(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     qc = q.crossJoin(F.broadcast(cent)).withColumn(
         "_cos",
-        F.round(
-            _dot_cols(F.col("_qv"), F.col("_cent"))
-            / F.nullif(
-                F.sqrt(_dot_cols(F.col("_qv"), F.col("_qv"))) * F.col("_cnorm"),
-                F.lit(0.0),
-            ),
-            6,
-        ),
+        _qc_cos_expr(),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
     probe_cols = ["query_id", "_qv", F.col("_cid").alias("cluster")]
@@ -1751,7 +1719,7 @@ def _ivfpq_topk_build(
         # residual reconstruction needs dot(q, c) and |c|² per probed
         # pair — both free here where the centroid is already in-row
         probe_cols += [
-            _dot_cols(F.col("_qv"), F.col("_cent")).alias("_qdotc"),
+            dot_expr("_qv", "_cent").alias("_qdotc"),
             (F.col("_cnorm") * F.col("_cnorm")).alias("_cnsq"),
         ]
     probes = (
@@ -1785,27 +1753,24 @@ def _ivfpq_topk_build(
         cand = cand.unionByName(_cand(stream.drop("_bid")))
     m = len(books)
     d = len(books[0][0])
-    lit = _pq3_lit(books)
     csq = [[round(sum(v * v for v in c), 6) for c in sub] for sub in books]
-    csq_lit = _mat_lit(csq)
-
-    def sub_dot(i):
-        sv = F.slice(F.col("_qv"), i * d + 1, d)
-        c = F.element_at(F.element_at(lit, i + 1), F.element_at("codes", i + 1).cast("int") + 1)
-        return F.aggregate(
-            F.zip_with(sv, c, lambda x, y: x.cast("double") * y),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
+    # per-subspace ADC dots / reconstruction terms as ONE parsed
+    # expression each (python fold builders pay ~100 ms of py4j per HOF);
+    # the leading CAST(0.0 AS DOUBLE) keeps the left-to-right accumulation
+    # order of the former python sum(..., init) fold
+    adc_dot = F.expr(
+        "CAST(0.0 AS DOUBLE) + "
+        + " + ".join(_adc_sub_dot_sql("_qv", "codes", books, i, d) for i in range(m))
+    )
+    csq_sum = F.expr(
+        "CAST(0.0 AS DOUBLE) + "
+        + " + ".join(
+            f"element_at(element_at({_mat_sql(csq)}, {i + 1}), "
+            f"CAST(element_at(codes, {i + 1}) AS INT) + 1)"
+            for i in range(m)
         )
-
-    def sub_csq(i):
-        return F.element_at(
-            F.element_at(csq_lit, i + 1), F.element_at("codes", i + 1).cast("int") + 1
-        )
-
-    adc_dot = sum([sub_dot(i) for i in range(m)], F.lit(0.0).cast("double"))
-    csq_sum = sum([sub_csq(i) for i in range(m)], F.lit(0.0).cast("double"))
-    qn = F.sqrt(_dot_cols(F.col("_qv"), F.col("_qv")))
+    )
+    qn = norm_expr("_qv")
     if residual:
         # x ≈ c + decode(code):  dot(q,x) = dot(q,c) + dot(q,decode)
         # and |x|² = |c|² + 2·dot(c,decode) + |decode|². The cross term
@@ -1944,7 +1909,7 @@ def ivfpq_append_index(
         enc_col = "_res"
     coded = assigned.select(
         id_col, "cluster",
-        _pq_assign_codes(enc_col, _pq3_lit(books), len(books), d).alias("codes"),
+        _pq_assign_codes(enc_col, books, len(books), d).alias("codes"),
     )
     coded.write.mode("append").partitionBy("cluster").parquet(layout["codes"])
     if layout["raw"] is not None:

@@ -969,7 +969,7 @@ def ivfpq_upsert_fn(
     import uuid
 
     from pygrametl_spark.functions.similarity import (
-        _load_books_meta, _pq3_lit, _pq_assign_codes, _residualize,
+        _load_books_meta, _pq_assign_codes, _residualize,
         ivf_assign,
     )
 
@@ -1184,7 +1184,7 @@ def ivfpq_upsert_fn(
             enc_col = "_res"
         coded = assigned.select(
             "vec_id", "cluster",
-            _pq_assign_codes(enc_col, _pq3_lit(books), len(books), d).alias(
+            _pq_assign_codes(enc_col, books, len(books), d).alias(
                 "codes"
             ),
             F.lit(eff_bid).alias("_bid"),
