@@ -64,6 +64,13 @@ def hash32_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 
 
+def hash32_spark_sql(expr: str) -> str:
+    """Spark-SQL text of :func:`hash32` — for embedding in single-parse
+    ``F.expr`` strings (the python builder costs ~15 py4j round-trips
+    per call site; hot build paths use this text form instead)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+
+
 def exact_dedup(df: DataFrame, id_col: str, on) -> DataFrame:
     """Exact dedup: keep the minimum id per duplicate group (hash-groupBy;
     one shuffle on the dedup key)."""

@@ -11,7 +11,7 @@ oracle can recompute them exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -47,6 +47,11 @@ def tokens(text: str | Column = "text") -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def _tokens_sql(col: str) -> str:
+    """SQL text of :func:`tokens` over a column name."""
+    return f"split(trim({col}), '\\\\s+')"
+
+
 def lit_long_array(values) -> Column:
     """BIGINT array literal built as ONE SQL expression.
 
@@ -57,10 +62,15 @@ def lit_long_array(values) -> Column:
     SQL parser handles the same array literal in one call, in
     milliseconds, and the resulting plan is identical after constant
     folding."""
+    return F.expr(_long_array_sql(values))
+
+
+def _long_array_sql(values) -> str:
+    """SQL text of the BIGINT array literal (see :func:`lit_long_array`)."""
     vals = list(values)
     if not vals:
-        return F.expr("CAST(array() AS ARRAY<BIGINT>)")
-    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+        return "CAST(array() AS ARRAY<BIGINT>)"
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
 
 
 # GPT-2-style pre-tokenizer pattern: contractions, space-prefixed letter
@@ -96,8 +106,26 @@ def shingles(text: str | Column = "text", n: int = 3) -> Column:
     return shingles_of_tokens(tokens(text), n)
 
 
-def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
-    """Shingles over an already-computed token array column."""
+def _shingles_sql(toks_sql: str, n: int) -> str:
+    """SQL text of :func:`shingles_of_tokens` over a token-array SQL
+    expression. Single-parse discipline: the python lambda builders for
+    this transform cost ~60 py4j round-trips (~100 ms of driver wall
+    per call site on this host, paid on EVERY query build); the parsed
+    string costs ~3 (guide §1.2 applied to the driver boundary)."""
+    cnt = f"size({toks_sql}) - {n - 1}"
+    return (
+        f"transform(CASE WHEN {cnt} >= 1 THEN sequence(1, {cnt}) "
+        "ELSE CAST(array() AS ARRAY<INT>) END, "
+        f"i -> concat_ws(' ', slice({toks_sql}, i, {n})))"
+    )
+
+
+def shingles_of_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Shingles over an already-computed token array column. Pass the
+    COLUMN NAME (not a Column) on hot build paths — the string form
+    parses as one SQL expression instead of per-node py4j calls."""
+    if isinstance(toks, str):
+        return F.expr(_shingles_sql(toks, n))
     cnt = F.size(toks) - (n - 1)
     idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
         F.array().cast("array<int>")
@@ -111,7 +139,7 @@ def with_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int, out: st
     split once per row instead of once per lambda element."""
     return (
         df.withColumn("_toks", tokens(text_col))
-        .select(id_col, F.explode(shingles_of_tokens(F.col("_toks"), n)).alias(out))
+        .select(id_col, F.explode(shingles_of_tokens("_toks", n)).alias(out))
     )
 
 
@@ -125,7 +153,7 @@ def with_distinct_shingles(df: DataFrame, id_col: str, text_col: str, n: int) ->
     """
     return (
         df.withColumn("_toks", tokens(text_col))
-        .select(id_col, F.array_distinct(shingles_of_tokens(F.col("_toks"), n)).alias("_sharr"))
+        .select(id_col, F.array_distinct(shingles_of_tokens("_toks", n)).alias("_sharr"))
     )
 
 
@@ -151,8 +179,10 @@ def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
     """
     toks = tokens(text)
     n = F.size(toks)
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_sql = "array(" + ",".join(f"'{s}'" for s in STOPWORDS) + ")"
+    n_stop = F.expr(
+        f"size(filter({_tokens_sql(text)}, t -> array_contains({stop_sql}, t)))"
+    )
     stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
     avg_len = F.when(
         n > 0, F.length(F.regexp_replace(F.col(text), r"\s", "")) / n
@@ -172,11 +202,12 @@ def lang_id(df: DataFrame, text: str = "text", out: str = "lang_pred") -> DataFr
     """N-gram/marker-word language heuristic: CJK chars -> zh, else the
     language whose marker words occur most (ties broken en>de>es>fr),
     else 'und'. A heuristic by design — the oracle replays the same rule."""
-    toks = tokens(text)
     scores = {}
     for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
-        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        arr_sql = "array(" + ",".join(f"'{m}'" for m in markers) + ")"
+        scores[lang] = F.expr(
+            f"size(filter({_tokens_sql(text)}, t -> array_contains({arr_sql}, t)))"
+        )
     best = F.greatest(*scores.values())
     pred = F.when(F.col(text).rlike(r"[一-鿿]"), F.lit("zh"))
     for lang in ("en", "de", "es", "fr"):  # priority order on ties
@@ -215,17 +246,21 @@ def winnow_fingerprints(
     rows that leave are the (id, fingerprint) pairs after the explode.
     Documents shorter than k tokens produce no fingerprints.
     """
-    from pygrametl_spark.functions.dedup import hash32
+    from pygrametl_spark.functions.dedup import hash32_spark_sql
 
-    toks = tokens(F.col(text_col))
-    grams = shingles_of_tokens(toks, k)
     # The hash array MUST be bound to a projected column before the
     # window transform: expressions referenced inside a HOF lambda are
     # re-evaluated per element (no loop-invariant hoisting), so an
     # inlined hash array would recompute every gram's md5 once per
     # window — measured 12.9 s vs 0.8 s at sf0.1. A multi-referenced
     # non-cheap column stops CollapseProject from inlining it.
-    base = df.select(id_col, F.transform(grams, lambda g: hash32(g)).alias("_harr"))
+    base = df.select(
+        id_col,
+        F.expr(
+            f"transform({_shingles_sql(_tokens_sql(text_col), k)}, "
+            f"g -> {hash32_spark_sql('g')})"
+        ).alias("_harr"),
+    )
     harr = F.col("_harr")
     n = F.size(harr)
     mins = F.when(
@@ -234,9 +269,9 @@ def winnow_fingerprints(
             F.array().cast("array<bigint>")
         ),
     ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - w),
-            lambda i: F.array_min(F.slice(harr, i + 1, w)),
+        F.expr(
+            f"transform(sequence(0, size(_harr) - {w}), "
+            f"i -> array_min(slice(_harr, i + 1, {w})))"
         )
     )
     return base.select(
@@ -273,18 +308,12 @@ def chunk_by_tokens(
     # lambda, the regex split would re-run once per chunk — quadratic in
     # document length for long documents (see winnow_fingerprints).
     base = df.select(id_col, tokens(text).alias("_toks"))
-    toks = F.col("_toks")
-    n = F.size(toks)
-    last = F.when(n <= size, F.lit(0)).otherwise(
-        F.ceil((n - F.lit(size)) / F.lit(stride))
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(0), last),
-        lambda i: F.struct(
-            i.cast("long").alias("chunk_id"),
-            F.least(F.lit(size), n - i * stride).cast("long").alias("n_chunk_tokens"),
-            F.md5(F.array_join(F.slice(toks, i * stride + 1, size), " ")).alias("chunk_fp"),
-        ),
+    chunks = F.expr(
+        f"transform(sequence(0, CASE WHEN size(_toks) <= {size} THEN 0 "
+        f"ELSE CEIL((size(_toks) - {size}) / {stride}) END), "
+        f"i -> struct(CAST(i AS BIGINT) AS chunk_id, "
+        f"CAST(least({size}, size(_toks) - i * {stride}) AS BIGINT) AS n_chunk_tokens, "
+        f"md5(array_join(slice(_toks, i * {stride} + 1, {size}), ' ')) AS chunk_fp))"
     )
     return (
         base.select(id_col, F.explode(chunks).alias("_c"))
@@ -301,7 +330,7 @@ def chunk_by_tokens(
 REPETITION_THRESHOLDS = {"top2": 0.20, "top3": 0.18, "top4": 0.16, "dup5": 0.15}
 
 
-def _run_scan(sorted_arr: Column) -> Column:
+def _run_scan(sorted_arr_sql: str) -> Column:
     """One in-row fold over a SORTED string array returning
     ``struct(cnt, best, dup)``: the highest run length (= mode count),
     the mode itself (ties -> lexicographically smallest, which sorted
@@ -312,36 +341,38 @@ def _run_scan(sorted_arr: Column) -> Column:
     ``groupBy(doc, ngram)``: per-document work is one ``array_sort`` +
     one linear ``aggregate`` pass inside the scan stage, so a 100 TB
     corpus computes repetition features without moving a single row.
+
+    Takes the array's SQL text and emits ONE parsed expression — the
+    former python struct-fold builders cost ~250 py4j round-trips per
+    call (~1 s of driver wall across repetition_stats' four scans,
+    measured r9). The repeated sub-expressions below mirror the repeated
+    Column references of the python version exactly.
     """
-    init = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("cnt"),
-        F.lit(None).cast("string").alias("best"),
-        F.lit(0).cast("long").alias("dup"),
+    return F.expr(_run_scan_sql(sorted_arr_sql))
+
+
+def _run_scan_sql(sorted_arr_sql: str) -> str:
+    """SQL text of :func:`_run_scan` (for embedding in larger exprs)."""
+    run = "CASE WHEN acc.prev <=> x THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END"
+    dup = (
+        "CASE WHEN (NOT (acc.prev <=> x)) AND (acc.run > 1) "
+        "THEN acc.dup + acc.run ELSE acc.dup END"
     )
-
-    def step(acc, x):
-        same = acc["prev"].eqNullSafe(x)
-        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
-        dup = F.when(~same & (acc["run"] > 1), acc["dup"] + acc["run"]).otherwise(acc["dup"])
-        better = run > acc["cnt"]
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.when(better, run).otherwise(acc["cnt"]).alias("cnt"),
-            F.when(better, x).otherwise(acc["best"]).alias("best"),
-            dup.alias("dup"),
-        )
-
-    def fin(acc):
-        return F.struct(
-            acc["cnt"].alias("cnt"),
-            acc["best"].alias("best"),
-            F.when(acc["run"] > 1, acc["dup"] + acc["run"]).otherwise(acc["dup"]).alias("dup"),
-        )
-
-    return F.aggregate(sorted_arr, init, step, fin)
+    better = f"({run}) > acc.cnt"
+    return (
+        f"aggregate({sorted_arr_sql}, "
+        "struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run, "
+        "CAST(0 AS BIGINT) AS cnt, CAST(NULL AS STRING) AS best, "
+        "CAST(0 AS BIGINT) AS dup), "
+        "(acc, x) -> struct("
+        "x AS prev, "
+        f"{run} AS run, "
+        f"CASE WHEN {better} THEN {run} ELSE acc.cnt END AS cnt, "
+        f"CASE WHEN {better} THEN x ELSE acc.best END AS best, "
+        f"{dup} AS dup), "
+        "acc -> struct(acc.cnt AS cnt, acc.best AS best, "
+        "CASE WHEN acc.run > 1 THEN acc.dup + acc.run ELSE acc.dup END AS dup))"
+    )
 
 
 def repetition_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -367,24 +398,23 @@ def repetition_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") 
     cols = [F.col(id_col)]
     flags = []
     for n in (2, 3, 4):
-        scan = _run_scan(F.array_sort(shingles_of_tokens(F.col("_toks"), n)))
+        sh = _shingles_sql("_toks", n)
+        scan = f"({_run_scan_sql(f'array_sort({sh})')})"
         # a mode occurring once is not repetition (otherwise every short
         # document gets ngram_len/doc_len as a phantom fraction)
-        frac = F.when(
-            (F.col("_alpha") > 0) & (scan["cnt"] > 1),
-            F.round(
-                scan["cnt"] * F.length(F.replace(scan["best"], F.lit(" "), F.lit("")))
-                / F.col("_alpha"),
-                6,
-            ),
-        ).otherwise(F.lit(0.0))
+        frac = F.expr(
+            f"CASE WHEN (_alpha > 0) AND ({scan}.cnt > 1) THEN "
+            f"round({scan}.cnt * length(replace({scan}.best, ' ', '')) "
+            "/ _alpha, 6) ELSE 0.0D END"
+        )
         cols.append(frac.alias(f"top{n}_frac"))
         flags.append(F.col(f"top{n}_frac") > REPETITION_THRESHOLDS[f"top{n}"])
-    five = shingles_of_tokens(F.col("_toks"), 5)
-    dup5 = F.when(
-        F.size(five) > 0,
-        F.round(_run_scan(F.array_sort(five))["dup"] / F.size(five), 6),
-    ).otherwise(F.lit(0.0))
+    five = _shingles_sql("_toks", 5)
+    scan5 = f"({_run_scan_sql(f'array_sort({five})')})"
+    dup5 = F.expr(
+        f"CASE WHEN size({five}) > 0 THEN "
+        f"round({scan5}.dup / size({five}), 6) ELSE 0.0D END"
+    )
     cols.append(dup5.alias("dup5_frac"))
     flags.append(F.col("dup5_frac") > REPETITION_THRESHOLDS["dup5"])
     out = base.select(*cols)
@@ -549,9 +579,8 @@ def remove_boilerplate_lines(
     kept = lines.join(boiler, F.trim(F.col("_line")) == F.col("_bt"), "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
-                lambda s: s["_line"],
+            F.expr(
+                'transform(array_sort(collect_list(struct(_pos, _line))), s -> s._line)'
             ),
             "\n",
         ).alias("_clean"),
@@ -590,21 +619,14 @@ def char_entropy(
     O(alphabet * len) scan beats a corpus-wide exchange by orders of
     magnitude at 100 TB. Empty text gets entropy 0.
     """
-    chars = F.expr(
-        f"transform(sequence(1, length({text})), i -> substring({text}, i, 1))"
+    frac = (
+        f"(CAST(length({text}) - length(replace({text}, c)) AS DOUBLE) "
+        f"/ CAST(length({text}) AS DOUBLE))"
     )
-    distinct_sorted = F.array_sort(F.array_distinct(chars))
-    n = F.length(text).cast("double")
-    ent = F.aggregate(
-        distinct_sorted,
-        F.lit(0.0).cast("double"),
-        lambda acc, c: acc
-        - (
-            (F.length(text) - F.length(F.replace(F.col(text), c))).cast("double") / n
-        )
-        * F.log2(
-            (F.length(text) - F.length(F.replace(F.col(text), c))).cast("double") / n
-        ),
+    ent = F.expr(
+        f"aggregate(array_sort(array_distinct(transform(sequence(1, length({text})), "
+        f"i -> substring({text}, i, 1)))), CAST(0.0 AS DOUBLE), "
+        f"(acc, c) -> acc - {frac} * log2({frac}))"
     )
     # + 0.0 collapses IEEE -0.0 (a one-char doc yields -1*log2(1) = -0.0)
     # to 0.0 so value hashes agree across engines.
@@ -621,16 +643,12 @@ def _bigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     before the explode, so the only shuffle-bound relation is the
     bigram rows themselves."""
     staged = df.select(id_col, tokens(text_col).alias("_toks"))
-    pairs = F.when(
-        F.size("_toks") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_toks") - 1),
-            lambda i: F.struct(
-                F.element_at("_toks", i).alias("w1"),
-                F.element_at("_toks", i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = F.expr(
+        "CASE WHEN size(_toks) >= 2 THEN "
+        "transform(sequence(1, size(_toks) - 1), "
+        "i -> struct(element_at(_toks, i) AS w1, element_at(_toks, i + 1) AS w2)) "
+        "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
+    )
     return staged.select(id_col, F.explode(pairs).alias("_bg")).select(
         id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
     )
@@ -758,26 +776,28 @@ def hashed_classifier_score(
 
     Returns ``(id_col, n_feats, score_units, label)``.
     """
-    from pygrametl_spark.functions.dedup import hash32
+    from pygrametl_spark.functions.dedup import hash32_spark_sql
 
     if weights is not None and len(weights) != dim:
         raise ValueError(f"weights must have len == dim ({dim}), got {len(weights)}")
 
     base = df.withColumn("_toks", tokens(text_col))
     feats = F.concat(
-        F.col("_toks"), shingles_of_tokens(F.col("_toks"), 2)
+        F.col("_toks"), shingles_of_tokens("_toks", 2)
     ).alias("_feats")
     base = base.select(F.col(id_col), feats)
 
-    def w_of(f):
-        bucket = F.pmod(hash32(f), F.lit(dim))
-        if weights is not None:
-            return F.element_at(lit_long_array(weights), (bucket + 1).cast("int"))
-        h = hash32(F.concat(F.lit(seed + "#"), bucket.cast("string")))
-        return F.pmod(h, F.lit(2001)) - 1000
-
-    score = F.aggregate(
-        "_feats", F.lit(0).cast("long"), lambda acc, f: acc + w_of(f)
+    bucket = f"pmod({hash32_spark_sql('f')}, {dim})"
+    if weights is not None:
+        w_of = (
+            f"element_at({_long_array_sql(weights)}, "
+            f"CAST({bucket} + 1 AS INT))"
+        )
+    else:
+        h_in = f"concat('{seed}#', CAST({bucket} AS STRING))"
+        w_of = f"pmod({hash32_spark_sql(h_in)}, 2001) - 1000"
+    score = F.expr(
+        f"aggregate(_feats, CAST(0 AS BIGINT), (acc, f) -> acc + ({w_of}))"
     )
     # bind the aggregate once: referencing `score` in two output columns
     # would evaluate the whole feature fold twice per row
@@ -814,7 +834,7 @@ def build_bloom_bitmap(
 
     ev = eval_df.withColumn("_toks", tokens(text_col)).select(
         F.explode(
-            F.array_distinct(shingles_of_tokens(F.col("_toks"), n))
+            F.array_distinct(shingles_of_tokens("_toks", n))
         ).alias("_s")
     )
     pos_cols = [
@@ -892,7 +912,7 @@ def bloom_decontaminate(
     elif len(bitmap) != m // 64:
         raise ValueError(f"bitmap must have m/64 = {m // 64} words")
     words = bitmap
-    bits = lit_long_array(words)
+    from pygrametl_spark.functions.dedup import hash32_spark_sql
 
     # the bitmap literal is referenced INSIDE the lambda, never bound as
     # a projected column: a column binding would materialize m/8 bytes
@@ -900,23 +920,16 @@ def bloom_decontaminate(
     # as a bare literal, constant folding collapses it once per plan.
     probe = df.withColumn("_toks", tokens(text_col)).select(
         F.col(id_col),
-        F.array_distinct(shingles_of_tokens(F.col("_toks"), n)).alias("_sharr"),
+        F.array_distinct(shingles_of_tokens("_toks", n)).alias("_sharr"),
     )
 
-    def flagged(s):
-        def bit_ok(i):
-            p = F.pmod(hash32(F.concat(s, F.lit("#"), i.cast("string"))), F.lit(m))
-            word = F.element_at(bits, (p / 64).cast("int") + 1)
-            # python F.shiftright only takes a literal numBits; the SQL
-            # expression form accepts a column
-            return (
-                F.call_function("shiftright", word, (p % 64).cast("int"))
-                .bitwiseAND(F.lit(1)) == 1
-            )
-
-        return F.forall(F.sequence(F.lit(0), F.lit(k_hashes - 1)), bit_ok)
-
-    n_flagged = F.size(F.filter("_sharr", flagged)).cast("long")
+    h_in = "concat(s, '#', CAST(i AS STRING))"
+    p = f"pmod({hash32_spark_sql(h_in)}, {m})"
+    n_flagged = F.expr(
+        f"CAST(size(filter(_sharr, s -> forall(sequence(0, {k_hashes - 1}), "
+        f"i -> (shiftright(element_at({_long_array_sql(words)}, "
+        f"CAST({p} / 64 AS INT) + 1), CAST({p} % 64 AS INT)) & 1) = 1))) AS BIGINT)"
+    )
     return probe.select(
         F.col(id_col),
         n_flagged.alias("n_flagged"),
@@ -1162,68 +1175,70 @@ def gopher_rules(
     whole-stage codegen. Ratios are ROUND(6) so a DuckDB oracle hashes
     bit-identically.
     """
-    t = F.col(text_col)
-    toks = F.filter(tokens(t), lambda x: x != "")
-    n = F.size(toks)
-    nd = F.when(n > 0, n.cast("double"))  # NULL-propagating denominator
-    mean_len = F.round(
-        F.length(F.regexp_replace(t, r"\s+", "")) / nd, 6
-    )
-    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
-    n_uell = F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
-    n_dots = F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    # every feature and flag is ONE parsed expression (the former python
+    # builders cost ~900 py4j round-trips per build, measured r9)
+    t = text_col
+    toks_sql = f"filter({_tokens_sql(t)}, x -> x != '')"
+    n = f"size({toks_sql})"
+    nd = f"CASE WHEN {n} > 0 THEN CAST({n} AS DOUBLE) END"  # NULL-propagating
+    mean_len = f"round(length(regexp_replace({t}, '\\\\s+', '')) / ({nd}), 6)"
+    n_hash = f"(length({t}) - length(replace({t}, '#', '')))"
+    n_uell = f"(length({t}) - length(replace({t}, '…', '')))"
+    n_dots = f"(length({t}) - length(replace({t}, '...', '')))"
     # symbols = n_hash + n_uell + n_dots/3; computed as ONE division of
     # exact integers (3*symbols / 3*words) so the double — and therefore
     # the ROUND and any threshold comparison — is bit-identical in every
     # engine regardless of addition order.
-    symbol_ratio = F.round(
-        (3 * n_hash + 3 * n_uell + n_dots) / F.when(n > 0, (3 * n).cast("double")), 6
+    symbol_ratio = (
+        f"round((3 * {n_hash} + 3 * {n_uell} + {n_dots}) / "
+        f"(CASE WHEN {n} > 0 THEN CAST(3 * {n} AS DOUBLE) END), 6)"
     )
-    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]")))
-    alpha_ratio = F.round(n_alpha / nd, 6)
-    lines = F.split(t, "\n")
-    n_lines = F.size(lines).cast("double")
-    bullet_ratio = F.round(
-        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(_BULLET_RE))) / n_lines, 6
+    alpha_ratio = (
+        f"round(size(filter({toks_sql}, x -> x rlike '[a-zA-Z]')) / ({nd}), 6)"
     )
-    ell_line_ratio = F.round(
-        F.size(
-            F.filter(
-                lines,
-                lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
-            )
-        )
-        / n_lines,
-        6,
+    lines_sql = f"split({t}, '\\n')"
+    n_lines = f"CAST(size({lines_sql}) AS DOUBLE)"
+    bullet_ratio = (
+        f"round(size(filter({lines_sql}, l -> ltrim(l) rlike '{_BULLET_RE}')) "
+        f"/ {n_lines}, 6)"
     )
-    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
-    n_stops = F.size(F.filter(req, lambda w: F.array_contains(toks, w)))
+    ell_line_ratio = (
+        f"round(size(filter({lines_sql}, "
+        "l -> endswith(rtrim(l), '...') OR endswith(rtrim(l), '…'))) "
+        f"/ {n_lines}, 6)"
+    )
+    req_sql = "array(" + ",".join(f"'{w}'" for w in GOPHER_REQUIRED_WORDS) + ")"
+    n_stops = f"size(filter({req_sql}, w -> array_contains({toks_sql}, w)))"
 
-    out = (
-        df.withColumn("n_words", n.cast("long"))
-        .withColumn("mean_word_len", mean_len)
-        .withColumn("symbol_ratio", symbol_ratio)
-        .withColumn("alpha_word_ratio", alpha_ratio)
-        .withColumn("bullet_line_ratio", bullet_ratio)
-        .withColumn("ellipsis_line_ratio", ell_line_ratio)
-        .withColumn("n_required_stops", n_stops.cast("long"))
-    )
-    flags = {
-        "pass_word_count": (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words),
-        "pass_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
-        & (F.col("mean_word_len") <= max_mean_word_len),
-        "pass_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
-        "pass_alpha_words": F.col("alpha_word_ratio") >= min_alpha_word_ratio,
-        "pass_bullets": F.col("bullet_line_ratio") <= max_bullet_ratio,
-        "pass_ellipsis_lines": F.col("ellipsis_line_ratio")
-        <= max_ellipsis_line_ratio,
-        "pass_stopwords": F.col("n_required_stops") >= min_stopwords,
+    feats = {
+        "n_words": f"CAST({n} AS BIGINT)",
+        "mean_word_len": mean_len,
+        "symbol_ratio": symbol_ratio,
+        "alpha_word_ratio": alpha_ratio,
+        "bullet_line_ratio": bullet_ratio,
+        "ellipsis_line_ratio": ell_line_ratio,
+        "n_required_stops": f"CAST({n_stops} AS BIGINT)",
     }
-    gopher_pass = F.lit(True)
-    for name, flag in flags.items():
-        out = out.withColumn(name, F.coalesce(flag, F.lit(False)))
-        gopher_pass = gopher_pass & F.col(name)
+    out = df
+    for name, sql in feats.items():
+        out = out.withColumn(name, F.expr(sql))
+
+    def _d(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    flags = {
+        "pass_word_count": f"(n_words >= {min_words}) AND (n_words <= {max_words})",
+        "pass_mean_word_len": f"(mean_word_len >= {_d(min_mean_word_len)}) "
+        f"AND (mean_word_len <= {_d(max_mean_word_len)})",
+        "pass_symbol_ratio": f"symbol_ratio <= {_d(max_symbol_ratio)}",
+        "pass_alpha_words": f"alpha_word_ratio >= {_d(min_alpha_word_ratio)}",
+        "pass_bullets": f"bullet_line_ratio <= {_d(max_bullet_ratio)}",
+        "pass_ellipsis_lines": f"ellipsis_line_ratio <= {_d(max_ellipsis_line_ratio)}",
+        "pass_stopwords": f"n_required_stops >= {min_stopwords}",
+    }
+    for name, sql in flags.items():
+        out = out.withColumn(name, F.expr(f"coalesce({sql}, false)"))
+    gopher_pass = F.expr("true AND " + " AND ".join(flags))
     return out.withColumn("gopher_pass", gopher_pass)
 
 
@@ -1336,9 +1351,8 @@ def line_dedup_across_docs(
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
-                lambda s: s["_line"],
+            F.expr(
+                'transform(array_sort(collect_list(struct(_pos, _line))), s -> s._line)'
             ),
             sep,
         ).alias("_clean"),
@@ -1384,7 +1398,10 @@ def vocab_coverage(
     if isinstance(vocab, DataFrame):
         vcol = vocab.columns[0]
         toks = df.select(
-            group_col, F.explode(F.filter(tokens(text_col), lambda t: t != "")).alias("_t")
+            group_col,
+            F.explode(
+                F.expr(f"filter({_tokens_sql(text_col)}, t -> t != '')")
+            ).alias("_t"),
         )
         oov = (
             toks.join(
@@ -1400,7 +1417,7 @@ def vocab_coverage(
         totals = (
             df.select(
                 group_col,
-                F.size(F.filter(tokens(text_col), lambda t: t != "")).alias("_n"),
+                F.expr(f"size(filter({_tokens_sql(text_col)}, t -> t != ''))").alias("_n"),
             )
             .groupBy(group_col)
             .agg(F.sum("_n").cast("long").alias("total_tokens"))
@@ -1418,10 +1435,12 @@ def vocab_coverage(
                 ).alias("oov_rate"),
             )
         )
-    varr = F.array(*[F.lit(w) for w in vocab])
-    toks = F.filter(tokens(text_col), lambda t: t != "")
-    n = F.size(toks).cast("long")
-    n_oov = F.size(F.filter(toks, lambda t: ~F.array_contains(varr, t))).cast("long")
+    varr_sql = "array(" + ",".join("'" + str(w).replace("'", "\\'") + "'" for w in vocab) + ")"
+    toks_sql = f"filter({_tokens_sql(text_col)}, t -> t != '')"
+    n = F.expr(f"CAST(size({toks_sql}) AS BIGINT)")
+    n_oov = F.expr(
+        f"CAST(size(filter({toks_sql}, t -> NOT array_contains({varr_sql}, t))) AS BIGINT)"
+    )
     return (
         df.select(group_col, n.alias("_n"), n_oov.alias("_o"))
         .groupBy(group_col)
@@ -1483,77 +1502,77 @@ def dsir_importance(
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
 
+    from pygrametl_spark.functions.dedup import hash32_spark_sql
+
+    feats_sql = (
+        f"concat({_tokens_sql(text_col)}, "
+        f"{_shingles_sql(_tokens_sql(text_col), 2)})"
+    )
+
     def feat_rows(frame: DataFrame, side: int) -> DataFrame:
-        toks = tokens(text_col)
-        feats = F.concat(toks, shingles_of_tokens(toks, 2))
-        return frame.select(F.explode(feats).alias("_f")).select(
+        return frame.select(F.explode(F.expr(feats_sql)).alias("_f")).select(
             F.pmod(hash32(F.col("_f")), F.lit(dim)).alias("_b"),
             F.lit(side).alias("_side"),
         )
 
-    # ONE job for both bag models: the raw and target bucket counts are
-    # independent aggregates, so a tagged union computes them in two
-    # parallel stages of a single action instead of two sequential
-    # driver round-trips (guide §2.6 — measured 0.70 s + 0.56 s -> one
-    # ~0.7 s job at sf0.1). The per-side counts are identical to the
-    # separate groupBys.
-    both = (
+    # ONE job for models AND weights: the raw/target bucket counts are
+    # independent aggregates computed by a tagged union (two parallel
+    # stages of one action, guide §2.6), and the per-bucket weight —
+    # which needs the model totals — rides the SAME action via
+    # unpartitioned-window sums over the <= dim aggregated rows (the
+    # former separate spark.range(dim) weight job was a second
+    # sequential driver round-trip per build, ~0.3 s). Buckets absent
+    # from both sides are restored by the range/left-join so their
+    # (alpha-smoothed, nonzero) weight is kept. The ln stays the SAME
+    # engine ln the oracle replays, evaluated on the same doubles as
+    # the former buckets job — values identical.
+    spark = df.sparkSession
+    a, b_ = float(alpha), float(alpha) * dim
+    agg = (
         feat_rows(df, 0)
         .unionAll(feat_rows(target, 1))
         .groupBy("_b")
         .agg(
-            F.sum(F.when(F.col("_side") == 0, 1).otherwise(0)).alias("_s"),
-            F.sum(F.when(F.col("_side") == 1, 1).otherwise(0)).alias("_t"),
+            F.sum(F.when(F.col("_side") == 0, 1).otherwise(0)).alias("_sc"),
+            F.sum(F.when(F.col("_side") == 1, 1).otherwise(0)).alias("_tc"),
+        )
+    )
+    wall = Window.partitionBy()
+    w_rows = (
+        spark.range(dim)
+        .select(F.col("id").cast("int").alias("_b"))
+        .join(agg, "_b", "left")
+        .select(
+            "_b",
+            F.coalesce("_sc", F.lit(0)).cast("double").alias("_s"),
+            F.coalesce("_tc", F.lit(0)).cast("double").alias("_t"),
+        )
+        .withColumn("_stot", F.sum("_s").over(wall))
+        .withColumn("_ttot", F.sum("_t").over(wall))
+        .select(
+            "_b",
+            F.round(
+                (
+                    F.log((F.col("_t") + a) / (F.col("_ttot") + b_))
+                    - F.log((F.col("_s") + a) / (F.col("_stot") + b_))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("_w"),
         )
         .collect()
     )
-    s_map = {r["_b"]: r["_s"] for r in both if r["_s"]}
-    t_map = {r["_b"]: r["_t"] for r in both if r["_t"]}
-    s_tot, t_tot = sum(s_map.values()), sum(t_map.values())
-
-    # per-bucket integer weight units computed in a tiny Spark job so the
-    # ln is the SAME engine ln the scoring side of the oracle replays
-    spark = df.sparkSession
-    buckets = spark.range(dim).select(
-        F.col("id").cast("int").alias("_b"),
-        F.element_at(
-            lit_long_array(t_map.get(b, 0) for b in range(dim)),
-            F.col("id").cast("int") + 1,
-        ).cast("double").alias("_t"),
-        F.element_at(
-            lit_long_array(s_map.get(b, 0) for b in range(dim)),
-            F.col("id").cast("int") + 1,
-        ).cast("double").alias("_s"),
-    )
-    a, b_ = float(alpha), float(alpha) * dim
-    w_rows = buckets.select(
-        "_b",
-        F.round(
-            (
-                F.log((F.col("_t") + a) / F.lit(t_tot + b_))
-                - F.log((F.col("_s") + a) / F.lit(s_tot + b_))
-            )
-            * 1e6,
-            0,
-        )
-        .cast("bigint")
-        .alias("_w"),
-    ).collect()
     w_units = [0] * dim
     for r in w_rows:
         w_units[r["_b"]] = r["_w"]
-    warr = lit_long_array(w_units)
 
-    toks = tokens(text_col)
-    base = df.select(
-        F.col(id_col),
-        F.concat(toks, shingles_of_tokens(toks, 2)).alias("_feats"),
-    )
-    w_of = lambda f: F.element_at(  # noqa: E731
-        warr, (F.pmod(hash32(f), F.lit(dim)) + 1).cast("int")
-    )
-    units = F.aggregate(
-        "_feats", F.lit(0).cast("long"), lambda acc, f: acc + w_of(f)
+    base = df.select(F.col(id_col), F.expr(feats_sql).alias("_feats"))
+    units = F.expr(
+        f"aggregate(_feats, CAST(0 AS BIGINT), (acc, f) -> acc + "
+        f"element_at({_long_array_sql(w_units)}, "
+        f"CAST(pmod({hash32_spark_sql('f')}, {dim}) + 1 AS INT)))"
     )
     return base.select(
         F.col(id_col),
