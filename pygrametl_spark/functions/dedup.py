@@ -156,10 +156,12 @@ def minhash_lsh_pairs_between(
     )
     if max_bucket_size is not None:
         grouped = grouped.filter(F.size("ms") <= max_bucket_size)
-    news = F.filter("ms", lambda m: m["t"] == 1)
-    olds = F.filter("ms", lambda m: m["t"] == 0)
-    pair_arr = F.flatten(
-        F.transform(news, lambda a: F.transform(olds, lambda b: F.struct(a.alias("a"), b.alias("b"))))
+    news = F.expr("filter(ms, m -> m.t = 1)")
+    olds = F.expr("filter(ms, m -> m.t = 0)")
+    pair_arr = F.expr(
+        "flatten(transform(filter(ms, m -> m.t = 1), "
+        "a -> transform(filter(ms, m -> m.t = 0), "
+        "b -> struct(a AS a, b AS b))))"
     )
     pairs = (
         grouped.filter((F.size(news) >= 1) & (F.size(olds) >= 1))
@@ -171,7 +173,7 @@ def minhash_lsh_pairs_between(
             F.col("p.b.sig").alias("sig_b"),
         )
     )
-    eq = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    eq = F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
     return (
         pairs.select(
             "new_id", "corpus_id",
@@ -209,16 +211,12 @@ def minhash_signatures(
     )
     hashed = sh.withColumn(
         "_harr",
-        F.transform(
-            "_sharr",
-            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
-        ),
+        F.expr(f"transform(_sharr, s -> {hash32_spark_sql('s')})"),
     )
-    def _perm(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
-
     mins = [
-        F.array_min(F.transform("_harr", _perm(a, b))).alias(f"mh{i}")
+        F.expr(
+            f"array_min(transform(_harr, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        ).alias(f"mh{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
     return hashed.select(id_col, *mins)
@@ -297,17 +295,10 @@ def minhash_lsh_pairs(
     if max_bucket_size is not None:
         grouped = grouped.filter(F.size("ms") <= max_bucket_size)
     # all i<j member pairs of the bucket, in-row
-    pair_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.size("ms") - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size("ms") - 1),
-                lambda j: F.struct(
-                    F.element_at(F.col("ms"), i + 1).alias("a"),
-                    F.element_at(F.col("ms"), j + 1).alias("b"),
-                ),
-            ),
-        )
+    pair_arr = F.expr(
+        "flatten(transform(sequence(0, size(ms) - 2), "
+        "i -> transform(sequence(i + 1, size(ms) - 1), "
+        "j -> struct(element_at(ms, i + 1) AS a, element_at(ms, j + 1) AS b))))"
     )
     pairs = grouped.select(F.explode(pair_arr).alias("p")).select(
         F.least("p.a.id", "p.b.id").alias("id_1"),
@@ -315,7 +306,7 @@ def minhash_lsh_pairs(
         F.col("p.a.sig").alias("sig_a"),
         F.col("p.b.sig").alias("sig_b"),
     )
-    eq = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    eq = F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
     return (
         pairs.select(
             "id_1", "id_2", F.round(eq / F.lit(float(MINHASH_K)), 4).alias("est_jaccard")
@@ -332,17 +323,18 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     t = df.select(id_col, F.explode(tokens(text_col)).alias("_t"))
     h = t.select(id_col, hash32("_t").alias("hv"))
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(hv, {j}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"s{j}")
         for j in range(32)
     ]
     agg = h.groupBy(id_col).agg(*aggs)
-    sim = None
-    for j in range(32):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return agg.select(id_col, sim.cast("long").alias("simhash"))
+    sim_sql = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(32)
+    )
+    return agg.select(
+        id_col, F.expr(f"CAST({sim_sql} AS BIGINT)").alias("simhash")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -405,17 +397,10 @@ def ngram_jaccard_pairs(
             .groupBy("s")
             .agg(F.array_sort(F.collect_list(F.struct(F.col("m.id").alias("id"), F.col("_n2").alias("n")))).alias("ms"))
         )
-    pair_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.size("ms") - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size("ms") - 1),
-                lambda j: F.struct(
-                    F.element_at(F.col("ms"), i + 1).alias("a"),
-                    F.element_at(F.col("ms"), j + 1).alias("b"),
-                ),
-            ),
-        )
+    pair_arr = F.expr(
+        "flatten(transform(sequence(0, size(ms) - 2), "
+        "i -> transform(sequence(i + 1, size(ms) - 1), "
+        "j -> struct(element_at(ms, i + 1) AS a, element_at(ms, j + 1) AS b))))"
     )
     inter = (
         bucket.select(F.explode(pair_arr).alias("p"))
@@ -481,7 +466,7 @@ def _cc_star_labels(edges: DataFrame, max_iter: int) -> DataFrame:
             .select(
                 "_u",
                 F.least(F.array_min("_ns"), F.col("_u")).alias("_m"),
-                F.filter("_ns", lambda v: v > F.col("_u")).alias("_big"),
+                F.expr("filter(_ns, v -> v > _u)").alias("_big"),
             )
             .select(F.explode("_big").alias("_u"), F.col("_m").alias("_v"))
             .filter(F.col("_u") != F.col("_v"))
@@ -764,13 +749,10 @@ def exact_substring_dedup(
     base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).withColumn(
         "_n", F.size("_toks")
     )
-    starts = F.when(
-        F.col("_n") >= k, F.sequence(F.lit(0), F.col("_n") - k)
-    ).otherwise(F.array().cast("array<int>"))
-    spans = F.transform(
-        starts, lambda i: F.struct(
-            i.alias("pos"), F.concat_ws(" ", F.slice("_toks", i + 1, k)).alias("span")
-        )
+    spans = F.expr(
+        f"transform(CASE WHEN _n >= {k} THEN sequence(0, _n - {k}) "
+        "ELSE CAST(array() AS ARRAY<INT>) END, "
+        f"i -> struct(i AS pos, concat_ws(' ', slice(_toks, i + 1, {k})) AS span))"
     )
     occ = base.select("_id", F.explode(spans).alias("_sp")).select(
         "_id", F.col("_sp.pos").alias("_pos"),
@@ -792,12 +774,17 @@ def exact_substring_dedup(
         F.count("*").alias("n_dup_spans"),
     )
     out = base.join(per_doc, "_id", "left")
-    covered = F.array_distinct(
-        F.flatten(F.transform("_starts", lambda s: F.sequence(s, s + k - 1)))
+    covered = F.expr(
+        f"array_distinct(flatten(transform(_starts, s -> sequence(s, s + {k - 1}))))"
     )
-    kept_idx = F.array_except(F.sequence(F.lit(0), F.col("_n") - 1), covered)
-    kept_text = F.concat_ws(
-        " ", F.transform(kept_idx, lambda i: F.element_at("_toks", i + 1))
+    kept_idx = F.expr(
+        f"array_except(sequence(0, _n - 1), "
+        f"array_distinct(flatten(transform(_starts, s -> sequence(s, s + {k - 1})))))"
+    )
+    kept_text = F.expr(
+        f"concat_ws(' ', transform(array_except(sequence(0, _n - 1), "
+        f"array_distinct(flatten(transform(_starts, s -> sequence(s, s + {k - 1}))))), "
+        "i -> element_at(_toks, i + 1)))"
     )
     has = F.col("_starts").isNotNull()
     n_removed = F.when(has, F.size(covered)).otherwise(F.lit(0)).cast("long")
@@ -858,14 +845,10 @@ def exact_substring_dedup_against(
         base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).withColumn(
             "_n", F.size("_toks")
         )
-        starts = F.when(
-            F.col("_n") >= k, F.sequence(F.lit(0), F.col("_n") - k)
-        ).otherwise(F.array().cast("array<int>"))
-        spans = F.transform(
-            starts, lambda i: F.struct(
-                i.alias("pos"),
-                F.concat_ws(" ", F.slice("_toks", i + 1, k)).alias("span"),
-            )
+        spans = F.expr(
+            f"transform(CASE WHEN _n >= {k} THEN sequence(0, _n - {k}) "
+            "ELSE CAST(array() AS ARRAY<INT>) END, "
+            f"i -> struct(i AS pos, concat_ws(' ', slice(_toks, i + 1, {k})) AS span))"
         )
         occ = base.select("_id", F.explode(spans).alias("_sp")).select(
             "_id", F.col("_sp.pos").alias("_pos"),
@@ -898,12 +881,17 @@ def exact_substring_dedup_against(
         F.count("*").alias("n_dup_spans"),
     )
     out = base.join(per_doc, "_id", "left")
-    covered = F.array_distinct(
-        F.flatten(F.transform("_starts", lambda s: F.sequence(s, s + k - 1)))
+    covered = F.expr(
+        f"array_distinct(flatten(transform(_starts, s -> sequence(s, s + {k - 1}))))"
     )
-    kept_idx = F.array_except(F.sequence(F.lit(0), F.col("_n") - 1), covered)
-    kept_text = F.concat_ws(
-        " ", F.transform(kept_idx, lambda i: F.element_at("_toks", i + 1))
+    kept_idx = F.expr(
+        f"array_except(sequence(0, _n - 1), "
+        f"array_distinct(flatten(transform(_starts, s -> sequence(s, s + {k - 1})))))"
+    )
+    kept_text = F.expr(
+        f"concat_ws(' ', transform(array_except(sequence(0, _n - 1), "
+        f"array_distinct(flatten(transform(_starts, s -> sequence(s, s + {k - 1}))))), "
+        "i -> element_at(_toks, i + 1)))"
     )
     has = F.col("_starts").isNotNull()
     n_removed = F.when(has, F.size(covered)).otherwise(F.lit(0)).cast("long")
@@ -937,11 +925,12 @@ def span_keys(
     batch (8 bytes per distinct span with ``hashed=True``)."""
     toks = tokens(text_col)
     base = df.select(toks.alias("_toks")).withColumn("_n", F.size("_toks"))
-    starts = F.when(
-        F.col("_n") >= k, F.sequence(F.lit(0), F.col("_n") - k)
-    ).otherwise(F.array().cast("array<int>"))
     spans = F.explode(
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, k)))
+        F.expr(
+            f"transform(CASE WHEN _n >= {k} THEN sequence(0, _n - {k}) "
+            "ELSE CAST(array() AS ARRAY<INT>) END, "
+            f"i -> concat_ws(' ', slice(_toks, i + 1, {k})))"
+        )
     ).alias("_span")
     occ = base.select(spans)
     key = F.xxhash64("_span") if hashed else F.col("_span")
