@@ -72,6 +72,16 @@ def get_spark(app_name: str = "pygrametl_spark", *, shuffle_partitions: int | No
         # across sweeps purely from cache state). 4096 keeps every plan
         # of a full sweep resident.
         .config("spark.sql.codegen.cache.maxEntries", "4096")
+        # PySpark's DataFrame debugging captures the python call site
+        # into JVM thread-local state around EVERY Column/DataFrame API
+        # call — measured 13 py4j round-trips for one F.col (3 without),
+        # 38 for a when/otherwise (8 without), at ~0.3 ms per round-trip
+        # on this host. Query construction is driver-serialized, so this
+        # overhead lands directly in every bench iteration; disabling it
+        # trades the python call-site line in error messages (JVM stack
+        # traces and error classes are unchanged) for ~4x less py4j
+        # traffic per build. Public conf, SPARK-47274.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.showConsoleProgress", "false")
