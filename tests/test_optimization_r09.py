@@ -120,3 +120,74 @@ def test_dense_keys_identical_with_and_without_pin(spark):
     pinned = assign_dense_keys(base, ["c_name"], "k", 100)
     unpinned = assign_dense_keys(base, ["c_name"], "k", 100, approx_count=150)
     assert _rows(pinned) == _rows(unpinned)
+
+
+# ---------------------------------------------------------------------------
+# Single-parse SQL-text twins (r9 continuation): every converted builder
+# must stay value-identical to the python Column construction it
+# replaced. These pin the dual-path functions (str fast path vs Column
+# path) and the SQL-text helpers against their python equivalents on
+# edge-case inputs, so the two implementations cannot silently diverge.
+# ---------------------------------------------------------------------------
+
+
+def test_tokens_sql_twin(spark):
+    from pygrametl_spark.functions.text import _tokens_sql, tokens
+
+    df = spark.createDataFrame(
+        [(" a b   c ",), ("",), (None,), ("one\ttwo\nthree",)], ["text"]
+    )
+    a = df.select(tokens("text").alias("t")).collect()
+    b = df.select(F.expr(_tokens_sql("text")).alias("t")).collect()
+    assert a == b
+
+
+def test_shingles_str_and_column_paths_identical(spark):
+    from pygrametl_spark.functions.text import shingles_of_tokens, tokens
+
+    df = spark.createDataFrame(
+        [("a b c d e",), ("a b",), ("",), (None,), ("x y z",)], ["text"]
+    ).select(tokens("text").alias("_toks"))
+    a = df.select(shingles_of_tokens("_toks", 3).alias("s")).collect()
+    b = df.select(shingles_of_tokens(F.col("_toks"), 3).alias("s")).collect()
+    assert a == b
+
+
+def test_hash32_spark_sql_twin(spark):
+    from pygrametl_spark.functions.dedup import hash32, hash32_spark_sql
+
+    df = spark.createDataFrame([("hello",), ("",), (None,), ("ünïcode",)], ["x"])
+    a = df.select(hash32("x").alias("h")).collect()
+    b = df.select(F.expr(hash32_spark_sql("x")).alias("h")).collect()
+    assert a == b
+
+
+def test_url_normalize_str_and_column_paths_identical(spark):
+    from pygrametl_spark.functions import urls as ur
+
+    cases = [
+        "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+        "https://example.com:443/",
+        "https://user:pw@sub.example.co.uk:8443/path/?fbclid=zz&z=9",
+        "ftp://10.1.2.3/x",
+        "http://[::1]:8080/q?a=",
+        "https://example.com/a/b///?ref=1&Ref_src=2&c=",
+        "",
+        "no-scheme-here",
+        None,
+    ]
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    a = df.select(
+        ur.url_normalize(F.col("url")).alias("n"),
+        ur.registered_domain(ur.url_host(F.col("url"))).alias("d"),
+    ).collect()
+    b = df.select(
+        ur.url_normalize("url").alias("n"),
+        ur.registered_domain(ur._host_sql("url")).alias("d"),
+    ).collect()
+    assert a == b
+    # options must route through the SQL path identically
+    for kw in ({"strip_www": False}, {"strip_tracking": False}):
+        x = df.select(ur.url_normalize(F.col("url"), **kw).alias("n")).collect()
+        y = df.select(ur.url_normalize("url", **kw).alias("n")).collect()
+        assert x == y
