@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pygrametl_spark.functions.text import tokens, with_distinct_shingles
+from pygrametl_spark.plans.local import local_relation
 
 __all__ = [
     "MINHASH_P", "MINHASH_A", "MINHASH_B",
@@ -588,10 +589,12 @@ def neardup_clusters(
             spark = df.sparkSession
             lab = _cc_driver_labels([(r["_a"], r["_b"]) for r in probe])
             id_type = dict(df.dtypes)[id_col]
-            labels = (
-                spark.createDataFrame(lab, schema=f"_id {id_type}, _label {id_type}")
-                if lab
-                else spark.createDataFrame([], schema=f"_id {id_type}, _label {id_type}")
+            # VALUES-literal LocalRelation, not createDataFrame: the
+            # label sidecar broadcasts into an otherwise-JVM join, and a
+            # Python-RDD-backed relation would respawn Python workers on
+            # every downstream action just to rescan it (guide §4).
+            labels = local_relation(
+                spark, lab, f"_id {id_type}, _label {id_type}"
             )
             out = df.select(id_col).join(
                 F.broadcast(labels.withColumnRenamed("_id", id_col)), id_col, "left"

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pygrametl_spark.plans.keys import assign_dense_keys, max_key
+from pygrametl_spark.plans.local import local_relation
 
 __all__ = [
     "Dimension", "CachedDimension", "BulkDimension", "CachedBulkDimension",
@@ -143,8 +144,21 @@ class Dimension:
             kdf = keys.select(F.col(keys.columns[0]).alias(self.key)).dropDuplicates()
         else:
             spark = self.df.sparkSession
-            kdf = spark.createDataFrame([(k,) for k in keys], [self.key])
-            kdf = kdf.withColumn(self.key, F.col(self.key).cast(self.df.schema[self.key].dataType))
+            simple = self.df.schema[self.key].dataType.simpleString()
+            if simple in (
+                "tinyint", "smallint", "int", "bigint",
+                "string", "double", "float", "boolean",
+            ):
+                # Key lists are driver-side literals: a VALUES-backed
+                # LocalRelation keeps the probe join JVM-only, where
+                # createDataFrame would pay a Python-worker scan of the
+                # pickled keys on every action (guide §4).
+                kdf = local_relation(
+                    spark, [(k,) for k in keys], f"{self.key} {simple}"
+                )
+            else:
+                kdf = spark.createDataFrame([(k,) for k in keys], [self.key])
+                kdf = kdf.withColumn(self.key, F.col(self.key).cast(self.df.schema[self.key].dataType))
         return kdf.join(self.df, on=self.key, how="left")
 
     def getbyvals(self, vals: Mapping[str, object], namemapping=None) -> DataFrame:

@@ -1125,8 +1125,10 @@ def q_host_blocklist(spark, sf_dir):
     against a TB corpus, so the corpus never shuffles."""
     docs = load_catalog(spark, sf_dir).documents
     messy = docs.select("doc_id", _messy_url().alias("url"))
-    bl = spark.createDataFrame(
-        [(d,) for d in _URL_BLOCKLIST], "reg_domain string"
+    from pygrametl_spark.plans.local import local_relation
+
+    bl = local_relation(
+        spark, [(d,) for d in _URL_BLOCKLIST], "reg_domain string"
     )
     kept = ur.filter_by_host_blocklist(messy, bl, "url")
     return kept.select(

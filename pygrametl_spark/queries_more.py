@@ -106,8 +106,6 @@ def _memo_kmeans_centroids(spark, sf_dir, *, n_clusters: int, iters: int):
     expressions see identical types and the value hash cannot move."""
     import json
 
-    from pyspark.sql.types import StructType
-
     from pygrametl_spark.functions import similarity as sim
 
     f = _quantizer_memo_path("kmcent", sf_dir, f"n{n_clusters}i{iters}")
@@ -117,8 +115,7 @@ def _memo_kmeans_centroids(spark, sf_dir, *, n_clusters: int, iters: int):
     if os.path.isfile(f):
         with open(f) as fh:
             meta = json.load(fh)
-        schema = StructType.fromJson(meta["schema"])
-        return spark.createDataFrame(meta["rows"], schema)
+        return _local_from_json_schema(spark, meta)
     emb = load_catalog(spark, sf_dir).embeddings
     cent = sim.kmeans_refine(emb, n_clusters=n_clusters, iters=iters)
     rows = [
@@ -130,9 +127,24 @@ def _memo_kmeans_centroids(spark, sf_dir, *, n_clusters: int, iters: int):
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.replace(tmp, f)
-    return spark.createDataFrame(
-        meta["rows"], StructType.fromJson(meta["schema"])
+    return _local_from_json_schema(spark, meta)
+
+
+def _local_from_json_schema(spark, meta):
+    """Rebuild a memoized sidecar as a VALUES LocalRelation (JVM-only;
+    createDataFrame would make it a Python-RDD scan on every action).
+    Types come from the saved schema's simpleString DDL, so the rebuilt
+    frame is type-identical to the freshly-trained one; doubles
+    round-trip exactly (json repr -> float -> repr literal)."""
+    from pyspark.sql.types import StructType
+
+    from pygrametl_spark.plans.local import local_relation
+
+    schema = StructType.fromJson(meta["schema"])
+    ddl = ", ".join(
+        f"{fld.name} {fld.dataType.simpleString()}" for fld in schema.fields
     )
+    return local_relation(spark, meta["rows"], ddl)
 
 
 # ---------------------------------------------------------------------------

@@ -28,17 +28,18 @@ def main() -> None:
     fn = QUERIES[name]
     fn(spark, sf_dir).count()  # warm-up
 
-    store = spark._jsparkSession.sharedState().statusStore()
-    base = [j.jobId() for j in _jobs(store)]
+    store = sc._jsc.sc().statusStore()
+    no_statuses = spark._jvm.java.util.ArrayList()
+    base = [j.jobId() for j in _jobs(store, no_statuses)]
     t0 = time.time()
     df = fn(spark, sf_dir)
     t_build = time.time() - t0
-    build_high = max([j.jobId() for j in _jobs(store)] + [-1])
+    build_high = max([j.jobId() for j in _jobs(store, no_statuses)] + [-1])
     t0 = time.time()
     df.count()
     t_count = time.time() - t0
     print(f"== {name}: build {t_build:.2f}s, count {t_count:.2f}s ==")
-    for j in sorted(_jobs(store), key=lambda j: j.jobId()):
+    for j in sorted(_jobs(store, no_statuses), key=lambda j: j.jobId()):
         if j.jobId() in base:
             continue
         phase = "BUILD" if j.jobId() <= build_high else "COUNT"
@@ -52,8 +53,8 @@ def main() -> None:
         print(f"{phase} job {j.jobId():4d} {dur:7.3f}s  {desc[:140]}")
 
 
-def _jobs(store):
-    it = store.jobsList(None).iterator()
+def _jobs(store, no_statuses):
+    it = store.jobsList(no_statuses).iterator()
     out = []
     while it.hasNext():
         out.append(it.next())

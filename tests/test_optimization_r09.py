@@ -191,3 +191,78 @@ def test_url_normalize_str_and_column_paths_identical(spark):
         x = df.select(ur.url_normalize(F.col("url"), **kw).alias("n")).collect()
         y = df.select(ur.url_normalize("url", **kw).alias("n")).collect()
         assert x == y
+
+
+def test_local_relation_value_identity(spark):
+    """local_relation must hand back EXACTLY the rows createDataFrame
+    would, for every supported literal type — including bit-exact
+    doubles (repr round-trip), NaN/Infinity, NULLs, arrays, quotes and
+    backslashes in strings."""
+    import math
+
+    from pygrametl_spark.plans.local import local_relation
+
+    rows = [
+        (1, 0.1 + 0.2, "plain", [1.5, -0.0, 2.0 ** -45], True),
+        (-(2 ** 62), float("nan"), "it's a \\ 'quote'", [], False),
+        (None, float("inf"), None, None, None),
+        (7, float("-inf"), "newline\nand\ttab", [math.pi, 1e-308], True),
+    ]
+    ddl = "a bigint, b double, c string, d array<double>, e boolean"
+    lr = local_relation(spark, rows, ddl)
+    cd = spark.createDataFrame(rows, schema=ddl)
+    assert lr.schema == cd.schema
+
+    def key(r):
+        def f(v):
+            if isinstance(v, float):
+                return repr(v)  # distinguishes nan/inf, exact bits
+            if isinstance(v, list):
+                return tuple(repr(x) for x in v)
+            return v
+        return tuple(repr(f(v)) for v in r)
+
+    assert sorted(map(key, lr.collect())) == sorted(map(key, cd.collect()))
+
+
+def test_local_relation_is_jvm_only(spark):
+    """The point of local_relation: the plan is a LocalTableScan with no
+    Python-RDD scan, so downstream actions never spawn Python workers
+    for the sidecar."""
+    from pygrametl_spark.plans.local import local_relation
+
+    lr = local_relation(spark, [(1, "x"), (2, "y")], "k bigint, v string")
+    plan = lr._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    assert "ExistingRDD" not in plan and "EvalPython" not in plan
+
+
+def test_local_relation_fallbacks(spark):
+    """Empty input, over-cap input, and unsupported literal types all
+    fall back to createDataFrame with identical values."""
+    from pygrametl_spark.plans.local import local_relation
+
+    assert local_relation(spark, [], "a bigint").count() == 0
+    big = [(i,) for i in range(50)]
+    capped = local_relation(spark, big, "a bigint", max_values_rows=10)
+    assert "ExistingRDD" in capped._jdf.queryExecution().executedPlan().toString()
+    assert sorted(r.a for r in capped.collect()) == list(range(50))
+    import datetime
+
+    dates = [(datetime.date(2026, 1, 1),), (None,)]
+    fb = local_relation(spark, dates, "d date")
+    assert sorted(str(r.d) for r in fb.collect()) == ["2026-01-01", "None"]
+
+
+def test_getbykey_list_uses_local_relation(spark):
+    """Dimension.getbykey with a Python key list keeps left-join
+    semantics and plans the key probe as a LocalTableScan."""
+    from pygrametl_spark.operators.dimension import Dimension
+
+    dim_df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, name string"
+    )
+    dim = Dimension("d", "id", ["name"], df=dim_df)
+    out = dim.getbykey([2, 99])
+    rows = {r.id: r.name for r in out.collect()}
+    assert rows == {2: "b", 99: None}
