@@ -207,20 +207,21 @@ def minhash_signatures(
     # and shingles TWICE (measured 2x on the signature stage). The
     # token-count predicate is equivalent (>=1 shingle <=> >=n tokens)
     # and costs one split in the scan.
+    from pygrametl_spark.functions.text import _tokens_sql
+
     sh = with_distinct_shingles(
-        df.filter(F.size(tokens(F.col(text_col))) >= n), id_col, text_col, n
+        df.where(f"size({_tokens_sql(text_col)}) >= {n}"), id_col, text_col, n
     )
-    hashed = sh.withColumn(
-        "_harr",
-        F.expr(f"transform(_sharr, s -> {hash32_spark_sql('s')})"),
+    hashed = sh.selectExpr(
+        "*", f"transform(_sharr, s -> {hash32_spark_sql('s')}) AS _harr"
     )
+    # Single-parse discipline (guide §1.2 at the driver boundary): the 16
+    # permutation minima as ONE selectExpr instead of 16 Column builders.
     mins = [
-        F.expr(
-            f"array_min(transform(_harr, h -> ({a} * h + {b}) % {MINHASH_P}))"
-        ).alias(f"mh{i}")
+        f"array_min(transform(_harr, h -> ({a} * h + {b}) % {MINHASH_P})) AS mh{i}"
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    return hashed.select(id_col, *mins)
+    return hashed.selectExpr(id_col, *mins)
 
 
 def minhash_signatures_long(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -247,20 +248,21 @@ def minhash_band_rows(
     DuckDB oracle replays."""
     rows_per_band = MINHASH_K // bands
     wide = minhash_signatures(df, id_col, text_col)
-    band_cols = [
-        F.md5(F.concat_ws(",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
-            f"band{b}"
-        )
+    # Single-parse discipline: sig array + band-hash structs as two
+    # selectExpr calls (the per-column builders cost ~0.3 s of driver
+    # wall per call site; the parsed text yields the same expressions).
+    band_structs = ", ".join(
+        f"struct({b} AS bidx, md5(concat_ws(',', "
+        + ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ")) AS bhash)"
         for b in range(bands)
-    ]
-    sig = wide.select(id_col, *[F.col(f"mh{i}") for i in range(MINHASH_K)], *band_cols)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"mh{i}") for i in range(MINHASH_K)]).alias("sig"),
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("bidx"), F.col(f"band{b}").alias("bhash")) for b in range(bands)])
-        ).alias("bb"),
-    ).select(id_col, "sig", "bb.bidx", "bb.bhash")
+    )
+    sig_arr = "array(" + ", ".join(f"mh{i}" for i in range(MINHASH_K)) + ")"
+    return wide.selectExpr(
+        id_col,
+        f"{sig_arr} AS sig",
+        f"explode(array({band_structs})) AS bb",
+    ).selectExpr(id_col, "sig", "bb.bidx", "bb.bhash")
 
 
 def minhash_lsh_pairs(
@@ -290,30 +292,32 @@ def minhash_lsh_pairs(
     buckets = minhash_band_rows(df, id_col, text_col, bands=bands)
     grouped = (
         buckets.groupBy("bidx", "bhash")
-        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig"))).alias("ms"))
-        .filter(F.size("ms") >= 2)
+        .agg(F.expr(f"collect_list(struct({id_col} AS id, sig AS sig)) AS ms"))
+        .where("size(ms) >= 2")
     )
     if max_bucket_size is not None:
-        grouped = grouped.filter(F.size("ms") <= max_bucket_size)
-    # all i<j member pairs of the bucket, in-row
-    pair_arr = F.expr(
+        grouped = grouped.where(f"size(ms) <= {int(max_bucket_size)}")
+    # all i<j member pairs of the bucket, in-row (single-parse SQL text)
+    pair_arr = (
         "flatten(transform(sequence(0, size(ms) - 2), "
         "i -> transform(sequence(i + 1, size(ms) - 1), "
         "j -> struct(element_at(ms, i + 1) AS a, element_at(ms, j + 1) AS b))))"
     )
-    pairs = grouped.select(F.explode(pair_arr).alias("p")).select(
-        F.least("p.a.id", "p.b.id").alias("id_1"),
-        F.greatest("p.a.id", "p.b.id").alias("id_2"),
-        F.col("p.a.sig").alias("sig_a"),
-        F.col("p.b.sig").alias("sig_b"),
+    pairs = grouped.selectExpr(f"explode({pair_arr}) AS p").selectExpr(
+        "least(p.a.id, p.b.id) AS id_1",
+        "greatest(p.a.id, p.b.id) AS id_2",
+        "p.a.sig AS sig_a",
+        "p.b.sig AS sig_b",
     )
-    eq = F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
     return (
-        pairs.select(
-            "id_1", "id_2", F.round(eq / F.lit(float(MINHASH_K)), 4).alias("est_jaccard")
+        pairs.selectExpr(
+            "id_1",
+            "id_2",
+            "round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+            f" / {float(MINHASH_K)!r}, 4) AS est_jaccard",
         )
         .dropDuplicates(["id_1", "id_2"])
-        .filter(F.col("est_jaccard") >= threshold)
+        .where(f"est_jaccard >= {float(threshold)!r}")
     )
 
 

@@ -151,9 +151,8 @@ def with_distinct_shingles(df: DataFrame, id_col: str, text_col: str, n: int) ->
     exploded rows, which costs a full shuffle of every (doc, shingle)
     pair. Per-doc set sizes are then ``size(_sharr)`` with zero shuffle.
     """
-    return (
-        df.withColumn("_toks", tokens(text_col))
-        .select(id_col, F.array_distinct(shingles_of_tokens("_toks", n)).alias("_sharr"))
+    return df.selectExpr(id_col, f"{_tokens_sql(text_col)} AS _toks").selectExpr(
+        id_col, f"array_distinct({_shingles_sql('_toks', n)}) AS _sharr"
     )
 
 

