@@ -501,6 +501,79 @@ def _banded_buckets_expr(
     )
 
 
+def _banded_buckets_np(
+    planes: "list[list[float]]", n_bands: int, planes_per_band: int, dim: int
+):
+    """Vectorized (Arrow/numpy) twin of :func:`_banded_buckets_expr`.
+
+    The nested-HOF expression is interpreted per lambda element (~48
+    dots x ~20µs = ~1 ms per ROW at 8x6 bands — measured: the banding
+    scan alone cost 0.6 s for 2,000 vectors on one core, and an
+    unrolled codegen variant was 10x WORSE, 2.7 ms/row interpreted).
+    numpy computes the same projections as column-wise left-to-right
+    accumulation (``acc += outer(V[:, i], W[:, i])``) — the identical
+    addition order as ``aggregate``, just vectorized across rows, the
+    same bit-equality argument as :func:`pair_dot_arrow` (guide §4.2:
+    hand whole Arrow batches to vectorized native code). Degenerate
+    rows reproduce the zip_with semantics exactly: a NULL vector or a
+    length != dim makes every projection NULL in the expression →
+    every CASE yields bit 0 → the all-zero bucket array (pinned by
+    test_banded_buckets_np_identity, incl. NaN/Inf). One boundary
+    caveat: Arrow erases the NULL-element-vs-NaN distinction inside a
+    list column (null → NaN before the UDF sees it), so a NULL ELEMENT
+    scores like NaN here (all-ones bits, Spark's NaN-above-everything
+    order) where the expression twin yields bit 0 — unreachable for
+    well-formed embeddings, pinned explicitly in the identity test.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    W = [list(map(float, p)) for p in planes]
+
+    @pandas_udf("array<int>", PandasUDFType.SCALAR)
+    def _np_buckets(vec):
+        import numpy as np
+        import pandas as pd
+
+        lst = vec.tolist()
+        n = len(lst)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        Wm = np.asarray(W, dtype=np.float64)  # (n_planes, dim)
+        pw = np.array([2**p for p in range(planes_per_band)], dtype=np.int64)
+
+        def project(V):
+            acc = np.zeros((V.shape[0], Wm.shape[0]), dtype=np.float64)
+            for i in range(dim):  # left-to-right, matching aggregate()
+                acc += np.multiply.outer(V[:, i], Wm[:, i])
+            # Spark SQL orders NaN above every numeric, so `NaN >= 0` is
+            # TRUE in the expression twin; IEEE (numpy) says False.
+            bits = ((acc >= 0) | np.isnan(acc)).astype(np.int64)
+            return (bits.reshape(V.shape[0], n_bands, planes_per_band) * pw).sum(
+                axis=2
+            ).astype(np.int32)
+
+        try:
+            V = np.asarray(lst, dtype=np.float64)
+            if V.ndim == 2 and V.shape[1] == dim:
+                return pd.Series(list(project(V)))
+        except (TypeError, ValueError):
+            pass
+        # ragged / NULL rows: zip_with yields NULL projections there,
+        # i.e. the all-zero bucket array; well-formed rows score normally
+        out = np.zeros((n, n_bands), dtype=np.int32)
+        for r, x in enumerate(lst):
+            if x is None or len(x) != dim:
+                continue
+            try:
+                v = np.asarray(x, dtype=np.float64).reshape(1, dim)
+            except (TypeError, ValueError):
+                continue
+            out[r] = project(v)[0]
+        return pd.Series(list(out))
+
+    return _np_buckets
+
+
 def lsh_banded_neardup(
     df: DataFrame,
     *,
@@ -547,8 +620,11 @@ def lsh_banded_neardup(
         [_plane_weight(p, i) for i in range(dim)]
         for p in range(n_bands * planes_per_band)
     ]
-    # per-row array of n_bands bucket ids, computed in the scan stage
-    buckets = _banded_buckets_expr(vec_col, planes, n_bands, planes_per_band)
+    # per-row array of n_bands bucket ids — vectorized numpy twin of the
+    # interpreted-HOF expression (bit-identical; see _banded_buckets_np)
+    buckets = _banded_buckets_np(planes, n_bands, planes_per_band, dim)(
+        F.col(vec_col)
+    )
     # norms once per vector (8k aggregates), NOT once per candidate pair
     # (millions) — the per-pair work is then a single dot product; the
     # value is bit-identical to inlining, so the oracle is unaffected
@@ -686,7 +762,9 @@ def lsh_topk(
         for p in range(n_bands * planes_per_band)
     ]
 
-    buckets = _banded_buckets_expr(vec_col, planes, n_bands, planes_per_band)
+    buckets = _banded_buckets_np(planes, n_bands, planes_per_band, dim)(
+        F.col(vec_col)
+    )
     c = df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
         F.posexplode(buckets).alias("band", "bucket"),

@@ -266,3 +266,53 @@ def test_getbykey_list_uses_local_relation(spark):
     out = dim.getbykey([2, 99])
     rows = {r.id: r.name for r in out.collect()}
     assert rows == {2: "b", 99: None}
+
+
+def test_banded_buckets_np_identity(spark):
+    """The vectorized numpy banding must equal the interpreted-HOF
+    expression twin element-for-element — including Spark's NaN-above-
+    everything comparison semantics and the zip_with degenerate rows
+    (NULL vector, NULL element, ragged length, empty array -> all-zero
+    buckets)."""
+    import pygrametl_spark.functions.similarity as sim
+
+    dim, n_bands, ppb = 8, 4, 3
+    planes = [
+        [sim._plane_weight(p, i) for i in range(dim)]
+        for p in range(n_bands * ppb)
+    ]
+    rows = [
+        (1, [float(i) - 3.5 for i in range(dim)]),
+        (2, [0.0] * dim),
+        (3, [-1.0] * dim),
+        (4, [float("nan")] + [1.0] * (dim - 1)),
+        (5, [float("inf")] + [1.0] * (dim - 1)),
+        (6, [float("-inf")] + [1.0] * (dim - 1)),
+        (7, None),
+        (8, [1.0, None] + [2.0] * (dim - 2)),
+        (9, [1.0] * (dim - 2)),          # too short
+        (10, [1.0] * (dim + 3)),         # too long
+        (11, []),                        # empty
+        (12, [0.25 * i for i in range(dim)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    expr_b = sim._banded_buckets_expr("embedding", planes, n_bands, ppb)
+    np_b = sim._banded_buckets_np(planes, n_bands, ppb, dim)(F.col("embedding"))
+    got = {
+        r.vec_id: (list(r.e) if r.e is not None else None, list(r.n))
+        for r in df.select(
+            "vec_id", expr_b.alias("e"), np_b.alias("n")
+        ).collect()
+    }
+    for vid, (e, n) in got.items():
+        if vid == 8:
+            # Arrow erases NULL-element-vs-NaN inside list columns, so
+            # the np path scores a NULL ELEMENT like NaN (all-ones bits)
+            # where the expression twin yields bit 0 — pinned here.
+            assert e == [0] * n_bands
+            assert n == got[4][1]  # same as the true-NaN row
+            continue
+        assert e == n, f"vec_id {vid}: expr {e} != np {n}"
+    # degenerate rows are the all-zero bucket array in both paths
+    for vid in (7, 9, 10, 11):
+        assert got[vid][1] == [0] * n_bands
