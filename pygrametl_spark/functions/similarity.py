@@ -119,6 +119,32 @@ def cosine_expr(a: str, b: str) -> Column:
     return dot_expr(a, b) / F.nullif(norm_expr(a) * norm_expr(b), F.lit(0.0))
 
 
+def _cos_hoisted_expr(a: str, b: str, an: str, bn: str) -> Column:
+    """``round(cosine, 6)`` with both vector norms read from projected
+    columns instead of re-folded per candidate: ``cosine_expr`` runs
+    THREE interpreted 64-element folds per candidate pair (dot + two
+    norms); hoisting the norms to one projected column per SIDE leaves
+    one fold + one divide per pair — a ~3x cut of the dominant
+    per-candidate compute at any scale (the sq8_topk / LSH pair-scorer
+    hoist, r9, applied to every remaining probe path). sqrt of the same
+    fold yields the same double, so values are bit-identical and every
+    oracle is unaffected; NULL-on-zero-norm semantics preserved by the
+    same nullif."""
+    return F.expr(
+        f"round({_dot_sql(a, b)} / "
+        f"nullif({an} * {bn}, CAST(0.0 AS DOUBLE)), 6)"
+    )
+
+
+def _qc_cos_hoisted() -> Column:
+    """Query-to-centroid ranking with the query norm hoisted to the
+    ``_qn`` projected column (``_cnorm`` was already hoisted)."""
+    return F.expr(
+        f"round({_dot_sql('_qv', '_cent')} / "
+        "nullif(_qn * _cnorm, CAST(0.0 AS DOUBLE)), 6)"
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -134,10 +160,16 @@ def cosine_topk(
     total-ordered and reproducible. The probe side is broadcast — the
     corpus is scanned once, never shuffled.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        norm_expr(vec_col).alias("_qn"),
+    )
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        norm_expr(vec_col).alias("_cn"),
+    )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
-    pairs = pairs.withColumn("cosine", F.round(cosine_expr("_qv", "_cv"), 6))
+    pairs = pairs.withColumn("cosine", _cos_hoisted_expr("_qv", "_cv", "_qn", "_cn"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -315,22 +347,25 @@ def ivf_topk(
     cent = centroids if centroids is not None else _centroids(df, id_col, vec_col, n_clusters)
     assign = ivf_assign(
         df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, centroids=cent
+    ).withColumn("_cn", norm_expr(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        norm_expr(vec_col).alias("_qn"),
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     qc = q.crossJoin(F.broadcast(cent)).withColumn(
         "_cos",
-        _qc_cos_expr(),
+        _qc_cos_hoisted(),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
     probes = (
         qc.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "_qv", F.col("_cid").alias("cluster"))
+        .select("query_id", "_qv", "_qn", F.col("_cid").alias("cluster"))
     )
     cand = assign.join(F.broadcast(probes), "cluster").filter(
         F.col(id_col) != F.col("query_id")
     )
-    cand = cand.withColumn("cosine", F.round(cosine_expr("_qv", vec_col), 6))
+    cand = cand.withColumn("cosine", _cos_hoisted_expr("_qv", vec_col, "_qn", "_cn"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -425,22 +460,27 @@ def ivf_topk_from_index(
     ``dynamicpruning`` subquery on cluster).
     """
     cent = spark.read.parquet(f"{path}/centroids")
-    assign = spark.read.parquet(f"{path}/vectors")
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    assign = spark.read.parquet(f"{path}/vectors").withColumn(
+        "_cn", norm_expr(vec_col)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        norm_expr(vec_col).alias("_qn"),
+    )
     qc = q.crossJoin(F.broadcast(cent)).withColumn(
         "_cos",
-        _qc_cos_expr(),
+        _qc_cos_hoisted(),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
     probes = (
         qc.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "_qv", F.col("_cid").alias("cluster"))
+        .select("query_id", "_qv", "_qn", F.col("_cid").alias("cluster"))
     )
     cand = assign.join(F.broadcast(probes), "cluster").filter(
         F.col(id_col) != F.col("query_id")
     )
-    cand = cand.withColumn("cosine", F.round(cosine_expr("_qv", vec_col), 6))
+    cand = cand.withColumn("cosine", _cos_hoisted_expr("_qv", vec_col, "_qn", "_cn"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -765,12 +805,17 @@ def lsh_topk(
     buckets = _banded_buckets_np(planes, n_bands, planes_per_band, dim)(
         F.col(vec_col)
     )
+    # norms once per vector row (computed in the generator's child
+    # projection, BEFORE the band explode replicates the row — and far
+    # before the per-candidate join; see _cos_hoisted_expr)
     c = df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        norm_expr(vec_col).alias("_cn"),
         F.posexplode(buckets).alias("band", "bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        norm_expr(vec_col).alias("_qn"),
         F.posexplode(buckets).alias("band", "bucket"),
     )
     if multiprobe:
@@ -780,15 +825,15 @@ def lsh_topk(
             "p -> bucket ^ CAST(power(2.0D, CAST(p AS DOUBLE)) AS INT)))"
         )
         q = q.select(
-            "query_id", "_qv", "band", F.explode(variants).alias("bucket")
+            "query_id", "_qv", "_qn", "band", F.explode(variants).alias("bucket")
         )
     cand = (
         c.join(F.broadcast(q), ["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .select("query_id", "neighbor_id", "_qv", "_qn", "_cv", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    cand = cand.withColumn("cosine", F.round(cosine_expr("_qv", "_cv"), 6))
+    cand = cand.withColumn("cosine", _cos_hoisted_expr("_qv", "_cv", "_qn", "_cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -1339,11 +1384,15 @@ def pq_topk_rerank(
         id_col=id_col, code_col=code_col, vec_col=vec_col, k=shortlist,
     ).select("query_id", "neighbor_id")
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        norm_expr(vec_col).alias("_qn"),
     )
-    c = raw.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = raw.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        norm_expr(vec_col).alias("_cn"),
+    )
     cand = c.join(F.broadcast(short.join(q, "query_id")), "neighbor_id")
-    cand = cand.withColumn("cosine", F.round(cosine_expr("_qv", "_cv"), 6))
+    cand = cand.withColumn("cosine", _cos_hoisted_expr("_qv", "_cv", "_qn", "_cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
     )
@@ -1786,13 +1835,16 @@ def _ivfpq_topk_build(
     see :func:`ivfpq_topk` for semantics and the retry contract."""
     books, residual = _load_books_meta(path)
     cent = spark.read.parquet(f"{path}/centroids")
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        norm_expr(vec_col).alias("_qn"),
+    )
     qc = q.crossJoin(F.broadcast(cent)).withColumn(
         "_cos",
-        _qc_cos_expr(),
+        _qc_cos_hoisted(),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
-    probe_cols = ["query_id", "_qv", F.col("_cid").alias("cluster")]
+    probe_cols = ["query_id", "_qv", "_qn", F.col("_cid").alias("cluster")]
     if residual:
         # residual reconstruction needs dot(q, c) and |c|² per probed
         # pair — both free here where the centroid is already in-row
@@ -1848,7 +1900,9 @@ def _ivfpq_topk_build(
             for i in range(m)
         )
     )
-    qn = norm_expr("_qv")
+    # query norm hoisted into the probe relation (once per query, not
+    # re-folded per candidate code row — see _cos_hoisted_expr)
+    qn = F.col("_qn")
     if residual:
         # x ≈ c + decode(code):  dot(q,x) = dot(q,c) + dot(q,decode)
         # and |x|² = |c|² + 2·dot(c,decode) + |decode|². The cross term
@@ -1902,7 +1956,7 @@ def _ivfpq_topk_build(
     short = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= rerank)
-        .select("query_id", "_qv", "cluster", F.col(id_col).alias("neighbor_id"))
+        .select("query_id", "_qv", "_qn", "cluster", F.col(id_col).alias("neighbor_id"))
     )
     if layout["raw"] is None:
         raise ValueError(
@@ -1914,7 +1968,7 @@ def _ivfpq_topk_build(
         # join-then-union, same DPP rationale as the codes tiers above
         return tier.select(
             "cluster", F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_cv"),
+            F.col(vec_col).alias("_cv"), norm_expr(vec_col).alias("_cn"),
         ).join(F.broadcast(short), ["cluster", "neighbor_id"])
 
     exact = _exact(spark.read.parquet(layout["raw"]))
@@ -1923,7 +1977,7 @@ def _ivfpq_topk_build(
         if layout["bid_cut"]:
             rstream = rstream.filter(F.col("_bid") >= layout["bid_cut"])
         exact = exact.unionByName(_exact(rstream.drop("_bid")))
-    exact = exact.withColumn("cosine", F.round(cosine_expr("_qv", "_cv"), 6))
+    exact = exact.withColumn("cosine", _cos_hoisted_expr("_qv", "_cv", "_qn", "_cn"))
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
     )
