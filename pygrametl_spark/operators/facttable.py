@@ -199,35 +199,46 @@ class AccumulatingSnapshotFactTable(FactTable):
 
     def ensure(self, rows: DataFrame, namemapping=None, *, compare: bool = False) -> None:  # noqa: ARG002
         b = apply_namemapping(rows, namemapping)
-        for c in [*self.otherrefs, *self.measures]:
-            if c not in b.columns:
-                b = b.withColumn(c, F.lit(None))
-        b = b.select(*self.all)
-        incoming = b.select(
-            *self.keyrefs,
-            *[F.col(c).alias(f"_in_{c}") for c in [*self.otherrefs, *self.measures]],
-        ).withColumn("_in", F.lit(True))
+        have = set(b.columns)
+        # single-parse projections (guide §1.2 at the driver boundary):
+        # the former per-column withColumn/_merge_col builders cost
+        # ~1,300 py4j commands per 3-merge chain; each selectExpr below
+        # parses the identical expressions in one call
+        b = b.selectExpr(
+            *[
+                f"`{c}`" if c in have else f"NULL AS `{c}`"
+                for c in self.all
+            ]
+        )
+        incoming = b.selectExpr(
+            *[f"`{k}`" for k in self.keyrefs],
+            *[
+                f"`{c}` AS `_in_{c}`"
+                for c in [*self.otherrefs, *self.measures]
+            ],
+            "true AS _in",
+        )
         merged = self.df.join(incoming, on=self.keyrefs, how="full")
-        for c in self.otherrefs:
-            ignore = self.ignorenonerefs
-            merged = merged.withColumn(c, self._merge_col(c, ignore))
-        for c in self.measures:
-            ignore = self.ignorenonemeasures
-            merged = merged.withColumn(c, self._merge_col(c, ignore))
-        merged = merged.select(*self.all, "_in")
+        merged = merged.selectExpr(
+            *[f"`{k}`" for k in self.keyrefs],
+            *[self._merge_sql(c, self.ignorenonerefs) for c in self.otherrefs],
+            *[self._merge_sql(c, self.ignorenonemeasures) for c in self.measures],
+            "_in",
+        )
         if self.factexpander is not None:
             # updated rows only, as the reference runs the expander on UPDATE
             merged = self.factexpander(merged)
         self._set_state(merged.select(*self.all))
 
     @staticmethod
-    def _merge_col(c: str, ignore_none: bool):
-        inc = F.col(f"_in_{c}")
-        old = F.col(c)
+    def _merge_sql(c: str, ignore_none: bool) -> str:
         if ignore_none:
             # incoming NULL means "not yet known" -> keep stored value
-            return F.when(F.col("_in").isNotNull(), F.coalesce(inc, old)).otherwise(old)
-        return F.when(F.col("_in").isNotNull(), inc).otherwise(old)
+            return (
+                f"CASE WHEN _in IS NOT NULL THEN coalesce(`_in_{c}`, `{c}`) "
+                f"ELSE `{c}` END AS `{c}`"
+            )
+        return f"CASE WHEN _in IS NOT NULL THEN `_in_{c}` ELSE `{c}` END AS `{c}`"
 
 
 class SubprocessFactTable:
