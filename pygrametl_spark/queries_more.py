@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import functions as F
 
@@ -92,7 +93,7 @@ def _memo_pq_books(spark, sf_dir, *, m: int, k: int, iters: int):
             return json.load(fh)
     emb = load_catalog(spark, sf_dir).embeddings
     books = sim.pq_train(emb, m=m, k=k, iters=iters)
-    tmp = f"{f}.tmp{os.getpid()}"
+    tmp = f"{f}.tmp{os.getpid()}_{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         json.dump(books, fh)
     os.replace(tmp, f)
@@ -123,7 +124,7 @@ def _memo_kmeans_centroids(spark, sf_dir, *, n_clusters: int, iters: int):
         for r in cent.collect()  # n_clusters rows: a sidecar, not data
     ]
     meta = {"schema": cent.schema.jsonValue(), "rows": rows}
-    tmp = f"{f}.tmp{os.getpid()}"
+    tmp = f"{f}.tmp{os.getpid()}_{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.replace(tmp, f)
