@@ -27,6 +27,7 @@ __all__ = [
     "hash32", "exact_dedup", "dedup_against", "minhash_signatures",
     "minhash_signatures_long", "minhash_lsh_pairs", "minhash_band_rows",
     "minhash_lsh_pairs_between", "simhash32", "ngram_jaccard_pairs",
+    "ngram_pair_intersections",
     "neardup_clusters", "cluster_survivors", "exact_substring_dedup",
     "exact_substring_dedup_against", "span_keys",
 ]
@@ -342,31 +343,22 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
-def ngram_jaccard_pairs(
+def ngram_pair_intersections(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
     n: int = 3,
-    threshold: float = 0.2,
     max_shingle_freq: int | None = None,
-    metric: str = "jaccard",
 ) -> DataFrame:
-    """Exact n-gram-set similarity for all pairs above ``threshold``.
-
-    Scalable formulation: join documents on *shared shingles* and count
-    intersections — |A∩B| via groupBy(pair), |A∪B| = |A|+|B|-|A∩B|.
-    Never builds the doc×doc cross product. ``max_shingle_freq`` drops
-    shingles shared by more than N docs (stop-shingles), the standard
-    guard against join blowup on a 100 TB corpus.
-
-    ``metric="jaccard"`` scores |A∩B|/|A∪B|; ``metric="containment"``
-    scores |A∩B|/min(|A|,|B|) — the asymmetric rule that catches a short
-    document embedded in a long one (quotations, syndicated reposts),
-    which symmetric jaccard dilutes toward 0 as the size gap grows.
-    Both come free from the same pair relation (sizes already ride each
-    pair); the score column is named after the metric.
-    """
+    """The shared pair relation under every n-gram-set similarity metric:
+    ``(id_1, id_2, n1, n2, inter)`` for each document pair sharing at
+    least one ``n``-shingle — |A∩B| plus both set sizes, from which
+    jaccard (|A∩B|/(n1+n2-|A∩B|)) and containment (|A∩B|/min(n1,n2))
+    are single in-row expressions. Exposed so a caller needing SEVERAL
+    metrics over the same corpus pays the tokenize+shingle pass, the
+    bucket exchange and the pair groupBy ONCE (see
+    :func:`ngram_jaccard_pairs` for the scale shape)."""
     arr = with_distinct_shingles(df, id_col, text_col, n)
     # The per-doc set size rides ALONG each exploded row (one extra long
     # per row) instead of being recomputed from the array and joined back
@@ -407,13 +399,43 @@ def ngram_jaccard_pairs(
         "i -> transform(sequence(i + 1, size(ms) - 1), "
         "j -> struct(element_at(ms, i + 1) AS a, element_at(ms, j + 1) AS b))))"
     )
-    inter = (
+    return (
         bucket.select(F.explode(pair_arr).alias("p"))
         .groupBy(
             F.col("p.a.id").alias("id_1"), F.col("p.b.id").alias("id_2"),
             F.col("p.a.n").alias("n1"), F.col("p.b.n").alias("n2"),
         )
         .agg(F.count("*").alias("inter"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = None,
+    metric: str = "jaccard",
+) -> DataFrame:
+    """Exact n-gram-set similarity for all pairs above ``threshold``.
+
+    Scalable formulation: join documents on *shared shingles* and count
+    intersections — |A∩B| via groupBy(pair), |A∪B| = |A|+|B|-|A∩B|.
+    Never builds the doc×doc cross product. ``max_shingle_freq`` drops
+    shingles shared by more than N docs (stop-shingles), the standard
+    guard against join blowup on a 100 TB corpus.
+
+    ``metric="jaccard"`` scores |A∩B|/|A∪B|; ``metric="containment"``
+    scores |A∩B|/min(|A|,|B|) — the asymmetric rule that catches a short
+    document embedded in a long one (quotations, syndicated reposts),
+    which symmetric jaccard dilutes toward 0 as the size gap grows.
+    Both come free from the same pair relation (sizes already ride each
+    pair); the score column is named after the metric.
+    """
+    inter = ngram_pair_intersections(
+        df, id_col, text_col, n=n, max_shingle_freq=max_shingle_freq
     )
     if metric == "containment":
         score = F.round(F.col("inter") / F.least("n1", "n2"), 6)

@@ -998,7 +998,18 @@ _SHARED_BUILDERS = {
     "scd2_build_close": shared_scd2_build_close,
 }
 
-_MERGED_Q, _MERGED_O = build_merged(ALL_QUERIES, ALL_ORACLES, _SHARED_BUILDERS)
+# Fully-fused merges (optimization r9): parts that are in-row score
+# variants over ONE pair relation collapse into a single chain emitting
+# every part's rows (queries_merged.build_merged full_builders).
+from pygrametl_spark.queries_data import merged_dedup_ngram_jaccard  # noqa: E402
+
+_FULL_BUILDERS = {
+    "dedup_ngram_jaccard": merged_dedup_ngram_jaccard,
+}
+
+_MERGED_Q, _MERGED_O = build_merged(
+    ALL_QUERIES, ALL_ORACLES, _SHARED_BUILDERS, _FULL_BUILDERS
+)
 
 # Driver-facing registry: <=50 entries, highest-value first, every
 # SURVEY §2 operator gated by exactly one entry (directly or as a

@@ -2112,6 +2112,72 @@ def shared_sampling_suite(spark, sf_dir):
     return [(tag, df) for (tag, _), df in zip(builders, dfs)]
 
 
+def merged_dedup_ngram_jaccard(spark, sf_dir, schema):
+    """Fully-fused merged query for the dedup_ngram_jaccard tag-union.
+
+    The jaccard and containment parts differ ONLY in the in-row score
+    expression and threshold over the SAME ``(id_1, id_2, n1, n2,
+    inter)`` pair relation (identical input, n=3, no shingle-freq cap) —
+    built generically, each part paid its own tokenize+shingle pass,
+    bucket exchange and pair groupBy. A per-tag shared builder cannot
+    fix that: AQE does not reuse an exchange across union BRANCHES even
+    for the same DataFrame object, and pinning the pair relation
+    serializes what the union overlaps (both measured and rejected in
+    OPTIMIZATION_r09.md). Instead the two parts' rows are emitted from
+    ONE chain in-row: each pair row explodes into two tagged candidates
+    (its jaccard row and its containment row), each filtered by its own
+    part's threshold — zero branching, so the heavy subtree exists once
+    in the plan. Score expressions are copied verbatim from
+    ``ngram_jaccard_pairs`` (round-then-filter, long/long division), so
+    every surviving row is bit-identical to the standalone parts; the
+    UNION ALL oracle is unchanged and verifies that equivalence. The
+    exactsubstr part keeps its own independent chain."""
+    from pygrametl_spark.functions.dedup import ngram_pair_intersections
+    from pygrametl_spark.queries_merged import _pad_one
+
+    docs = load_catalog(spark, sf_dir).documents
+    pairs = ngram_pair_intersections(docs, n=3)
+    jacc = F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6)
+    cont = F.round(F.col("inter") / F.least("n1", "n2"), 6)
+    # score every pair ONCE per metric as columns, drop the (vast)
+    # non-qualifying majority with one OR filter, and only then explode
+    # the survivors into their per-part rows — at corpus scale the pair
+    # relation is billions of rows and the Generate must not double it
+    fused = (
+        pairs.select("id_1", "id_2", jacc.alias("_j"), cont.alias("_c"))
+        .filter("_j >= 0.2 OR _c >= 0.5")
+        .select(
+            "id_1", "id_2",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("jaccard").alias("part"),
+                        F.when(F.col("_j") >= 0.2, F.col("_j")).alias("jaccard"),
+                        F.lit(None).cast("double").alias("containment"),
+                    ),
+                    F.struct(
+                        F.lit("containment").alias("part"),
+                        F.lit(None).cast("double").alias("jaccard"),
+                        F.when(F.col("_c") >= 0.5, F.col("_c")).alias("containment"),
+                    ),
+                )
+            ).alias("_e"),
+        )
+        .filter("_e.jaccard IS NOT NULL OR _e.containment IS NOT NULL")
+        .select("_e.part", "id_1", "id_2", "_e.jaccard", "_e.containment")
+    )
+    have = {"jaccard", "containment", "id_1", "id_2"}
+    padded = fused.selectExpr(
+        "part",
+        *[
+            f"`{c}`" if c in have else f"CAST(NULL AS {t}) AS `{c}`"
+            for c, t in schema
+        ],
+    )
+    exact = _pad_one(q_exact_substring(spark, sf_dir), "exactsubstr", schema)
+    return padded.unionByName(exact)
+
+
 DATA_QUERIES = {
     "text_quality": q_text_quality,
     "repetition_stats": q_repetition_stats,

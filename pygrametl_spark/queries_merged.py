@@ -628,19 +628,30 @@ def _union_oracle(parts, schema):
     return "\nUNION ALL\n".join(selects)
 
 
-def build_merged(all_queries, all_oracles, shared_builders=None):
+def build_merged(all_queries, all_oracles, shared_builders=None, full_builders=None):
     """Instantiate every merge in :data:`MERGES` against the full per-part
     query/oracle dicts. Returns ``(merged_queries, merged_oracles)``.
 
     ``shared_builders`` maps a merge name to a shared-intermediate
     builder (see :func:`_shared_union_query`); merges without one keep
-    the generic call-each-part-unchanged construction. Oracles are
-    always the generic UNION ALL — a shared builder is checked against
-    the SAME oracle as the generic construction."""
+    the generic call-each-part-unchanged construction.
+    ``full_builders`` maps a merge name to a FUSED builder
+    ``fn(spark, sf_dir, schema) -> DataFrame`` that returns the
+    complete merged frame itself (part column included) — for merges
+    whose parts collapse into one chain, where even a shared builder
+    would replay the common subtree across union branches. Oracles are
+    always the generic UNION ALL — every builder kind is checked
+    against the SAME oracle as the generic construction."""
     shared_builders = shared_builders or {}
+    full_builders = full_builders or {}
     merged_q, merged_o = {}, {}
     for name, (schema, parts) in MERGES.items():
-        if name in shared_builders:
+        if name in full_builders:
+            def _full(spark, sf_dir, _fn=full_builders[name], _schema=schema):
+                return _fn(spark, sf_dir, _schema)
+
+            merged_q[name] = _full
+        elif name in shared_builders:
             merged_q[name] = _shared_union_query(
                 shared_builders[name], schema, [tag for tag, _ in parts]
             )

@@ -29,11 +29,14 @@ def _rows(df):
 
 @pytest.mark.parametrize(
     "name",
-    ["scd2_type1_overrides", "sampling_suite", "scd2_build_close"],
+    [
+        "scd2_type1_overrides", "sampling_suite", "scd2_build_close",
+        "dedup_ngram_jaccard",
+    ],
 )
 def test_shared_builder_matches_generic_union(spark, name):
-    """The shared-intermediate builders must be row-identical to the
-    generic per-part construction they replaced."""
+    """The shared-intermediate (and fully-fused) builders must be
+    row-identical to the generic per-part construction they replaced."""
     from pygrametl_spark.queries import ALL_QUERIES, ORACLES, QUERIES
     from pygrametl_spark.queries_merged import MERGES, _union_query
 
