@@ -314,8 +314,11 @@ def minhash_lsh_pairs(
         pairs.selectExpr(
             "id_1",
             "id_2",
+            # The divisor MUST be a double literal ("16.0D"): a bare "16.0"
+            # parses as DECIMAL(3,1) in Spark SQL, turning est_jaccard into
+            # DecimalType and diverging from the double-typed oracle.
             "round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
-            f" / {float(MINHASH_K)!r}, 4) AS est_jaccard",
+            f" / {float(MINHASH_K)!r}D, 4) AS est_jaccard",
         )
         .dropDuplicates(["id_1", "id_2"])
         .where(f"est_jaccard >= {float(threshold)!r}")

@@ -9,6 +9,7 @@ Usage: python scripts/check_parity.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 import time
@@ -25,6 +26,14 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return round(v, 6)
+    # Type-strict: a Decimal must NEVER compare equal to a float. The driver's
+    # content hash is rendering-strict (Decimal('0.5000') renders '0.5000',
+    # float 0.5 renders '0.5'), but Python's == is numeric across the two
+    # types — which is exactly how the r9 dedup_minhash_lsh DECIMAL bug
+    # slipped past this gate. Tag decimals so cross-type equality is
+    # impossible and same-type comparison is rendering-strict.
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
@@ -34,6 +43,23 @@ def norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in idx) for r in rows]
     return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def col_kinds(cols, rows):
+    """Per-column set of non-null Python value type names, keyed by column.
+
+    bool is kept distinct from int; int vs float vs Decimal are distinct.
+    Used to assert Spark and DuckDB agree on each column's *type*, not just
+    its numeric value (int 1 == float 1.0 == Decimal('1') in Python, but the
+    driver hashes their renderings differently)."""
+    kinds = {c: set() for c in cols}
+    for r in rows:
+        for c, v in zip(cols, r):
+            if v is None:
+                continue
+            t = type(v).__name__
+            kinds[c].add(t)
+    return {c: frozenset(k) for c, k in kinds.items()}
 
 
 def main():
@@ -78,9 +104,17 @@ def main():
             continue
         sc, sr = norm_rows(scols, srows)
         dc, dr = norm_rows(dcols, drows)
+        sk, dk = col_kinds(scols, srows), col_kinds(dcols, drows)
+        kind_diffs = {
+            c: (sorted(sk[c]), sorted(dk.get(c, frozenset())))
+            for c in sk
+            if c in dk and sk[c] != dk[c]
+        }
         status = None
         if sc != dc:
             status = f"schema mismatch: spark={sc} duck={dc}"
+        elif kind_diffs:
+            status = f"dtype mismatch (spark vs duck value types): {kind_diffs}"
         elif len(sr) != len(dr):
             status = f"rowcount mismatch: spark={len(sr)} duck={len(dr)}"
         elif sr != dr:

@@ -48,6 +48,20 @@ def test_minhash_near_dups_score_high(spark, docs):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_minhash_est_jaccard_dtype_is_double(spark, docs):
+    """Both MinHash scoring paths must emit est_jaccard as DOUBLE.
+
+    Regression guard for the r9 driver failure: the SQL-text chain in
+    minhash_lsh_pairs wrote ``/ 16.0`` which Spark SQL parses as
+    DECIMAL(3,1), silently turning est_jaccard into DecimalType — equal
+    numerically, different under the driver's rendering-strict hash. The
+    Column-API twin (minhash_lsh_pairs_between) is the reference."""
+    sql_text_path = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    col_api_path = dd.minhash_lsh_pairs_between(docs, docs, threshold=0.5)
+    assert dict(sql_text_path.dtypes)["est_jaccard"] == "double"
+    assert dict(col_api_path.dtypes)["est_jaccard"] == "double"
+
+
 def test_ngram_jaccard(spark, docs):
     pairs = dd.ngram_jaccard_pairs(docs, threshold=0.2).collect()
     got = {(r["id_1"], r["id_2"]): r["jaccard"] for r in pairs}
